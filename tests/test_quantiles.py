@@ -1,0 +1,104 @@
+"""t-digest + KLL: quantile-error bounds and merge behavior (north-rule extras)."""
+
+import numpy as np
+import pytest
+
+from gostatix_ray.kernels import kll, tdigest
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(42)
+    return rng.lognormal(0.0, 1.0, 100_000)
+
+
+def test_tdigest_quantile_bounds(data):
+    s = tdigest.new(tdigest.TDigestSpec(compression=200.0))
+    tdigest.update(s, data)
+    srt = np.sort(data)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = float(tdigest.quantile(s, q)[0])
+        # rank error: position of est within sorted data vs q
+        rank = np.searchsorted(srt, est) / len(srt)
+        assert abs(rank - q) < 0.01, (q, est, rank)
+
+
+def test_tdigest_merge_bounds(data):
+    parts = np.array_split(data, 7)
+    states = []
+    for p in parts:
+        s = tdigest.new(tdigest.TDigestSpec(compression=200.0))
+        tdigest.update(s, p)
+        states.append(s)
+    merged = states[0]
+    for s in states[1:]:
+        merged = tdigest.merge(merged, s)
+    assert tdigest.total_weight(merged) == len(data)
+    srt = np.sort(data)
+    for q in (0.05, 0.5, 0.95):
+        est = float(tdigest.quantile(merged, q)[0])
+        rank = np.searchsorted(srt, est) / len(srt)
+        assert abs(rank - q) < 0.015
+
+
+def test_tdigest_centroid_budget(data):
+    s = tdigest.new(tdigest.TDigestSpec(compression=100.0))
+    tdigest.update(s, data)
+    tdigest._flush(s)
+    assert s.means.size <= 2 * 100  # ~delta centroids after compression
+
+
+def test_tdigest_cdf(data):
+    s = tdigest.new(tdigest.TDigestSpec(compression=200.0))
+    tdigest.update(s, data)
+    med = float(np.median(data))
+    assert abs(float(tdigest.cdf(s, med)[0]) - 0.5) < 0.01
+
+
+def test_tdigest_roundtrip(data):
+    s = tdigest.new(tdigest.TDigestSpec())
+    tdigest.update(s, data[:1000])
+    s2 = tdigest.from_bytes(tdigest.to_bytes(s))
+    assert tdigest.equals(s, s2)
+
+
+def test_kll_rank_error(data):
+    s = kll.new(kll.KLLSpec(k=200), seed=1)
+    kll.update(s, data)
+    srt = np.sort(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = float(kll.quantile(s, q)[0])
+        rank = np.searchsorted(srt, est) / len(srt)
+        assert abs(rank - q) < 0.03, (q, rank)
+
+
+def test_kll_merge(data):
+    parts = np.array_split(data, 5)
+    states = []
+    for i, p in enumerate(parts):
+        s = kll.new(kll.KLLSpec(k=200), seed=i)
+        kll.update(s, p)
+        states.append(s)
+    merged = states[0]
+    for s in states[1:]:
+        merged = kll.merge(merged, s)
+    assert merged.n == len(data)
+    srt = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        est = float(kll.quantile(merged, q)[0])
+        rank = np.searchsorted(srt, est) / len(srt)
+        assert abs(rank - q) < 0.04
+
+
+def test_kll_space_bound(data):
+    s = kll.new(kll.KLLSpec(k=200))
+    kll.update(s, data)
+    assert sum(l.size for l in s.levels) < 3 * 200
+
+
+def test_kll_roundtrip(data):
+    s = kll.new(kll.KLLSpec(k=64))
+    kll.update(s, data[:5000])
+    s2 = kll.from_bytes(kll.to_bytes(s))
+    assert s2.n == s.n
+    assert float(kll.quantile(s2, 0.5)[0]) == pytest.approx(float(kll.quantile(s, 0.5)[0]), rel=0.1)
