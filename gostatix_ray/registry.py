@@ -1,0 +1,32 @@
+"""Kernel registry: sketch kind -> kernel module (uniform protocol).
+
+Every kernel module exposes: new(spec), update(state, values[, counts]),
+merge(a, b), to_bytes(state), from_bytes(blob), equals(a, b).
+"""
+
+from __future__ import annotations
+
+from .kernels import bloom, cms, cuckoo, hll, kll, tdigest, topk
+
+KERNELS = {
+    "bloom": bloom,
+    "hll": hll,
+    "cms": cms,
+    "topk": topk,
+    "cuckoo": cuckoo,
+    "tdigest": tdigest,
+    "kll": kll,
+}
+
+#: kinds whose merge is associative AND byte-stable (bit-identical final
+#: state for any partition order).  tdigest / kll merges preserve error
+#: bounds but not bytes; cuckoo has no merge at all (partitioned filter).
+BYTE_STABLE = {"bloom", "hll", "cms", "topk"}
+MERGEABLE = {"bloom", "hll", "cms", "topk", "tdigest", "kll"}
+
+
+def kernel_for(kind: str):
+    try:
+        return KERNELS[kind]
+    except KeyError:
+        raise ValueError(f"unknown sketch kind {kind!r}; known: {sorted(KERNELS)}") from None

@@ -1,0 +1,216 @@
+"""Build stage: map_batches actor pool emitting partial-sketch rows.
+
+This is the Ray Data realization of the reference's caller-driven
+``Insert``/``Update`` loops (SURVEY.md §2.2): a stateful actor pool
+(``ds.map_batches(SketchBuilder, batch_format="pyarrow",
+zero_copy_batch=True, concurrency=...)``) where each actor parses the
+sketch specs ONCE in ``__init__`` and then, per zero-copy Arrow block,
+vectorized-hashes the key column(s) and scatters into fresh numpy
+sketch states.
+
+**Per-block flush**: every input block yields one partial row per
+(request, group).  Partials are keyed by a content-derived ``fragment``
+id, so a Ray task retry reproduces the *same* partial rows instead of
+double-counting — this is what makes sum-type sketches (CMS) safe under
+retries (SURVEY.md §4.2).  Downstream dedupes on ``fragment`` before
+merging (stages/merge.py).
+
+Partial-row schema (an Arrow table of sketches, itself a Dataset):
+  sketch:str, kind:str, group_key:str, state:binary, rows:int64,
+  fragment:str, checksum:str
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+import hashlib
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..registry import kernel_for
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("sketch", pa.string()),
+        ("kind", pa.string()),
+        ("group_key", pa.string()),
+        ("state", pa.large_binary()),
+        ("rows", pa.int64()),
+        ("fragment", pa.string()),
+        ("checksum", pa.string()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class SketchRequest:
+    """One sketch to build over the input.
+
+    ``on``: column name, or a callable ``batch -> pa.Array`` projection
+    (e.g. tokenize text, or compose a (role, tool) key).  ``weight``:
+    optional count column aligned with ``on`` (CMS/top-k/t-digest/KLL).
+    ``group_by``: optional column; one sketch state per distinct value.
+    """
+
+    name: str
+    kind: str
+    spec: Any
+    on: str | Callable[[pa.Table], pa.Array]
+    weight: str | None = None
+    group_by: str | None = None
+
+
+def composite_key(*cols: str, sep: str = "\x1f") -> Callable[[pa.Table], pa.Array]:
+    """Project several columns into one key column (vectorized)."""
+
+    def _proj(batch: pa.Table) -> pa.Array:
+        arrays = [pc.cast(batch[c], pa.string()) for c in cols]
+        joined = arrays[0]
+        for arr in arrays[1:]:
+            joined = pc.binary_join_element_wise(joined, arr, sep)
+        return joined
+
+    return _proj
+
+
+def tokens_of(col: str, pattern: str = " ") -> Callable[[pa.Table], pa.Array]:
+    """Project a text column into its flattened token stream."""
+
+    def _proj(batch: pa.Table) -> pa.Array:
+        return pc.list_flatten(pc.split_pattern(batch[col], pattern=pattern))
+
+    return _proj
+
+
+def _column_values(batch: pa.Table, req: SketchRequest) -> pa.Array:
+    if callable(req.on):
+        arr = req.on(batch)
+    else:
+        arr = batch[req.on]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+def _fragment_id(values: pa.Array, nrows: int) -> str:
+    """Deterministic, content-derived block id (idempotent under retry)."""
+    h = hashlib.blake2b(digest_size=12)
+    for buf in values.buffers():
+        if buf is not None:
+            h.update(bytes(buf)[:4096])
+            h.update(str(len(buf)).encode())
+    h.update(str(nrows).encode())
+    return h.hexdigest()
+
+
+class SketchBuilder:
+    """Actor-pool callable: Arrow block in, partial-sketch rows out."""
+
+    def __init__(self, requests: list[SketchRequest]):
+        # once per actor: validate specs, bind kernels (SURVEY.md §2.1)
+        self._reqs = [(r, kernel_for(r.kind)) for r in requests]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("sketch", "kind", "group_key", "state", "rows", "fragment", "checksum")}
+        for req, kernel in self._reqs:
+            values = _column_values(batch, req)
+            weights = None
+            if req.weight is not None:
+                weights = batch[req.weight].to_numpy(zero_copy_only=False)
+            frag = _fragment_id(values, batch.num_rows)
+            if req.group_by is None:
+                groups = {"": (values, weights)}
+            else:
+                gcol = batch[req.group_by]
+                if isinstance(gcol, pa.ChunkedArray):
+                    gcol = gcol.combine_chunks()
+                gcol = pc.cast(pc.fill_null(gcol, ""), pa.string())
+                if len(gcol) != len(values):
+                    raise ValueError(
+                        f"request {req.name!r}: group_by column is not aligned with "
+                        "the projected values (flattening projections cannot be grouped)"
+                    )
+                groups = {}
+                enc = gcol.dictionary_encode()
+                codes = enc.indices.to_numpy(zero_copy_only=False)
+                labels = enc.dictionary.to_pylist()
+                for code, label in enumerate(labels):
+                    mask = codes == code
+                    vals = values.filter(pa.array(mask))
+                    w = weights[mask] if weights is not None else None
+                    groups[label] = (vals, w)
+            for gkey, (vals, w) in groups.items():
+                state = kernel.new(req.spec)
+                if req.kind in ("tdigest", "kll"):
+                    nums = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+                    kernel.update(state, nums, w)
+                elif w is not None:
+                    kernel.update(state, vals, w)
+                else:
+                    kernel.update(state, vals)
+                blob = kernel.to_bytes(state)
+                out["sketch"].append(req.name)
+                out["kind"].append(req.kind)
+                out["group_key"].append(gkey)
+                out["state"].append(blob)
+                out["rows"].append(len(vals))
+                out["fragment"].append(f"{req.name}:{gkey}:{frag}")
+                out["checksum"].append(hashlib.blake2b(blob, digest_size=8).hexdigest())
+        return pa.table(
+            {
+                "sketch": pa.array(out["sketch"], pa.string()),
+                "kind": pa.array(out["kind"], pa.string()),
+                "group_key": pa.array(out["group_key"], pa.string()),
+                "state": pa.array(out["state"], pa.large_binary()),
+                "rows": pa.array(out["rows"], pa.int64()),
+                "fragment": pa.array(out["fragment"], pa.string()),
+                "checksum": pa.array(out["checksum"], pa.string()),
+            }
+        )
+
+
+def build_partials(
+    ds,
+    requests: list[SketchRequest],
+    *,
+    batch_size: int = 65536,
+    concurrency=None,
+    salt_by: str | None = None,
+    salt_buckets: int = 0,
+):
+    """read -> [salted repartition] -> actor-pool build => Dataset of partials.
+
+    ``salt_by`` + ``salt_buckets``: for zipf-skewed keys (e.g. conv_id)
+    add ``salt = hash(key) % S`` and shuffle-repartition on it before the
+    stateful build so no single builder actor sees a whole hot key
+    (north_star requirement).  Estimates are partition-invariant by merge
+    associativity, so salting never changes results.
+    """
+    if salt_by and salt_buckets > 1:
+        from ..hashing import hash128
+
+        def _salt(batch: pa.Table) -> pa.Table:
+            col = batch[salt_by]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            h1, _ = hash128(col, 7)
+            return batch.append_column("salt", pa.array((h1 % np.uint64(salt_buckets)).astype(np.int32)))
+
+        ds = ds.map_batches(_salt, batch_format="pyarrow").repartition(salt_buckets, shuffle=True)
+    if concurrency is None:
+        # actor pools require an explicit size; default to the cluster's CPUs
+        import ray
+
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    kwargs = {"concurrency": concurrency}
+    return ds.map_batches(
+        SketchBuilder,
+        fn_constructor_args=(requests,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        **kwargs,
+    )

@@ -1,0 +1,105 @@
+"""Merge stage: bounded-fan-in tree reduction of partial-sketch rows.
+
+Ray Data realization of the reference's ``Merge`` operators
+(hyperloglog.go:79-87, count_min_sketch.go:138-151 — SURVEY.md §2.4):
+partial states flow as immutable rows through a ``groupby`` tree; each
+level merges at most ``fan_in`` partials per (sketch, group_key) bucket,
+so at 10^12-turn scale (~10^6 partials) the reduction is
+⌈log_64 10^6⌉ = 4 shuffle levels of *tiny* data (#partials × state
+size), never a single giant reduce task.
+
+Retry idempotency: partials are deduped on their content-derived
+``fragment`` id first — a retried upstream block contributes once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from ..registry import kernel_for
+
+
+def _merge_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Merge all partial rows of one (sketch, group_key, bucket) group."""
+    # dedupe retried fragments (content-addressed => identical payloads)
+    df = df.drop_duplicates(subset=["fragment"], keep="first")
+    kind = df["kind"].iloc[0]
+    kernel = kernel_for(kind)
+    # deterministic merge order => byte-identical tree for byte-stable kinds
+    df = df.sort_values("fragment", kind="stable")
+    blobs = df["state"].tolist()
+    state = kernel.from_bytes(blobs[0])
+    for blob in blobs[1:]:
+        state = kernel.merge(state, kernel.from_bytes(blob))
+    out_blob = kernel.to_bytes(state)
+    frag = hashlib.blake2b("|".join(sorted(df["fragment"])).encode(), digest_size=12).hexdigest()
+    return pd.DataFrame(
+        {
+            "sketch": [df["sketch"].iloc[0]],
+            "kind": [kind],
+            "group_key": [df["group_key"].iloc[0]],
+            "state": [out_blob],
+            "rows": [int(df["rows"].sum())],
+            "fragment": [f"{df['sketch'].iloc[0]}:{df['group_key'].iloc[0]}:{frag}"],
+            "checksum": [hashlib.blake2b(out_blob, digest_size=8).hexdigest()],
+        }
+    )
+
+
+def _with_bucket(fan_in: int):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import numpy as np
+
+    from ..hashing import hash128
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        h1, _ = hash128(batch["fragment"], 5)
+        bucket = (h1 % np.uint64(fan_in)).astype(np.int64)
+        key = pc.binary_join_element_wise(
+            batch["sketch"], batch["group_key"], pa.array([str(b) for b in bucket]), "\x1f"
+        )
+        return batch.append_column("merge_key", key)
+
+    return _assign
+
+
+def merge_partials(partials, *, fan_in: int = 64, max_levels: int = 8):
+    """Tree-merge a Dataset of partial rows to one row per (sketch, group_key).
+
+    Each level: hash partials into ``fan_in`` buckets per (sketch,
+    group_key) and merge within buckets (``groupby.map_groups`` — the
+    only wide op in the hot path); repeat until one partial remains per
+    (sketch, group_key).  Returns a Dataset with the same schema.
+    """
+    ds = partials
+    for _level in range(max_levels):
+        n = ds.count()
+        groups = ds.groupby(["sketch", "group_key"]).count().count()
+        if n <= groups:  # one partial per group: fully merged
+            break
+        # shrink fan-in on the last levels so the tree terminates
+        ds = (
+            ds.map_batches(_with_bucket(fan_in), batch_format="pyarrow")
+            .groupby("merge_key")
+            .map_groups(
+                lambda df: _merge_group(df.drop(columns=["merge_key"])),
+                batch_format="pandas",
+            )
+        )
+        if n <= fan_in * groups:
+            # after this level every group has <= fan_in partials; one more
+            # level with a single bucket finishes it
+            fan_in = 1
+    return ds
+
+
+def collect_final(merged) -> dict[tuple[str, str], bytes]:
+    """Small final result: {(sketch, group_key): state bytes}."""
+    out = {}
+    for batch in merged.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            out[(row["sketch"], row["group_key"])] = row["state"]
+    return out

@@ -1,0 +1,81 @@
+"""Checkpoint + lineage for partially-merged sketch trees (north rule).
+
+The reference's persistence layer is ``Export``/``WriteTo`` +
+``Import``/``ReadFrom``/``...FromKey`` (SURVEY.md §2.5).  Distributed
+equivalent: the partial-sketch Dataset is written as a *partitioned
+Parquet checkpoint* plus a lineage manifest, and a rerun resumes from
+the checkpoint instead of rebuilding:
+
+    <dir>/partials/...parquet      one partial-sketch row per input block
+    <dir>/manifest.json            {fragment -> {rows, checksum}}, totals
+
+Every partial row carries (fragment, rows, checksum) — the per-partition
+lineage records required by the north rule.  Because fragments are
+content-addressed and merges associative, a resumed run produces
+byte-identical final sketches (tests/test_e2e_ray.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+_MANIFEST = "manifest.json"
+_PARTIALS = "partials"
+
+
+def partials_dir(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, _PARTIALS)
+
+
+def write_checkpoint(partials_ds, checkpoint_dir: str) -> dict:
+    """Materialize the partial-sketch table + lineage manifest atomically."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    pdir = partials_dir(checkpoint_dir)
+    tmp = pdir + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    partials_ds.write_parquet(tmp)
+    lineage = {}
+    import ray.data as rd
+
+    for batch in rd.read_parquet(tmp, columns=["fragment", "rows", "checksum"]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        for row in batch.to_pylist():
+            lineage[row["fragment"]] = {"rows": row["rows"], "checksum": row["checksum"]}
+    manifest = {
+        "fragments": lineage,
+        "num_partials": len(lineage),
+        "total_rows": sum(v["rows"] for v in lineage.values()),
+        "complete": True,
+    }
+    if os.path.exists(pdir):
+        import shutil
+
+        shutil.rmtree(pdir)
+    os.rename(tmp, pdir)
+    with open(os.path.join(checkpoint_dir, _MANIFEST + ".tmp"), "w") as f:
+        json.dump(manifest, f)
+    os.replace(os.path.join(checkpoint_dir, _MANIFEST + ".tmp"), os.path.join(checkpoint_dir, _MANIFEST))
+    return manifest
+
+
+def load_manifest(checkpoint_dir: str) -> dict | None:
+    path = os.path.join(checkpoint_dir, _MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def resume_partials(checkpoint_dir: str):
+    """Dataset of checkpointed partials, or None if no complete checkpoint."""
+    manifest = load_manifest(checkpoint_dir)
+    if not manifest or not manifest.get("complete"):
+        return None
+    import ray.data as rd
+
+    return rd.read_parquet(partials_dir(checkpoint_dir))

@@ -1,0 +1,169 @@
+"""End-to-end Ray Data pipeline tests on the synthetic transcript table."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from gostatix_ray.kernels import bloom, cms, hll, tdigest, topk
+from gostatix_ray.pipelines.sketch_pipeline import SketchPipeline
+from gostatix_ray.sources.transcripts import exact_ground_truth
+from gostatix_ray.stages.build import SketchRequest, build_partials, composite_key, tokens_of
+from gostatix_ray.stages.membership import filter_by_membership
+from gostatix_ray.stages.merge import collect_final, merge_partials
+
+
+@pytest.fixture(scope="module")
+def ground_truth(transcripts_path):
+    return exact_ground_truth(pq.read_table(transcripts_path))
+
+
+@pytest.fixture(scope="module")
+def results(ray_session, transcripts_path, tmp_path_factory):
+    import ray.data as rd
+
+    ds = rd.read_parquet(transcripts_path)
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    pipe = SketchPipeline(
+        [
+            SketchRequest("distinct_convs", "hll", hll.HLLSpec(m=1 << 14), on="conv_id"),
+            SketchRequest("role_tool_card", "hll", hll.HLLSpec(m=1 << 12), on=composite_key("role", "tool")),
+            SketchRequest("token_freq", "cms", cms.CMSSpec.from_error_rate(0.0005, 0.01), on=tokens_of("text")),
+            SketchRequest("top_tools", "topk", topk.TopKSpec(k=10), on="tool"),
+            SketchRequest("turnlen_quantiles", "tdigest", tdigest.TDigestSpec(100.0), on="turn_idx"),
+            SketchRequest("conv_member", "bloom", bloom.BloomSpec.from_params(10_000, 1e-4), on="conv_id"),
+        ],
+        batch_size=4096,
+        concurrency=3,
+        checkpoint_dir=ckpt,
+        salt_by="conv_id",
+        salt_buckets=4,
+    )
+    res = pipe.run(ds)
+    return res, ckpt, pipe
+
+
+def test_hll_distinct_convs_within_bound(results, ground_truth):
+    res, _, _ = results
+    est = hll.count(res[("distinct_convs", "")].state)
+    true = ground_truth["distinct_convs"]
+    assert abs(est - true) / true <= 3 * 1.04 / math.sqrt(1 << 14)
+
+
+def test_role_tool_cardinality(results, ground_truth):
+    res, _, _ = results
+    est = hll.count(res[("role_tool_card", "")].state)
+    true = ground_truth["distinct_role_tool"]
+    assert abs(est - true) <= max(3, 0.05 * true)
+
+
+def test_cms_token_counts_match_exact(results, transcripts_path):
+    import duckdb
+
+    res, _, _ = results
+    state = res[("token_freq", "")].state
+    exact = duckdb.sql(
+        f"""
+        SELECT tok, count(*) c FROM (
+          SELECT unnest(string_split(text, ' ')) tok
+          FROM read_parquet('{transcripts_path}')
+        ) GROUP BY tok ORDER BY c DESC LIMIT 20
+        """
+    ).fetchall()
+    toks = [t for t, _ in exact]
+    true = np.array([c for _, c in exact])
+    est = cms.count(state, toks).astype(np.int64)
+    # CMS overestimates only, and within eps*N of truth
+    assert (est >= true).all()
+    assert (est - true <= cms.count(state, ["___absent___"])[0] + state.spec.error_bound_eps() * state.all_sum + 1).all()
+
+
+def test_topk_tools_exact_ranking(results, ground_truth):
+    res, _, _ = results
+    vals = topk.values(res[("top_tools", "")].state)
+    # drop the "" non-tool bucket, compare against exact ranking prefix
+    vals = [(e, c) for e, c in vals if e][:5]
+    expected = ground_truth["tool_counts"][:5]
+    assert [e for e, _ in vals] == [e for e, _ in expected]
+    # counts are CMS estimates: overestimate-only, close at this scale
+    for (e, c), (_, true_c) in zip(vals, expected):
+        assert true_c <= c <= true_c * 1.2 + 5
+
+
+def test_tdigest_quantiles(results, transcripts_path):
+    res, _, _ = results
+    state = res[("turnlen_quantiles", "")].state
+    col = pq.read_table(transcripts_path, columns=["turn_idx"])["turn_idx"].to_numpy()
+    for q in (0.25, 0.5, 0.9):
+        est = float(tdigest.quantile(state, q)[0])
+        srt = np.sort(col)
+        rank = np.searchsorted(srt, est) / len(srt)
+        assert abs(rank - q) < 0.03
+
+
+def test_bloom_membership_filter(results, ray_session, transcripts_path):
+    import ray.data as rd
+
+    res, _, _ = results
+    blob = bloom.to_bytes(res[("conv_member", "")].state)
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id"])
+    kept = filter_by_membership(ds, blob, "bloom", "conv_id", concurrency=2).count()
+    assert kept == ds.count()  # every present conv_id passes (no false negatives)
+    # guaranteed-absent keys are (almost) all rejected
+    absent = rd.from_items([{"conv_id": f"absent-{i}"} for i in range(2000)])
+    fp = filter_by_membership(absent, blob, "bloom", "conv_id", concurrency=2).count()
+    assert fp <= 2
+
+
+def test_checkpoint_resume_byte_identical(results, ray_session, transcripts_path):
+    """Kill-and-resume: a second run from the checkpoint reproduces final
+    sketches byte-for-byte (associativity + content-addressed lineage)."""
+    res, ckpt, pipe = results
+    from gostatix_ray.state import lineage as lin
+
+    manifest = lin.load_manifest(ckpt)
+    assert manifest and manifest["complete"]
+    assert manifest["num_partials"] > 0
+    import ray.data as rd
+
+    res2 = pipe.run(rd.read_parquet(transcripts_path))  # resumes from checkpoint
+    for key in res:
+        if res[key].kind in ("bloom", "hll", "cms", "topk"):
+            k = __import__("gostatix_ray.registry", fromlist=["kernel_for"]).kernel_for(res[key].kind)
+            assert k.to_bytes(res[key].state) == k.to_bytes(res2[key].state), key
+
+
+def test_grouped_sketches(ray_session, transcripts_path, ground_truth):
+    import ray.data as rd
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "role"])
+    partials = build_partials(
+        ds,
+        [SketchRequest("convs_by_role", "hll", hll.HLLSpec(m=1 << 12), on="conv_id", group_by="role")],
+        batch_size=4096,
+        concurrency=2,
+    )
+    final = collect_final(merge_partials(partials))
+    keys = {gk for (_, gk) in final}
+    assert keys == {"user", "assistant", "tool", "system"}
+    est = hll.count(hll.from_bytes(final[("convs_by_role", "user")]))
+    true = ground_truth["distinct_convs"]  # every conv starts with a user turn
+    assert abs(est - true) / true < 0.1
+
+
+def test_per_turn_text_equality_invariant(ray_session, transcripts_path):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering vs a direct reference scan."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "text"])
+    ours = ds.sort(["conv_id", "turn_idx"]).to_pandas()
+    ref = (
+        pq.read_table(transcripts_path, columns=["conv_id", "turn_idx", "text"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert (ours["text"].values == ref["text"].values).all()
