@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in gostatix_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship multi-sketch pipeline over /root/testdata/sf0.001
+  (events + documents + the canonical transcript table).
+* ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data extras); each takes ``sf_dir``.
+* ``oracle_sql()`` — DuckDB twins for the exactly-checkable queries;
+  estimate-valued sketch queries are rows-only by design (their error
+  bounds are asserted in tests/).
 """
 
 from __future__ import annotations
@@ -20,25 +19,39 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: one-pass multi-sketch build + estimates."""
+    import pandas as pd
+
+    from gostatix_ray.pipelines import catalog
+
+    sf = "/root/testdata/sf0.001"
+    flagship = catalog.flagship_transcripts(num_turns=5_000, seed=42)
+    users = catalog.q_hll_distinct_users(sf)
+    out = pd.concat(
+        [
+            flagship,
+            pd.DataFrame(
+                {
+                    "sketch": ["hll_distinct_users_events"],
+                    "group_key": [""],
+                    "kind": ["hll"],
+                    "rows": [len(users)],
+                    "headline_estimate": [float(users["distinct_users_est"].iloc[0])],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from gostatix_ray.pipelines import catalog
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(catalog.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gostatix_ray.pipelines import catalog
+
+    return dict(catalog.ORACLE_SQL)

@@ -1,0 +1,455 @@
+"""Query catalog backing __ray_entry__: Ray pipelines + DuckDB oracle SQL.
+
+Each ``q_*`` takes ``sf_dir`` (a /root/testdata/sf* directory) and
+returns a Dataset / pandas DataFrame / Arrow table.  ``ORACLE_SQL``
+holds the ANSI-SQL twin that DuckDB runs on the same parquet (tables
+pre-registered as views).  Column names match exactly — the driver's
+compare hashes values under sorted column names.
+
+Sketch queries whose results are *estimates* (HLL count, quantiles,
+near-dup candidates) have no SQL twin and get the driver's rows-only
+check; their error bounds are asserted in tests/ instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..kernels import bloom, cms, hll, kll, tdigest, topk
+from ..stages.ann import brute_force_topk, ivf_topk, threshold_search, train_codebook
+from ..stages.build import SketchRequest, build_partials, tokens_of
+from ..stages.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_candidate_pairs,
+    simhash_candidate_pairs,
+)
+from ..stages.membership import filter_by_membership
+from ..stages.merge import collect_final, merge_partials
+from ..stages.text_stats import Fingerprint, LangId, QualityScore, TokenStats
+from ..pipelines.sketch_pipeline import SketchPipeline
+
+_CONC = 4  # modest default actor-pool size for sf0.01-scale driver checks
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _one_state(ds, req: SketchRequest, **kw):
+    partials = build_partials(ds, [req], concurrency=_CONC, **kw)
+    final = collect_final(merge_partials(partials))
+    from ..registry import kernel_for
+
+    return kernel_for(req.kind).from_bytes(final[(req.name, "")])
+
+
+# ---------------------------------------------------------------------------
+# cardinality
+# ---------------------------------------------------------------------------
+
+def q_distinct_users_exact(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id"])
+    n = ds.groupby("user_id").count().count()
+    return pd.DataFrame({"distinct_users": [n]})
+
+
+def q_hll_distinct_users(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id"])
+    state = _one_state(
+        ds,
+        SketchRequest(
+            "hll_users", "hll", hll.HLLSpec(m=1 << 14),
+            on=lambda b: pc.cast(b["user_id"], pa.string()),
+        ),
+    )
+    return pd.DataFrame(
+        {
+            "distinct_users_est": [float(hll.count(state))],
+            "m": [1 << 14],
+            "rel_err_bound": [state.spec.accuracy()],
+        }
+    )
+
+
+def q_user_event_type_pairs_exact(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    n = ds.groupby(["user_id", "event_type"]).count().count()
+    return pd.DataFrame({"pair_count": [n]})
+
+
+# ---------------------------------------------------------------------------
+# frequency / heavy hitters
+# ---------------------------------------------------------------------------
+
+def q_top_event_types_exact(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    return ds.groupby("event_type").aggregate(Count(alias_name="cnt"))
+
+
+def q_topk_event_types_sketch(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type"])
+    state = _one_state(
+        ds, SketchRequest("topk_et", "topk", topk.TopKSpec(k=3, error_rate=0.0001, accuracy=0.01), on="event_type")
+    )
+    vals = topk.values(state)
+    return pd.DataFrame({"event_type": [e for e, _ in vals], "cnt": [c for _, c in vals]})
+
+
+def q_token_counts_exact(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["text"])
+    toks = ds.map_batches(
+        lambda b: pa.table({"token": pc.list_flatten(pc.split_pattern(b["text"], pattern=" "))}),
+        batch_format="pyarrow",
+    )
+    return toks.groupby("token").aggregate(Count(alias_name="cnt"))
+
+
+def q_cms_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["text"])
+    state = _one_state(
+        ds,
+        SketchRequest("tok_cms", "cms", cms.CMSSpec.from_error_rate(0.0001, 0.01), on=tokens_of("text")),
+    )
+    tokens = sorted(_read(sf_dir, "documents", ["text"]).map_batches(
+        lambda b: pa.table({"token": pc.list_flatten(pc.split_pattern(b["text"], pattern=" "))}),
+        batch_format="pyarrow",
+    ).unique("token"))
+    est = cms.count(state, tokens)
+    return pd.DataFrame({"token": tokens, "cnt": est.astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# membership / semi-join
+# ---------------------------------------------------------------------------
+
+def q_bloom_click_users_semijoin(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    clickers = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")), batch_format="pyarrow"
+    )
+    state = _one_state(
+        clickers,
+        SketchRequest(
+            "click_users", "bloom", bloom.BloomSpec.from_params(100_000, 1e-9),
+            on=lambda b: pc.cast(b["user_id"], pa.string()),
+        ),
+    )
+
+    def _as_str(batch: pa.Table) -> pa.Table:
+        return batch.append_column("user_key", pc.cast(batch["user_id"], pa.string()))
+
+    kept = filter_by_membership(
+        ev.map_batches(_as_str, batch_format="pyarrow"),
+        bloom.to_bytes(state), "bloom", "user_key", concurrency=_CONC,
+    )
+    return kept.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_doc_dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, text_col="text", id_col="doc_id")
+
+
+def q_minhash_dedup_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_candidate_pairs(
+        ds, text_col="text", id_col="doc_id", num_perm=128, bands=32, shingle=3,
+        threshold=0.35, concurrency=_CONC,
+    )
+    if pairs.count() == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "est_jaccard": pd.Series([], dtype="float64")})
+    return pairs
+
+
+def q_simhash_dedup_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = simhash_candidate_pairs(ds, text_col="text", id_col="doc_id", max_hamming=10, concurrency=_CONC)
+    if pairs.count() == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return pairs
+
+
+def q_embedding_near_dup(sf_dir: str):
+    # the synthetic embeddings have no true near-dups (max pair cosine ~0.51);
+    # 0.45 exercises the LSH-bucket + exact-check path with a small result
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(ds, emb_col="embedding", id_col="vec_id", dim=64,
+                                     threshold=0.45, nbits=4, concurrency=_CONC)
+    df = pairs.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    df["cosine"] = df["cosine"].round(4)
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(TokenStats("text", "doc_id"), batch_format="pyarrow", concurrency=_CONC)
+    return out.select_columns(["doc_id", "n_tokens", "n_chars"])
+
+
+def q_doc_quality_scores(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(QualityScore("text", "doc_id"), batch_format="pyarrow", concurrency=_CONC)
+
+
+def q_doc_langid(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId("text", "doc_id"), batch_format="pyarrow", concurrency=_CONC)
+
+
+def q_doc_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(Fingerprint("text", "doc_id"), batch_format="pyarrow", concurrency=_CONC)
+
+
+def q_lang_doc_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+
+
+# ---------------------------------------------------------------------------
+# windows / relational
+# ---------------------------------------------------------------------------
+
+def q_events_hourly_window(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def _hour(batch: pa.Table) -> pa.Table:
+        return batch.append_column("hour", pc.floor_temporal(batch["ts"], unit="hour"))
+
+    agg = (
+        ds.map_batches(_hour, batch_format="pyarrow")
+        .select_columns(["user_id", "hour", "value"])
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"),
+            "sum_value",
+            pc.round(batch["sum_value"], ndigits=4),
+        )
+
+    return agg.map_batches(_round, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# quantiles
+# ---------------------------------------------------------------------------
+
+_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_value_quantiles_tdigest(sf_dir: str):
+    ds = _read(sf_dir, "events", ["value"])
+    state = _one_state(ds, SketchRequest("val_td", "tdigest", tdigest.TDigestSpec(200.0), on="value"))
+    est = tdigest.quantile(state, _QS)
+    return pd.DataFrame({"q": _QS, "value_est": est})
+
+
+def q_value_quantiles_kll(sf_dir: str):
+    ds = _read(sf_dir, "events", ["value"])
+    state = _one_state(ds, SketchRequest("val_kll", "kll", kll.KLLSpec(k=200), on="value"))
+    est = kll.quantile(state, _QS)
+    return pd.DataFrame({"q": _QS, "value_est": est})
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _queries_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = t.sort_by("vec_id").slice(0, n)
+    return np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+
+
+def q_ann_brute_cosine(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _queries_matrix(sf_dir, 3)
+    out = brute_force_topk(ds, q, id_col="vec_id", emb_col="embedding", k=10, concurrency=_CONC)
+    df = out.to_pandas()
+    df["cosine"] = df["cosine"].round(5)
+    return df.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+
+
+def q_ann_threshold_cosine(sf_dir: str):
+    """Fixed-threshold similarity search: ids only (float-noise-robust oracle;
+    0.32 sits in a >1e-3 gap of the sf0.01 similarity distribution while
+    DuckDB's float32 list_cosine_similarity differs from float64 at ~1e-7)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _queries_matrix(sf_dir, 3)
+    out = threshold_search(ds, q, id_col="vec_id", emb_col="embedding", threshold=0.32, concurrency=_CONC)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+def q_ann_ivf_cosine(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _queries_matrix(sf_dir, 3)
+    sample = np.stack(
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))["embedding"].to_numpy(zero_copy_only=False)[:256]
+    )
+    cb = train_codebook(sample, n_centroids=16)
+    out = ivf_topk(ds, q, cb, id_col="vec_id", emb_col="embedding", k=10, nprobe=4, concurrency=_CONC)
+    df = out.to_pandas()
+    df["cosine"] = df["cosine"].round(5)
+    return df.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# flagship transcript pipeline (rows-only; oracles live in tests/)
+# ---------------------------------------------------------------------------
+
+def flagship_transcripts(num_turns: int = 10_000, seed: int = 42, sf_dir: str | None = None):
+    """One-pass multi-sketch build over the canonical transcript table."""
+    import ray.data as rd
+
+    from ..sources.transcripts import generate_transcripts
+
+    path = f"/tmp/gostatix_ray/transcripts_{num_turns}_{seed}.parquet"
+    if not os.path.exists(path):
+        generate_transcripts(path, num_turns, seed)
+    ds = rd.read_parquet(path)
+    pipe = SketchPipeline(
+        [
+            SketchRequest("distinct_convs", "hll", hll.HLLSpec(m=1 << 14), on="conv_id"),
+            SketchRequest("token_freq", "cms", cms.CMSSpec.from_error_rate(0.0005, 0.01), on=tokens_of("text")),
+            SketchRequest("top_tools", "topk", topk.TopKSpec(k=10), on="tool"),
+            SketchRequest("turn_quantiles", "tdigest", tdigest.TDigestSpec(100.0), on="turn_idx"),
+            SketchRequest("conv_member", "bloom", bloom.BloomSpec.from_params(1_000_000, 1e-6), on="conv_id"),
+        ],
+        concurrency=_CONC,
+        salt_by="conv_id",
+        salt_buckets=8,
+    )
+    res = pipe.run(ds)
+    rows = []
+    for (name, gk), r in sorted(res.items()):
+        if r.kind == "hll":
+            est = float(hll.count(r.state))
+        elif r.kind == "tdigest":
+            est = float(tdigest.quantile(r.state, 0.5)[0])
+        elif r.kind == "topk":
+            vals = topk.values(r.state)
+            est = float(vals[0][1]) if vals else 0.0
+        elif r.kind == "cms":
+            est = float(r.state.all_sum)
+        elif r.kind == "bloom":
+            est = float(bloom.positive_rate(r.state))
+        else:
+            est = 0.0
+        rows.append({"sketch": name, "group_key": gk, "kind": r.kind, "rows": r.rows, "headline_estimate": est})
+    return pd.DataFrame(rows)
+
+
+def q_transcript_flagship(sf_dir: str):
+    return flagship_transcripts(10_000, 42)
+
+
+QUERIES = {
+    "distinct_users_exact": q_distinct_users_exact,
+    "hll_distinct_users": q_hll_distinct_users,
+    "user_event_type_pairs_exact": q_user_event_type_pairs_exact,
+    "top_event_types_exact": q_top_event_types_exact,
+    "topk_event_types_sketch": q_topk_event_types_sketch,
+    "token_counts_exact": q_token_counts_exact,
+    "cms_token_counts": q_cms_token_counts,
+    "bloom_click_users_semijoin": q_bloom_click_users_semijoin,
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "simhash_dedup_pairs": q_simhash_dedup_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality_scores": q_doc_quality_scores,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprints": q_doc_fingerprints,
+    "lang_doc_stats": q_lang_doc_stats,
+    "events_hourly_window": q_events_hourly_window,
+    "value_quantiles_tdigest": q_value_quantiles_tdigest,
+    "value_quantiles_kll": q_value_quantiles_kll,
+    "ann_brute_cosine": q_ann_brute_cosine,
+    "ann_threshold_cosine": q_ann_threshold_cosine,
+    "ann_ivf_cosine": q_ann_ivf_cosine,
+    "transcript_flagship": q_transcript_flagship,
+}
+
+ORACLE_SQL = {
+    "distinct_users_exact": "SELECT count(DISTINCT user_id) AS distinct_users FROM events",
+    "user_event_type_pairs_exact": (
+        "SELECT count(*) AS pair_count FROM (SELECT DISTINCT user_id, event_type FROM events)"
+    ),
+    "top_event_types_exact": "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+    "topk_event_types_sketch": (
+        "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type "
+        "ORDER BY cnt DESC, event_type ASC LIMIT 3"
+    ),
+    "token_counts_exact": (
+        "SELECT token, count(*) AS cnt FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token"
+    ),
+    "cms_token_counts": (
+        "SELECT token, count(*) AS cnt FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token"
+    ),
+    "bloom_click_users_semijoin": (
+        "SELECT event_type, count(*) AS n FROM events WHERE user_id IN "
+        "(SELECT DISTINCT user_id FROM events WHERE event_type = 'click') GROUP BY event_type"
+    ),
+    "doc_dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "doc_token_stats": (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+    ),
+    "lang_doc_stats": (
+        "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY lang"
+    ),
+    "events_hourly_window": (
+        "SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n, "
+        "round(sum(value), 4) AS sum_value FROM events GROUP BY user_id, date_trunc('hour', ts)"
+    ),
+    "ann_threshold_cosine": (
+        "WITH q AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id, embedding AS qe "
+        "FROM embeddings ORDER BY vec_id LIMIT 3) "
+        "SELECT q.query_id, e.vec_id FROM embeddings e CROSS JOIN q "
+        "WHERE list_cosine_similarity(e.embedding, q.qe) >= 0.32"
+    ),
+}

@@ -1,0 +1,203 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_force_topk`` — the exactness baseline: the (small) query
+  matrix is broadcast once (``ray.put``); every batch computes a numpy
+  matmul against it and emits its local top-k per query; a final tiny
+  ``groupby(query_id)`` reduces local top-ks to the global top-k.  At
+  100 TB this streams: per-batch state is O(n_queries * k).
+* ``ivf_topk`` — the scale path: a k-means codebook trained on a small
+  sample (driver-side, seeded), vectors assigned to their nearest
+  centroid at index-build time (one pass), queries probed only against
+  the ``nprobe`` nearest centroid partitions — an inverted-file (IVF)
+  index expressed as a partitioned Dataset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+
+
+class _BatchTopK:
+    def __init__(self, queries_ref, id_col: str, emb_col: str, k: int):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))  # (nq, dim)
+        self.id_col, self.emb_col, self.k = id_col, emb_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(np.stack(batch[self.emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = self.q @ emb.T  # (nq, nb)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(sims.shape[0]):
+            rows_q.extend([qi] * k)
+            rows_v.extend(ids[top[qi]])
+            rows_s.extend(sims[qi, top[qi]])
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                self.id_col: pa.array(rows_v),
+                "cosine": pa.array(rows_s, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(ds, queries: np.ndarray, *, id_col="vec_id", emb_col="embedding", k=10, concurrency=None):
+    """Exact cosine top-k of each query row against the dataset.
+
+    Returns Dataset[query_id, vec_id, cosine] with exactly k rows per query.
+    Ties at the k-boundary break by (cosine desc, vec_id asc) — stable.
+    """
+    import ray
+
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    local = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_args=(qref, id_col, emb_col, k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def _global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cosine", id_col], ascending=[False, True], kind="stable")
+        return df.head(k)
+
+    return local.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
+
+
+def threshold_search(ds, queries: np.ndarray, *, id_col="vec_id", emb_col="embedding",
+                     threshold: float, concurrency=None):
+    """All (query_id, vec_id) with cosine >= threshold — embarrassingly
+    parallel (no final reduce at all): each batch emits its own hits."""
+    import ray
+
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    qref = ray.put(_normalize(np.asarray(queries, dtype=np.float64)))
+
+    class _Thresh:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            sims = self.q @ emb.T
+            qi, vi = np.where(sims >= threshold)
+            return pa.table(
+                {
+                    "query_id": pa.array(qi.astype(np.int64)),
+                    id_col: pa.array(ids[vi]),
+                    "cosine": pa.array(sims[qi, vi], pa.float64()),
+                }
+            )
+
+    return ds.map_batches(_Thresh, batch_format="pyarrow", concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant
+# ---------------------------------------------------------------------------
+
+def train_codebook(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Seeded mini k-means on a driver-side sample (the small side)."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                cent[c] = sample[mask].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_partition(ds, codebook: np.ndarray, *, emb_col="embedding", concurrency=None):
+    """Assign each vector to its nearest centroid (adds ``centroid`` col)."""
+    import ray
+
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    cref = ray.put(np.asarray(codebook, dtype=np.float64))
+
+    class _Assign:
+        def __init__(self):
+            self.cent = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+            assign = np.argmax(emb @ self.cent.T, axis=1)
+            return batch.append_column("centroid", pa.array(assign.astype(np.int64)))
+
+    return ds.map_batches(_Assign, batch_format="pyarrow", concurrency=concurrency)
+
+
+def ivf_topk(ds, queries: np.ndarray, codebook: np.ndarray, *, id_col="vec_id", emb_col="embedding",
+             k=10, nprobe=4, concurrency=None):
+    """ANN top-k probing only the nprobe nearest centroid partitions.
+
+    Each batch assigns its vectors to centroids and scores a query only
+    against vectors in that query's probed partitions (a boolean
+    (nq, n_centroids) mask — no per-row Python).  Recall < 1 by design
+    (a true neighbor can live in an unprobed partition); tests measure
+    recall vs brute force.
+    """
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    cb = _normalize(np.asarray(codebook, dtype=np.float64))
+    probe = np.argsort(-(q @ cb.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    allowed = np.zeros((len(q), len(cb)), dtype=bool)
+    for qi in range(len(q)):
+        allowed[qi, probe[qi]] = True
+    bref = ray.put((q, cb, allowed))
+
+    class _IVFLocal:
+        def __init__(self):
+            self.q, self.cb, self.allowed = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            cent = np.argmax(emb @ self.cb.T, axis=1)
+            sims = self.q @ emb.T  # (nq, nb)
+            sims = np.where(self.allowed[:, cent], sims, -np.inf)
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows_q, rows_v, rows_s = [], [], []
+            for qi in range(sims.shape[0]):
+                sel = top[qi][np.isfinite(sims[qi, top[qi]])]
+                rows_q.extend([qi] * len(sel))
+                rows_v.extend(ids[sel])
+                rows_s.extend(sims[qi, sel])
+            return pa.table(
+                {
+                    "query_id": pa.array(rows_q, pa.int64()),
+                    id_col: pa.array(rows_v),
+                    "cosine": pa.array(rows_s, pa.float64()),
+                }
+            )
+
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    local = ds.map_batches(_IVFLocal, batch_format="pyarrow", concurrency=concurrency)
+
+    def _global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cosine", id_col], ascending=[False, True], kind="stable")
+        return df.head(k)
+
+    return local.groupby("query_id").map_groups(_global_topk, batch_format="pandas")

@@ -66,21 +66,21 @@ def _with_bucket(fan_in: int):
     return _assign
 
 
-def merge_partials(partials, *, fan_in: int = 64, max_levels: int = 8):
+def merge_partials(partials, *, fan_in: int = 64, tree_threshold: int = 4096):
     """Tree-merge a Dataset of partial rows to one row per (sketch, group_key).
 
-    Each level: hash partials into ``fan_in`` buckets per (sketch,
-    group_key) and merge within buckets (``groupby.map_groups`` — the
-    only wide op in the hot path); repeat until one partial remains per
-    (sketch, group_key).  Returns a Dataset with the same schema.
+    Small partial sets (the common case: #input-blocks x #groups below
+    ``tree_threshold``) merge in ONE ``groupby(sketch, group_key)``
+    shuffle of tiny rows.  Larger sets first reduce ``fan_in``-sized
+    hash buckets per group, then do the final per-group merge — at
+    10^12-turn scale (~10^6 partials) that is ⌈log_fan_in n⌉ tiny
+    shuffle levels, never one giant reduce task.  Returns a Dataset with
+    the partial-row schema.
     """
     ds = partials
-    for _level in range(max_levels):
-        n = ds.count()
-        groups = ds.groupby(["sketch", "group_key"]).count().count()
-        if n <= groups:  # one partial per group: fully merged
-            break
-        # shrink fan-in on the last levels so the tree terminates
+    n = ds.count()
+    levels = 0
+    while n > tree_threshold and levels < 8:
         ds = (
             ds.map_batches(_with_bucket(fan_in), batch_format="pyarrow")
             .groupby("merge_key")
@@ -89,11 +89,9 @@ def merge_partials(partials, *, fan_in: int = 64, max_levels: int = 8):
                 batch_format="pandas",
             )
         )
-        if n <= fan_in * groups:
-            # after this level every group has <= fan_in partials; one more
-            # level with a single bucket finishes it
-            fan_in = 1
-    return ds
+        n = (n + fan_in - 1) // fan_in
+        levels += 1
+    return ds.groupby(["sketch", "group_key"]).map_groups(_merge_group, batch_format="pandas")
 
 
 def collect_final(merged) -> dict[tuple[str, str], bytes]:

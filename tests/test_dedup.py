@@ -1,0 +1,98 @@
+"""Dedup family: exact, minhash-LSH, simhash, embedding near-dup."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gostatix_ray.stages import dedup
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    base = [
+        # long doc: one-word edits stay within small simhash hamming distance
+        "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+        "behind the old red barn and the farmer watches from the wooden porch "
+        "with a warm cup of coffee in his steady hands",
+        "pack my box with five dozen liquor jugs",
+        "how vexingly quick daft zebras jump",
+        "sphinx of black quartz judge my vow",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        for rep in range(3):  # 3 exact copies of each
+            rows.append({"doc_id": i, "text": b})
+            i += 1
+    # near-dup: one-word change of base[0]
+    rows.append({"doc_id": i, "text": base[0].replace("lazy dog", "lazy cat")})
+    near_id = i
+    return rd.from_items(rows), near_id
+
+
+def test_exact_dedup(docs_ds):
+    ds, near_id = docs_ds
+    survivors = sorted(dedup.exact_dedup(ds, "text", "doc_id").to_pandas()["doc_id"])
+    # one survivor (the min id) per distinct text: 4 bases + the near-dup
+    assert survivors == [0, 3, 6, 9, near_id]
+
+
+def test_minhash_finds_near_duplicate(docs_ds):
+    ds, near_id = docs_ds
+    pairs = dedup.minhash_candidate_pairs(
+        ds, text_col="text", id_col="doc_id", num_perm=64, bands=16, shingle=2,
+        threshold=0.3, concurrency=2,
+    ).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    # exact copies of base[0] are near-dups of the one-word variant
+    assert (0, near_id) in got
+    # exact copies collide with certainty
+    assert (0, 1) in got and (3, 4) in got
+    # unrelated bases don't pair
+    assert (0, 3) not in got
+
+
+def test_minhash_estimate_close_to_exact_jaccard(docs_ds):
+    ds, near_id = docs_ds
+    pairs = dedup.minhash_candidate_pairs(
+        ds, text_col="text", id_col="doc_id", num_perm=128, bands=32, shingle=2,
+        threshold=0.3, concurrency=2,
+    ).to_pandas()
+    table = pa.Table.from_pandas(ds.to_pandas())
+    verified = dedup.exact_jaccard_pairs(table, pairs, shingle=2)
+    err = (verified["est_jaccard"] - verified["jaccard"]).abs()
+    assert (err < 0.25).all()  # 128 perms => std ~ sqrt(j(1-j)/128) ~ 0.04
+
+
+def test_simhash_buckets_catch_near_dup(docs_ds):
+    ds, near_id = docs_ds
+    pairs = dedup.simhash_candidate_pairs(ds, text_col="text", id_col="doc_id", concurrency=2).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got  # identical docs share all bands
+    assert (0, near_id) in got  # 1-word change: small hamming distance
+    ham = dict(zip(zip(pairs["id_a"], pairs["id_b"]), pairs["hamming"]))
+    assert ham[(0, 1)] == 0  # identical docs: hamming 0
+
+
+def test_hamming():
+    assert dedup.hamming64("0" * 16, "0" * 15 + "f") == 4
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 32))
+    rows = [{"vec_id": i, "embedding": list(map(float, v))} for i, v in enumerate(base)]
+    # vec 20 = tiny perturbation of vec 0 => cosine ~ 1
+    rows.append({"vec_id": 20, "embedding": list(map(float, base[0] + 0.01 * rng.standard_normal(32)))})
+    ds = rd.from_items(rows)
+    pairs = dedup.embedding_near_dup_pairs(
+        ds, emb_col="embedding", id_col="vec_id", dim=32, threshold=0.95, nbits=4, concurrency=2
+    ).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 20) in got
+    assert all(c >= 0.95 for c in pairs["cosine"])

@@ -1,0 +1,64 @@
+"""Text-analysis stages: token stats, quality, language id, fingerprints."""
+
+import pyarrow as pa
+import pytest
+
+from gostatix_ray.stages.text_stats import Fingerprint, LangId, QualityScore, TokenStats
+
+
+def _batch(texts):
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+def test_token_stats_counts():
+    out = TokenStats()(_batch(["a b c", "hello world", "single"]))
+    assert out["n_tokens"].to_pylist() == [3, 2, 1]
+    assert out["n_chars"].to_pylist() == [5, 11, 6]
+    assert out["n_bpe_tokens"].to_pylist()[0] >= 3
+
+
+def test_quality_score_ranges():
+    out = QualityScore()(_batch([
+        "the cat sat on the mat with a hat and a bat",
+        "x x x x x x x x x x x x",
+        "diverse tokens make for higher quality text generally speaking",
+    ]))
+    q = out["quality"].to_pylist()
+    d = out["distinct_ratio"].to_pylist()
+    assert d[1] < 0.2  # pure repetition
+    assert d[2] > 0.9
+    assert all(0 <= v <= 1.01 for v in q)
+    s = out["stop_ratio"].to_pylist()
+    assert s[0] > 0.3  # stopword-heavy english
+    assert s[1] == 0.0
+
+
+def test_langid_heuristic():
+    out = LangId()(_batch([
+        "the cat is in the house and it is warm",
+        "el perro es un animal que vive en la casa",
+        "zzzz qqqq xxxx",
+    ]))
+    preds = out["lang_pred"].to_pylist()
+    assert preds[0] == "en"
+    assert preds[1] == "es"
+    assert preds[2] == "und"
+
+
+def test_fingerprint_deterministic_and_shift_tolerant():
+    f = Fingerprint(window=4)
+    a = f(_batch(["alpha beta gamma delta epsilon zeta", "other text entirely"]))
+    b = f(_batch(["alpha beta gamma delta epsilon zeta", "other text entirely"]))
+    assert a["content_hash"].to_pylist() == b["content_hash"].to_pylist()
+    assert a["rolling_fp"].to_pylist() == b["rolling_fp"].to_pylist()
+    # identical docs share hashes; different docs don't
+    assert a["content_hash"][0].as_py() != a["content_hash"][1].as_py()
+
+
+def test_stage_runs_on_dataset(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"doc_id": i, "text": f"doc number {i} with the tokens"} for i in range(100)])
+    out = ds.map_batches(TokenStats(), batch_format="pyarrow", concurrency=2).to_pandas()
+    assert len(out) == 100
+    assert (out["n_tokens"] == 6).all()
