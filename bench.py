@@ -1,0 +1,142 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines and prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "turns": T, "turns_per_sec": r}
+
+Headline = the flagship one-pass multi-sketch build (HLL conv
+cardinality + grouped (role,tool) HLL + token CMS + tool top-k +
+t-digest + bloom) over the deterministic transcript table — the
+north-star metric is sketch-build throughput in turns/sec.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), GRAFT_TURNS (default 1_000_000 transcript turns).
+
+``--scaling``: runs the same bench in two fresh processes at
+num_cpus=8 and num_cpus=32 on identical input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for N vs 4N
+nodes; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_turns = int(os.environ.get("GRAFT_TURNS", "1000000"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from gostatix_ray.kernels import bloom, cms, hll, tdigest, topk
+    from gostatix_ray.pipelines.sketch_pipeline import SketchPipeline
+    from gostatix_ray.sources.transcripts import generate_transcripts
+    from gostatix_ray.stages.build import SketchRequest, composite_key, tokens_of
+
+    # deterministic input, generated once and cached on disk
+    tx_path = f"/tmp/gostatix_ray/bench_transcripts_{num_turns}_42.parquet"
+    if not os.path.exists(tx_path):
+        generate_transcripts(tx_path, num_turns, seed=42)
+
+    # warm the page cache so we measure compute + shuffle, not first-touch disk
+    rd.read_parquet(tx_path).count()
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    conc = max(2, num_cpus - 2)
+
+    # --- headline: one-pass multi-sketch build over the transcript table ----
+    def flagship():
+        ds = rd.read_parquet(tx_path)
+        pipe = SketchPipeline(
+            [
+                SketchRequest("distinct_convs", "hll", hll.HLLSpec(m=1 << 14), on="conv_id"),
+                SketchRequest("role_tool_card", "hll", hll.HLLSpec(m=1 << 12), on=composite_key("role", "tool")),
+                SketchRequest("token_freq", "cms", cms.CMSSpec.from_error_rate(0.0005, 0.01), on=tokens_of("text")),
+                SketchRequest("top_tools", "topk", topk.TopKSpec(k=10), on="tool"),
+                SketchRequest("turn_quantiles", "tdigest", tdigest.TDigestSpec(100.0), on="turn_idx"),
+                SketchRequest("conv_member", "bloom", bloom.BloomSpec.from_params(2_000_000, 1e-6), on="conv_id"),
+            ],
+            batch_size=65536,
+            concurrency=conc,
+        )
+        return pipe.run(ds)
+
+    res = timed("flagship_sketch_build", flagship)
+    assert ("distinct_convs", "") in res
+
+    # --- secondary pipelines over the testdata tables -----------------------
+    from gostatix_ray.pipelines import catalog
+
+    catalog._CONC = conc
+    timed("hll_distinct_users", lambda: catalog.q_hll_distinct_users(sf_dir))
+    timed("events_hourly_window", lambda: catalog.q_events_hourly_window(sf_dir).materialize())
+    timed("minhash_dedup_pairs", lambda: catalog.q_minhash_dedup_pairs(sf_dir))
+    timed("ann_brute_cosine", lambda: catalog.q_ann_brute_cosine(sf_dir))
+    timed("value_quantiles_tdigest", lambda: catalog.q_value_quantiles_tdigest(sf_dir))
+
+    headline = queries["flagship_sketch_build"]
+    out = {
+        "metric": "sketch-build throughput (turns/sec) via flagship multi-sketch pipeline",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "turns": num_turns,
+        "turns_per_sec": round(num_turns / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling efficiency, num_cpus 8 -> 32 (stand-in for N -> 4N nodes)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "turns_per_sec_8": lo["turns_per_sec"],
+        "turns_per_sec_32": hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "turns": lo["turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

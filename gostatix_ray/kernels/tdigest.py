@@ -59,35 +59,25 @@ def _k_scale(q: np.ndarray, delta: float) -> np.ndarray:
 
 
 def _compress(spec: TDigestSpec, means: np.ndarray, weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized merge pass: cluster sorted items by the integer part of
+    the k1 scale function at their cumulative-weight midpoint (the
+    standard MergingDigest approximation: every cluster's k-size <= 1, so
+    the q*(1-q)/delta accuracy bound holds; <= 2*delta clusters)."""
     if means.size == 0:
         return means, weights
     order = np.argsort(means, kind="stable")
     means, weights = means[order], weights[order]
     total = weights.sum()
-    delta = spec.compression
-    out_m: list[float] = []
-    out_w: list[float] = []
-    # greedy single pass: extend the current centroid while its k-size stays <= 1
-    cum = 0.0
-    cur_w = weights[0]
-    cur_sum = means[0] * weights[0]
-    k_lo = _k_scale(np.array([0.0]), delta)[0]
-    for i in range(1, means.size):
-        q_hi = (cum + cur_w + weights[i]) / total
-        k_hi = _k_scale(np.array([q_hi]), delta)[0]
-        if k_hi - k_lo <= 1.0:
-            cur_w += weights[i]
-            cur_sum += means[i] * weights[i]
-        else:
-            out_m.append(cur_sum / cur_w)
-            out_w.append(cur_w)
-            cum += cur_w
-            cur_w = weights[i]
-            cur_sum = means[i] * weights[i]
-            k_lo = _k_scale(np.array([cum / total]), delta)[0]
-    out_m.append(cur_sum / cur_w)
-    out_w.append(cur_w)
-    return np.array(out_m), np.array(out_w)
+    cum = np.cumsum(weights)
+    q_mid = (cum - weights / 2.0) / total
+    k = _k_scale(q_mid, spec.compression)
+    cluster = np.floor(k - k[0]).astype(np.int64)
+    # force strictly increasing cluster ids at jumps > 1 to stay dense
+    cluster = np.maximum.accumulate(cluster)
+    boundaries = np.flatnonzero(np.diff(cluster, prepend=cluster[0] - 1))
+    w_out = np.add.reduceat(weights, boundaries)
+    m_out = np.add.reduceat(means * weights, boundaries) / w_out
+    return m_out, w_out
 
 
 def _flush(state: TDigestState) -> None:

@@ -56,18 +56,33 @@ def new(spec: TopKSpec) -> TopKState:
 
 
 def _aggregate(values, counts=None) -> tuple[list[str], np.ndarray]:
-    """Collapse a batch to (distinct elements, summed counts)."""
-    els: dict[str, int] = {}
-    if counts is None:
-        for v in values:
-            v = v if isinstance(v, str) else (v.decode() if isinstance(v, (bytes, bytearray)) else str(v))
-            els[v] = els.get(v, 0) + 1
-    else:
-        for v, c in zip(values, counts):
+    """Collapse a batch to (distinct elements, summed counts) — vectorized
+    through Arrow dictionary encoding when possible."""
+    try:
+        import pyarrow as pa
+
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if not isinstance(values, pa.Array):
+            values = pa.array(
+                [v if isinstance(v, str) else (v.decode() if isinstance(v, (bytes, bytearray)) else str(v)) for v in values]
+            )
+        enc = values.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        keys = enc.dictionary.to_pylist()
+        w = np.ones(len(codes)) if counts is None else np.asarray(counts, dtype=np.float64)
+        summed = np.bincount(codes, weights=w, minlength=len(keys))
+        return keys, summed
+    except ImportError:  # pragma: no cover
+        els: dict[str, int] = {}
+        cs = [1] * len(values) if counts is None else counts
+        for v, c in zip(values, cs):
             v = v if isinstance(v, str) else (v.decode() if isinstance(v, (bytes, bytearray)) else str(v))
             els[v] = els.get(v, 0) + int(c)
-    keys = list(els.keys())
-    return keys, np.array([els[k] for k in keys], dtype=np.float64)
+        keys = list(els.keys())
+        return keys, np.array([els[k] for k in keys], dtype=np.float64)
 
 
 def update(state: TopKState, values, counts=None) -> None:

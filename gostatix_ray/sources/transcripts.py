@@ -69,6 +69,8 @@ def generate_transcripts_table(num_turns: int, seed: int = 42) -> pa.Table:
     n_tok = rng.integers(5, 30, total)
     flat_tok = (np.minimum(rng.zipf(1.3, int(n_tok.sum())), VOCAB_SIZE) - 1).astype(np.int64)
     words = pa.array(_vocab()[flat_tok])
+    if isinstance(words, pa.ChunkedArray):  # large numpy U-dtype inputs chunk
+        words = words.combine_chunks()
     offsets = np.zeros(total + 1, dtype=np.int32)
     np.cumsum(n_tok, out=offsets[1:])
     tok_lists = pa.ListArray.from_arrays(pa.array(offsets), words)
@@ -90,11 +92,30 @@ def generate_transcripts_table(num_turns: int, seed: int = 42) -> pa.Table:
     )
 
 
-def generate_transcripts(path: str, num_turns: int, seed: int = 42, row_group_size: int = 65536) -> str:
-    """Write the table as parquet; row groups sized so Ray Data reads split well."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+def generate_transcripts(
+    path: str, num_turns: int, seed: int = 42, row_group_size: int = 65536, num_files: int | None = None
+) -> str:
+    """Write the table as parquet.
+
+    Large tables are sharded into ``num_files`` part files (default: one
+    file per ~250k turns) so ``ray.data.read_parquet`` parallelizes the
+    read across tasks — a single monolithic file is read by ONE task and
+    serializes the whole pipeline behind it.
+    """
     table = generate_transcripts_table(num_turns, seed)
-    pq.write_table(table, path, row_group_size=row_group_size)
+    if num_files is None:
+        num_files = max(1, num_turns // 250_000)
+    if num_files <= 1:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        pq.write_table(table, path, row_group_size=row_group_size)
+        return path
+    os.makedirs(path, exist_ok=True)
+    n = table.num_rows
+    per = (n + num_files - 1) // num_files
+    for i in range(num_files):
+        shard = table.slice(i * per, per)
+        if shard.num_rows:
+            pq.write_table(shard, os.path.join(path, f"part-{i:05d}.parquet"), row_group_size=row_group_size)
     return path
 
 

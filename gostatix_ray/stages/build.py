@@ -112,6 +112,42 @@ class SketchBuilder:
     def __init__(self, requests: list[SketchRequest]):
         # once per actor: validate specs, bind kernels (SURVEY.md §2.1)
         self._reqs = [(r, kernel_for(r.kind)) for r in requests]
+        # warm numpy/hash allocators so the first real block isn't 2-3x slower
+        from ..hashing import hash128
+
+        hash128(pa.array(["warmup"] * 1024), 0)
+
+    @staticmethod
+    def _update_keyed(kernel, req: SketchRequest, state, vals: pa.Array, w):
+        """Update a keyed sketch, collapsing duplicate keys first.
+
+        Skewed key columns (tokens, tools, roles) repeat heavily inside a
+        block; hashing each occurrence is wasted work.  Dictionary-encode
+        the column: set-semantics sketches (bloom/hll/cuckoo) update once
+        per *distinct* key; count-semantics sketches (cms/topk) update
+        with per-key summed counts.  Falls back to the direct path when
+        keys are mostly unique (e.g. conv_id).
+        """
+        n = len(vals)
+        if n == 0:
+            return
+        enc = vals.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        distinct = enc.dictionary
+        if len(distinct) * 2 > n:  # mostly-unique keys: encoding gains nothing
+            if w is not None and req.kind in ("cms", "topk"):
+                kernel.update(state, vals, w)
+            else:
+                kernel.update(state, vals)
+            return
+        if req.kind in ("bloom", "hll", "cuckoo"):
+            kernel.update(state, distinct)
+            return
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        weights = np.ones(n) if w is None else np.asarray(w, dtype=np.float64)
+        counts = np.bincount(codes, weights=weights, minlength=len(distinct))
+        kernel.update(state, distinct, counts)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {k: [] for k in ("sketch", "kind", "group_key", "state", "rows", "fragment", "checksum")}
@@ -147,10 +183,8 @@ class SketchBuilder:
                 if req.kind in ("tdigest", "kll"):
                     nums = vals.to_numpy(zero_copy_only=False).astype(np.float64)
                     kernel.update(state, nums, w)
-                elif w is not None:
-                    kernel.update(state, vals, w)
                 else:
-                    kernel.update(state, vals)
+                    self._update_keyed(kernel, req, state, vals, w)
                 blob = kernel.to_bytes(state)
                 out["sketch"].append(req.name)
                 out["kind"].append(req.kind)

@@ -29,6 +29,34 @@ from ..hashing import SEED_MINHASH, SEED_SIMHASH, hash128
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def bucketed_groupby(ds, key_cols: list[str], fn, *, num_buckets: int = 64):
+    """groupby with per-BLOCK (not per-group) Python dispatch.
+
+    ``groupby(keys).map_groups`` pays a Python call per group — ruinous
+    when groups are tiny and numerous (LSH buckets, content hashes).
+    Instead: bucket = hash(keys) % num_buckets, ONE shuffle on the coarse
+    bucket, and ``fn`` receives a DataFrame holding *all* rows of a
+    bucket (complete key-groups, many at once) to process with
+    vectorized pandas.
+    """
+    import pyarrow.compute as pc
+
+    from ..hashing import hash128
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        key = pc.cast(batch[key_cols[0]], pa.string())
+        for c in key_cols[1:]:
+            key = pc.binary_join_element_wise(key, pc.cast(batch[c], pa.string()), "\x1f")
+        h1, _ = hash128(key, 31)
+        return batch.append_column("__bucket", pa.array((h1 % np.uint64(num_buckets)).astype(np.int64)))
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: fn(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+
+
 def add_content_hash(ds, text_col: str = "text", out_col: str = "content_hash"):
     def _h(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
@@ -54,15 +82,11 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", keep: str = 
     hashed = add_content_hash(ds, text_col)
 
     def _keep(df: pd.DataFrame) -> pd.DataFrame:
-        row = df.loc[[df[id_col].idxmin() if keep == "min" else df[id_col].idxmax()]]
-        return row
+        agg = "min" if keep == "min" else "max"
+        out = df.groupby("content_hash", as_index=False, sort=False)[id_col].agg(agg)
+        return out[[id_col]]
 
-    return (
-        hashed.select_columns([id_col, "content_hash"])
-        .groupby("content_hash")
-        .map_groups(_keep, batch_format="pandas")
-        .select_columns([id_col])
-    )
+    return bucketed_groupby(hashed.select_columns([id_col, "content_hash"]), ["content_hash"], _keep)
 
 
 # ---------------------------------------------------------------------------
@@ -84,44 +108,69 @@ def _shingle_hashes(texts: pa.Array, shingle: int) -> tuple[np.ndarray, np.ndarr
     th, _ = hash128(flat, SEED_MINHASH)
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
-    # shingle hash = combined hash of `shingle` consecutive token hashes
+    # shingle hash = FNV-style mix of `shingle` consecutive token hashes,
+    # computed globally on the flat array; windows crossing a doc boundary
+    # are masked out (no per-doc Python loop)
+    n_docs = len(lengths)
     sh_counts = np.maximum(lengths - shingle + 1, 1)
     out = np.empty(int(sh_counts.sum()), dtype=np.uint64)
-    pos = 0
+    out_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(sh_counts, out=out_off[1:])
+    N = th.size
+    FNV = np.uint64(1099511628211)
     with np.errstate(over="ignore"):
-        for i in range(len(lengths)):
-            seg = th[offsets[i] : offsets[i + 1]]
-            if seg.size == 0:
-                out[pos] = 0
-                pos += 1
-                continue
-            if seg.size < shingle:
-                mixed = seg[0]
-                for j in range(1, seg.size):
-                    mixed = mixed * np.uint64(1099511628211) ^ seg[j]
-                out[pos] = mixed
-                pos += 1
-                continue
-            acc = seg[: seg.size - shingle + 1].copy()
+        if N >= shingle:
+            acc = th[: N - shingle + 1].copy()
             for j in range(1, shingle):
-                acc = acc * np.uint64(1099511628211) ^ seg[j : seg.size - shingle + 1 + j]
-            out[pos : pos + acc.size] = acc
-            pos += acc.size
+                acc = acc * FNV ^ th[j : N - shingle + 1 + j]
+        else:
+            acc = np.empty(0, np.uint64)
+        doc_idx = np.repeat(np.arange(n_docs), lengths)
+        long_docs = lengths >= shingle
+        if acc.size:
+            valid = doc_idx[: N - shingle + 1] == doc_idx[shingle - 1 :]
+            acc_valid = acc[valid]
+            # scatter the valid windows into their per-doc output slots
+            dst = np.concatenate(
+                [np.arange(out_off[i], out_off[i] + sh_counts[i]) for i in np.flatnonzero(long_docs)]
+            ) if long_docs.any() else np.empty(0, np.int64)
+            out[dst] = acc_valid
+        # short docs (len < shingle): mix whatever tokens exist
+        for i in np.flatnonzero(~long_docs):
+            seg = th[offsets[i] : offsets[i + 1]]
+            mixed = np.uint64(0) if seg.size == 0 else seg[0]
+            for j in range(1, seg.size):
+                mixed = mixed * FNV ^ seg[j]
+            out[out_off[i]] = mixed
     return out, sh_counts
 
 
 def minhash_signatures_batch(texts: pa.Array, num_perm: int, shingle: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(n_docs, num_perm) uint64 minhash signature matrix (vectorized)."""
+    """(n_docs, num_perm) uint64 minhash signature matrix.
+
+    Fully vectorized: universal-hash all shingles against all
+    permutations at once ((n_shingles, num_perm) matrix), then segment-min
+    per doc with ``np.minimum.reduceat``.  Docs are processed in chunks
+    so the intermediate matrix stays ~32 MB regardless of batch size.
+    """
     sh, counts = _shingle_hashes(texts, shingle)
     offsets = np.zeros(len(counts) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
-    sigs = np.empty((len(counts), num_perm), dtype=np.uint64)
+    n_docs = len(counts)
+    sigs = np.empty((n_docs, num_perm), dtype=np.uint64)
+    target = max(1, (4 << 20) // num_perm)  # shingles per chunk
+    start_doc = 0
     with np.errstate(over="ignore"):
-        for i in range(len(counts)):
-            seg = sh[offsets[i] : offsets[i + 1]]
-            # universal hashing family: (a*x + b) mod p, mins per permutation
+        while start_doc < n_docs:
+            end_doc = start_doc
+            while end_doc < n_docs and (offsets[end_doc + 1] - offsets[start_doc]) < target:
+                end_doc += 1
+            end_doc = max(end_doc, start_doc + 1)
+            seg = sh[offsets[start_doc] : offsets[end_doc]]
             vals = (a[None, :] * seg[:, None] + b[None, :]) % _MERSENNE
-            sigs[i] = vals.min(axis=0)
+            local_off = (offsets[start_doc : end_doc] - offsets[start_doc]).astype(np.int64)
+            sigs[start_doc:end_doc] = np.minimum.reduceat(vals, local_off, axis=0)
+            start_doc = end_doc
     return sigs
 
 
@@ -189,31 +238,43 @@ def minhash_candidate_pairs(
         concurrency=concurrency,
     )
 
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "est_jaccard": pd.Series([], dtype="float64")})
+
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        df = df.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
-        ids = df[id_col].to_numpy()
-        sigs = np.stack(df["sig"].to_numpy())
+        # vectorized over MANY (band, band_hash) groups at once
+        sizes = df.groupby(["band", "band_hash"])[id_col].transform("size")
+        df = df[sizes > 1]
+        if df.empty:
+            return empty
         out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hit = np.where(eq >= threshold)[0]
-            for h in hit:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + h])
-                out_j.append(float(eq[h]))
+        for _, g in df.groupby(["band", "band_hash"], sort=False):
+            g = g.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            sigs = np.stack(g["sig"].to_numpy())
+            for i in range(len(ids)):
+                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                hit = np.where(eq >= threshold)[0]
+                for h in hit:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + h])
+                    out_j.append(float(eq[h]))
+        if not out_a:
+            return empty
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(_pairs, batch_format="pandas")
+    pairs = bucketed_groupby(exploded, ["band", "band_hash"], _pairs)
 
     def _dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
+        return df.drop_duplicates(subset=["id_a", "id_b"])
 
     pairs = pairs.materialize()  # candidate set is small; avoid re-execution
     if pairs.count() == 0:
         return pairs
-    return pairs.groupby(["id_a", "id_b"]).map_groups(_dedupe, batch_format="pandas")
+    return bucketed_groupby(pairs, ["id_a", "id_b"], _dedupe)
 
 
 def exact_jaccard_pairs(table: pa.Table, pairs: pd.DataFrame, text_col="text", id_col="doc_id", shingle=3) -> pd.DataFrame:
@@ -315,31 +376,38 @@ def simhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id", bands: int 
 
     exploded = fps.map_batches(_explode, batch_format="pyarrow")
 
-    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                              "id_b": pd.Series([], dtype="int64"),
-                              "hamming": pd.Series([], dtype="int64")})
-        if len(df) < 2:
-            return empty
-        df = df.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
-        if len(df) < 2:
-            return empty
-        ids = df[id_col].to_numpy()
-        sims = df["simhash"].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        ham = np.array([hamming64(sims[x], sims[y]) for x, y in zip(ia, ib)])
-        keep = ham <= (max_hamming if max_hamming is not None else 64)
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]})
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "hamming": pd.Series([], dtype="int64")})
 
-    pairs = exploded.groupby(["band", "band_val"]).map_groups(_pairs, batch_format="pandas")
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby(["band", "band_val"])[id_col].transform("size")
+        df = df[sizes > 1]
+        if df.empty:
+            return empty
+        out = []
+        for _, g in df.groupby(["band", "band_val"], sort=False):
+            g = g.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            sims = g["simhash"].to_numpy()
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ham = np.array([hamming64(sims[x], sims[y]) for x, y in zip(ia, ib)])
+            keep = ham <= (max_hamming if max_hamming is not None else 64)
+            if keep.any():
+                out.append(pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    pairs = bucketed_groupby(exploded, ["band", "band_val"], _pairs)
 
     def _dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
+        return df.drop_duplicates(subset=["id_a", "id_b"])
 
     pairs = pairs.materialize()
     if pairs.count() == 0:
         return pairs
-    return pairs.groupby(["id_a", "id_b"]).map_groups(_dedupe, batch_format="pandas")
+    return bucketed_groupby(pairs, ["id_a", "id_b"], _dedupe)
 
 
 def hamming64(a: str, b: str) -> int:
