@@ -194,7 +194,28 @@ def hash128(values, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     return _hash128_core(mat, lengths, seed)
 
 
+def _rotl_ip(x: np.ndarray, r: int, tmp: np.ndarray) -> None:
+    """x = rotl64(x, r) in place, using tmp as scratch."""
+    np.right_shift(x, np.uint64(64 - r), out=tmp)
+    np.left_shift(x, np.uint64(r), out=x)
+    np.bitwise_or(x, tmp, out=x)
+
+
+def _vfmix_ip(k: np.ndarray, tmp: np.ndarray) -> None:
+    np.right_shift(k, np.uint64(33), out=tmp)
+    np.bitwise_xor(k, tmp, out=k)
+    np.multiply(k, _F1, out=k)
+    np.right_shift(k, np.uint64(33), out=tmp)
+    np.bitwise_xor(k, tmp, out=k)
+    np.multiply(k, _F2, out=k)
+    np.right_shift(k, np.uint64(33), out=tmp)
+    np.bitwise_xor(k, tmp, out=k)
+
+
 def _hash128_core(mat: np.ndarray, lengths: np.ndarray, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """In-place formulation: ~4 scratch arrays total instead of ~30
+    temporaries per block — keeps the kernel compute-bound instead of
+    DRAM-bound when many workers hash concurrently."""
     n = mat.shape[0]
     if n == 0:
         return np.empty(0, np.uint64), np.empty(0, np.uint64)
@@ -204,52 +225,63 @@ def _hash128_core(mat: np.ndarray, lengths: np.ndarray, seed: int) -> tuple[np.n
     h2 = h1.copy()
     nblocks = (lengths // 16).astype(np.int64)
     max_blocks = int(nblocks.max())
+    k = np.empty(n, dtype=np.uint64)
+    tmp = np.empty(n, dtype=np.uint64)
+    nh = np.empty(n, dtype=np.uint64)
 
     with np.errstate(over="ignore"):
         for b in range(max_blocks):
             m = nblocks > b
-            k1 = words[:, 2 * b].copy()
-            k2 = words[:, 2 * b + 1].copy()
-            k1 *= _C1
-            k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
-            k1 *= _C2
-            nh1 = h1 ^ k1
-            nh1 = (nh1 << np.uint64(27)) | (nh1 >> np.uint64(37))
-            nh1 += h2
-            nh1 = nh1 * _M5 + _N1
-            k2 *= _C2
-            k2 = (k2 << np.uint64(33)) | (k2 >> np.uint64(31))
-            k2 *= _C1
-            nh2 = h2 ^ k2
-            nh2 = (nh2 << np.uint64(31)) | (nh2 >> np.uint64(33))
-            nh2 += nh1
-            nh2 = nh2 * _M5 + _N2
-            h1 = np.where(m, nh1, h1)
-            h2 = np.where(m, nh2, h2)
+            # k1 round
+            np.copyto(k, words[:, 2 * b])
+            np.multiply(k, _C1, out=k)
+            _rotl_ip(k, 31, tmp)
+            np.multiply(k, _C2, out=k)
+            np.bitwise_xor(h1, k, out=nh)
+            _rotl_ip(nh, 27, tmp)
+            np.add(nh, h2, out=nh)
+            np.multiply(nh, _M5, out=nh)
+            np.add(nh, _N1, out=nh)
+            np.copyto(h1, nh, where=m)
+            # k2 round
+            np.copyto(k, words[:, 2 * b + 1])
+            np.multiply(k, _C2, out=k)
+            _rotl_ip(k, 33, tmp)
+            np.multiply(k, _C1, out=k)
+            np.bitwise_xor(h2, k, out=nh)
+            _rotl_ip(nh, 31, tmp)
+            np.add(nh, h1, out=nh, where=m)  # h1 already updated where m
+            np.multiply(nh, _M5, out=nh)
+            np.add(nh, _N2, out=nh)
+            np.copyto(h2, nh, where=m)
 
         has_tail = (ulen & np.uint64(15)) != 0
         if has_tail.any():
             rows = np.arange(n)
-            tk1 = words[rows, 2 * nblocks].copy()
-            tk2 = words[rows, 2 * nblocks + 1].copy()
-            m2 = has_tail & (tk2 != 0)
-            tk2 *= _C2
-            tk2 = (tk2 << np.uint64(33)) | (tk2 >> np.uint64(31))
-            tk2 *= _C1
-            h2 = np.where(m2, h2 ^ tk2, h2)
-            tk1 *= _C1
-            tk1 = (tk1 << np.uint64(31)) | (tk1 >> np.uint64(33))
-            tk1 *= _C2
-            h1 = np.where(has_tail, h1 ^ tk1, h1)
+            # k2 tail first (murmur tail order)
+            np.copyto(k, words[rows, 2 * nblocks + 1])
+            m2 = has_tail & (k != 0)
+            np.multiply(k, _C2, out=k)
+            _rotl_ip(k, 33, tmp)
+            np.multiply(k, _C1, out=k)
+            np.bitwise_xor(h2, k, out=nh)
+            np.copyto(h2, nh, where=m2)
+            # k1 tail
+            np.copyto(k, words[rows, 2 * nblocks])
+            np.multiply(k, _C1, out=k)
+            _rotl_ip(k, 31, tmp)
+            np.multiply(k, _C2, out=k)
+            np.bitwise_xor(h1, k, out=nh)
+            np.copyto(h1, nh, where=has_tail)
 
-        h1 = h1 ^ ulen
-        h2 = h2 ^ ulen
-        h1 += h2
-        h2 += h1
-        h1 = _vfmix(h1)
-        h2 = _vfmix(h2)
-        h1 += h2
-        h2 += h1
+        np.bitwise_xor(h1, ulen, out=h1)
+        np.bitwise_xor(h2, ulen, out=h2)
+        np.add(h1, h2, out=h1)
+        np.add(h2, h1, out=h2)
+        _vfmix_ip(h1, tmp)
+        _vfmix_ip(h2, tmp)
+        np.add(h1, h2, out=h1)
+        np.add(h2, h1, out=h2)
     return h1, h2
 
 

@@ -197,6 +197,22 @@ def remove_batch(state: CuckooState, values) -> np.ndarray:
     return out
 
 
+def update(state: CuckooState, values, counts=None) -> None:
+    """Registry-protocol alias (counts ignored: membership semantics)."""
+    insert_batch(state, values, destructive=False)
+
+
+def merge(a: CuckooState, b: CuckooState):
+    """Cuckoo filters are NOT associatively mergeable (SURVEY.md §2.4):
+    eviction chains and capacity are insert-order state.  The distributed
+    form is a partitioned filter — see stages/membership.py
+    PartitionedCuckoo — never a state merge."""
+    raise NotImplementedError(
+        "cuckoo filters cannot be merged; build a partitioned filter "
+        "(stages.membership.build_partitioned_cuckoo) instead"
+    )
+
+
 def equals(a: CuckooState, b: CuckooState) -> bool:
     return a.spec == b.spec and bool(np.array_equal(a.buckets, b.buckets))
 

@@ -159,6 +159,59 @@ def q_bloom_click_users_semijoin(sf_dir: str):
     return kept.groupby("event_type").aggregate(Count(alias_name="n"))
 
 
+def q_cuckoo_signup_users_semijoin(sf_dir: str):
+    """Same semi-join as the bloom variant but through the partitioned
+    cuckoo filter (8-char decimal fingerprints => FPP ~ 2^3-8*log2(10)
+    ~ 1e-7: exact on this data, verified vs SQL)."""
+    from ray.data.aggregate import Count
+
+    from ..kernels import cuckoo as ck
+    from ..stages.membership import build_partitioned_cuckoo, filter_by_partitioned_cuckoo
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    signups = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "signup")), batch_format="pyarrow"
+    )
+    spec = ck.CuckooSpec(size=4096, bucket_size=4, fp_length=8, retries=200)
+    filt = build_partitioned_cuckoo(signups, "user_id", spec, n_partitions=4)
+
+    def _as_str(batch: pa.Table) -> pa.Table:
+        return batch.append_column("user_key", pc.cast(batch["user_id"], pa.string()))
+
+    kept = filter_by_partitioned_cuckoo(
+        ev.map_batches(_as_str, batch_format="pyarrow"), filt, "user_key", concurrency=_CONC
+    )
+    return kept.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def q_distinct_users_by_type_exact(sf_dir: str):
+    """Two-level exact distinct: distinct users per event_type."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    pairs = ds.groupby(["user_id", "event_type"]).count()
+    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+def q_user_sessions(sf_dir: str):
+    """Sessionization: per-user session count with a 30-minute gap rule.
+
+    Ray: groupby(user).map_groups over ts-sorted events (the streaming-
+    shaped pattern from the Ray guide); SQL twin uses lag + cumulative
+    sum of gap indicators.
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts", kind="stable")
+        gaps = df["ts"].diff().dt.total_seconds() > 1800
+        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]})
+
+    return ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -393,6 +446,9 @@ QUERIES = {
     "token_counts_exact": q_token_counts_exact,
     "cms_token_counts": q_cms_token_counts,
     "bloom_click_users_semijoin": q_bloom_click_users_semijoin,
+    "cuckoo_signup_users_semijoin": q_cuckoo_signup_users_semijoin,
+    "distinct_users_by_type_exact": q_distinct_users_by_type_exact,
+    "user_sessions": q_user_sessions,
     "doc_dedup_exact": q_doc_dedup_exact,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash_dedup_pairs": q_simhash_dedup_pairs,
@@ -432,6 +488,18 @@ ORACLE_SQL = {
     "bloom_click_users_semijoin": (
         "SELECT event_type, count(*) AS n FROM events WHERE user_id IN "
         "(SELECT DISTINCT user_id FROM events WHERE event_type = 'click') GROUP BY event_type"
+    ),
+    "cuckoo_signup_users_semijoin": (
+        "SELECT event_type, count(*) AS n FROM events WHERE user_id IN "
+        "(SELECT DISTINCT user_id FROM events WHERE event_type = 'signup') GROUP BY event_type"
+    ),
+    "distinct_users_by_type_exact": (
+        "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+    ),
+    "user_sessions": (
+        "SELECT user_id, CAST(1 + sum(is_gap) AS BIGINT) AS n_sessions FROM ("
+        "SELECT user_id, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+        "> INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS is_gap FROM events) GROUP BY user_id"
     ),
     "doc_dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
     "doc_token_stats": (

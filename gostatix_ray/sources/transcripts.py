@@ -39,7 +39,9 @@ def _vocab() -> np.ndarray:
     return np.array([f"tok{i:04d}" for i in range(VOCAB_SIZE)])
 
 
-def generate_transcripts_table(num_turns: int, seed: int = 42) -> pa.Table:
+def generate_transcripts_table(num_turns: int, seed: int = 42, conv_namespace: int = 0) -> pa.Table:
+    """``conv_namespace`` prefixes conv ids so independently generated
+    shards never collide (sharded generation keeps peak memory bounded)."""
     rng = np.random.default_rng(seed)
 
     # conversation lengths: zipf-skewed, capped
@@ -56,7 +58,7 @@ def generate_transcripts_table(num_turns: int, seed: int = 42) -> pa.Table:
     starts = np.cumsum(lengths) - lengths
     turn_idx = (np.arange(total) - np.repeat(starts, lengths)).astype(np.int32)
 
-    conv_ids = np.char.add("conv-", np.char.zfill(conv_idx.astype(str), 8))
+    conv_ids = np.char.add(f"conv-{conv_namespace:03d}-", np.char.zfill(conv_idx.astype(str), 8))
     role = ROLES[turn_idx % 4]
 
     # tools: zipf over 50 names on tool turns
@@ -102,20 +104,21 @@ def generate_transcripts(
     read across tasks — a single monolithic file is read by ONE task and
     serializes the whole pipeline behind it.
     """
-    table = generate_transcripts_table(num_turns, seed)
     if num_files is None:
         num_files = max(1, num_turns // 250_000)
     if num_files <= 1:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        pq.write_table(table, path, row_group_size=row_group_size)
+        pq.write_table(generate_transcripts_table(num_turns, seed), path, row_group_size=row_group_size)
         return path
+    # shard-at-a-time generation: peak memory is one shard, not the table
     os.makedirs(path, exist_ok=True)
-    n = table.num_rows
-    per = (n + num_files - 1) // num_files
+    per = (num_turns + num_files - 1) // num_files
     for i in range(num_files):
-        shard = table.slice(i * per, per)
-        if shard.num_rows:
-            pq.write_table(shard, os.path.join(path, f"part-{i:05d}.parquet"), row_group_size=row_group_size)
+        n_i = min(per, num_turns - i * per)
+        if n_i <= 0:
+            break
+        shard = generate_transcripts_table(n_i, seed + i, conv_namespace=i)
+        pq.write_table(shard, os.path.join(path, f"part-{i:05d}.parquet"), row_group_size=row_group_size)
     return path
 
 

@@ -234,15 +234,17 @@ def build_partials(
             return batch.append_column("salt", pa.array((h1 % np.uint64(salt_buckets)).astype(np.int32)))
 
         ds = ds.map_batches(_salt, batch_format="pyarrow").repartition(salt_buckets, shuffle=True)
-    if concurrency is None:
-        # actor pools require an explicit size; default to the cluster's CPUs
-        import ray
-
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
-    kwargs = {"concurrency": concurrency}
+    # Dispatch as STATELESS TASKS (a pickled SketchBuilder instance), not an
+    # actor pool: the builder holds no cross-batch state by design (per-block
+    # flush for retry idempotency), and Ray reuses warm worker processes for
+    # tasks while a fresh actor pool pays ~0.25s/actor creation on every
+    # pipeline — which anti-scales small-to-medium inputs.  ``concurrency``
+    # still caps parallelism when given (else Ray uses available CPUs).
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
     return ds.map_batches(
-        SketchBuilder,
-        fn_constructor_args=(requests,),
+        SketchBuilder(requests),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,

@@ -77,7 +77,9 @@ def merge_partials(partials, *, fan_in: int = 64, tree_threshold: int = 4096):
     shuffle levels, never one giant reduce task.  Returns a Dataset with
     the partial-row schema.
     """
-    ds = partials
+    # partial rows are tiny (states, not data) — materialize so the count
+    # and the merge don't each re-execute the upstream build pipeline
+    ds = partials.materialize()
     n = ds.count()
     levels = 0
     while n > tree_threshold and levels < 8:
