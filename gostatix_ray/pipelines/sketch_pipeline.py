@@ -23,7 +23,7 @@ from typing import Any
 
 from ..registry import kernel_for
 from ..stages.build import SketchRequest, build_partials
-from ..stages.merge import collect_final, merge_partials
+from ..stages.merge import collect_final, merge_partials, merge_partials_streaming
 from ..state import lineage as lin
 
 
@@ -81,6 +81,8 @@ class SketchPipeline:
                 key = (row["sketch"], row["group_key"])
                 final[key] = row["state"]
                 rows_by_key[key] = row["rows"]
+        from ..stages.build import decompress_state
+
         out = {}
         for (name, gk), blob in final.items():
             kind = self._kinds[name]
@@ -88,7 +90,7 @@ class SketchPipeline:
                 name=name,
                 kind=kind,
                 group_key=gk,
-                state=kernel_for(kind).from_bytes(blob),
+                state=kernel_for(kind).from_bytes(decompress_state(blob)),
                 rows=rows_by_key[(name, gk)],
             )
         return out

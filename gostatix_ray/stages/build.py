@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 import hashlib
+import zlib
 from typing import Any, Callable
 
 import numpy as np
@@ -93,6 +94,21 @@ def _column_values(batch: pa.Table, req: SketchRequest) -> pa.Array:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     return arr
+
+
+_ZMAGIC = b"ZLB1"
+
+
+def compress_state(blob: bytes) -> bytes:
+    """Partial states are sparse (low-fill bitmaps, mostly-zero matrices);
+    zlib level 1 shrinks them ~10x for ~20ms/MB — shuffle bytes, not air."""
+    return _ZMAGIC + zlib.compress(blob, 1)
+
+
+def decompress_state(blob: bytes) -> bytes:
+    if blob[:4] == _ZMAGIC:
+        return zlib.decompress(blob[4:])
+    return bytes(blob)
 
 
 def _fragment_id(values: pa.Array, nrows: int) -> str:
@@ -185,7 +201,7 @@ class SketchBuilder:
                     kernel.update(state, nums, w)
                 else:
                     self._update_keyed(kernel, req, state, vals, w)
-                blob = kernel.to_bytes(state)
+                blob = compress_state(kernel.to_bytes(state))
                 out["sketch"].append(req.name)
                 out["kind"].append(req.kind)
                 out["group_key"].append(gkey)

@@ -19,6 +19,7 @@ import hashlib
 import pandas as pd
 
 from ..registry import kernel_for
+from .build import compress_state, decompress_state
 
 
 def _merge_group(df: pd.DataFrame) -> pd.DataFrame:
@@ -30,10 +31,10 @@ def _merge_group(df: pd.DataFrame) -> pd.DataFrame:
     # deterministic merge order => byte-identical tree for byte-stable kinds
     df = df.sort_values("fragment", kind="stable")
     blobs = df["state"].tolist()
-    state = kernel.from_bytes(blobs[0])
+    state = kernel.from_bytes(decompress_state(blobs[0]))
     for blob in blobs[1:]:
-        state = kernel.merge(state, kernel.from_bytes(blob))
-    out_blob = kernel.to_bytes(state)
+        state = kernel.merge(state, kernel.from_bytes(decompress_state(blob)))
+    out_blob = compress_state(kernel.to_bytes(state))
     frag = hashlib.blake2b("|".join(sorted(df["fragment"])).encode(), digest_size=12).hexdigest()
     return pd.DataFrame(
         {
@@ -93,7 +94,46 @@ def merge_partials(partials, *, fan_in: int = 64, tree_threshold: int = 4096):
         )
         n = (n + fan_in - 1) // fan_in
         levels += 1
+    # The final per-group merge runs as ONE task per (sketch, group_key);
+    # past ~64 partials per group that serial chain (decompress+merge each)
+    # dominates the pipeline tail — pre-reduce it in parallel buckets of
+    # ~16 first.  Below that, the extra shuffle costs more than it saves.
+    meta = ds.select_columns(["sketch", "group_key"]).to_pandas()
+    if len(meta):
+        max_group = int(meta.value_counts(["sketch", "group_key"]).max())
+        if max_group > 64:
+            pre_fan = (max_group + 15) // 16
+            ds = (
+                ds.map_batches(_with_bucket(pre_fan), batch_format="pyarrow")
+                .groupby("merge_key")
+                .map_groups(
+                    lambda df: _merge_group(df.drop(columns=["merge_key"])),
+                    batch_format="pandas",
+                )
+            )
     return ds.groupby(["sketch", "group_key"]).map_groups(_merge_group, batch_format="pandas")
+
+
+def merge_partials_streaming(partials, *, pre_fan: int = 64):
+    """Single streaming execution: build -> bucket -> merge -> final merge.
+
+    Unlike :func:`merge_partials` this never materializes or counts the
+    partials, so the build stage, the bucket shuffle and the merges all
+    overlap under the streaming executor (no serial phase boundary).
+    One fixed pre-level of ``pre_fan`` hash buckets per (sketch,
+    group_key) bounds the final chain to <= pre_fan merges; the
+    pre-level buckets each merge ~n/pre_fan partials in parallel.
+    """
+    return (
+        partials.map_batches(_with_bucket(pre_fan), batch_format="pyarrow")
+        .groupby("merge_key")
+        .map_groups(
+            lambda df: _merge_group(df.drop(columns=["merge_key"])),
+            batch_format="pandas",
+        )
+        .groupby(["sketch", "group_key"])
+        .map_groups(_merge_group, batch_format="pandas")
+    )
 
 
 def collect_final(merged) -> dict[tuple[str, str], bytes]:
@@ -101,5 +141,5 @@ def collect_final(merged) -> dict[tuple[str, str], bytes]:
     out = {}
     for batch in merged.iter_batches(batch_size=4096, batch_format="pyarrow"):
         for row in batch.to_pylist():
-            out[(row["sketch"], row["group_key"])] = row["state"]
+            out[(row["sketch"], row["group_key"])] = decompress_state(row["state"])
     return out
