@@ -320,6 +320,86 @@ def q_events_hourly_window(sf_dir: str):
     return agg.map_batches(_round, batch_format="pyarrow")
 
 
+def q_events_daily_active_users(sf_dir: str):
+    """Distinct users per day — two-level exact distinct over a derived
+    window column."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _day(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": batch["user_id"], "day": pc.floor_temporal(batch["ts"], unit="day")}
+        )
+
+    pairs = ds.map_batches(_day, batch_format="pyarrow").groupby(["day", "user_id"]).count()
+    return pairs.groupby("day").aggregate(Count(alias_name="active_users"))
+
+
+def q_hll_users_by_type(sf_dir: str):
+    """Grouped HLL: distinct-user estimate per event_type (rows-only;
+    exact twin is distinct_users_by_type_exact)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    partials = build_partials(
+        ds,
+        [
+            SketchRequest(
+                "users_by_type", "hll", hll.HLLSpec(m=1 << 12),
+                on=lambda b: pc.cast(b["user_id"], pa.string()),
+                group_by="event_type",
+            )
+        ],
+        concurrency=_CONC,
+    )
+    final = collect_final(merge_partials(partials))
+    rows = sorted(
+        (gk, float(hll.count(hll.from_bytes(blob)))) for (_, gk), blob in final.items()
+    )
+    return pd.DataFrame({"event_type": [r[0] for r in rows], "n_users_est": [r[1] for r in rows]})
+
+
+def q_value_quantiles_by_type_tdigest(sf_dir: str):
+    """Grouped quantiles: per-event_type t-digest medians (rows-only)."""
+    ds = _read(sf_dir, "events", ["value", "event_type"])
+    partials = build_partials(
+        ds,
+        [SketchRequest("val_by_type", "tdigest", tdigest.TDigestSpec(200.0), on="value", group_by="event_type")],
+        concurrency=_CONC,
+    )
+    final = collect_final(merge_partials(partials))
+    rows = sorted(
+        (gk, float(tdigest.quantile(tdigest.from_bytes(blob), 0.5)[0])) for (_, gk), blob in final.items()
+    )
+    return pd.DataFrame({"event_type": [r[0] for r in rows], "median_value": [round(r[1], 6) for r in rows]})
+
+
+def q_events_sliding_window(sf_dir: str):
+    """Sliding window: per-user event counts over 1h windows sliding 30min
+    (streaming-shaped op; windows enumerated per sorted group)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _windows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts", kind="stable")
+        ts = df["ts"].astype("int64").to_numpy() // 1_000_000  # seconds
+        slide, width = 1800, 3600
+        first = (ts.min() // slide) * slide
+        out_w, out_n = [], []
+        for start in range(int(first), int(ts.max()) + 1, slide):
+            n = int(((ts >= start) & (ts < start + width)).sum())
+            if n:
+                out_w.append(start)
+                out_n.append(n)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].iloc[0],
+                "window_start": pd.to_datetime(out_w, unit="s"),
+                "n": out_n,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(_windows, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # quantiles
 # ---------------------------------------------------------------------------
@@ -459,6 +539,10 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "lang_doc_stats": q_lang_doc_stats,
     "events_hourly_window": q_events_hourly_window,
+    "events_daily_active_users": q_events_daily_active_users,
+    "events_sliding_window": q_events_sliding_window,
+    "hll_users_by_type": q_hll_users_by_type,
+    "value_quantiles_by_type_tdigest": q_value_quantiles_by_type_tdigest,
     "value_quantiles_tdigest": q_value_quantiles_tdigest,
     "value_quantiles_kll": q_value_quantiles_kll,
     "ann_brute_cosine": q_ann_brute_cosine,
@@ -513,6 +597,10 @@ ORACLE_SQL = {
     "events_hourly_window": (
         "SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n, "
         "round(sum(value), 4) AS sum_value FROM events GROUP BY user_id, date_trunc('hour', ts)"
+    ),
+    "events_daily_active_users": (
+        "SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS active_users "
+        "FROM events GROUP BY date_trunc('day', ts)"
     ),
     "ann_threshold_cosine": (
         "WITH q AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id, embedding AS qe "

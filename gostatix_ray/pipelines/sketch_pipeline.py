@@ -36,6 +36,94 @@ class SketchResult:
     rows: int
 
 
+def finalize_row(result: SketchResult) -> dict:
+    """One estimates-table row per final sketch (the reference's query
+    ops — Count/Values/PositiveRate — evaluated on the merged state)."""
+    from ..kernels import bloom, cms, cuckoo, hll, kll, tdigest, topk
+
+    row = {
+        "sketch": result.name,
+        "group_key": result.group_key,
+        "kind": result.kind,
+        "rows": result.rows,
+        "estimate": None,
+        "detail": "",
+    }
+    st = result.state
+    if result.kind == "hll":
+        row["estimate"] = float(hll.count(st))
+        row["detail"] = f"accuracy={st.spec.accuracy():.5f}"
+    elif result.kind == "cms":
+        row["estimate"] = float(st.all_sum)
+        row["detail"] = f"eps={st.spec.error_bound_eps():.2e} delta={st.spec.failure_probability():.2e}"
+    elif result.kind == "topk":
+        vals = topk.values(st)
+        row["estimate"] = float(vals[0][1]) if vals else 0.0
+        row["detail"] = ";".join(f"{e}:{c}" for e, c in vals)
+    elif result.kind == "bloom":
+        row["estimate"] = float(bloom.positive_rate(st))
+        row["detail"] = f"size={st.spec.size} k={st.spec.num_hashes}"
+    elif result.kind == "tdigest":
+        qs = tdigest.quantile(st, [0.5, 0.9, 0.99])
+        row["estimate"] = float(qs[0])
+        row["detail"] = f"p90={qs[1]:.6g} p99={qs[2]:.6g}"
+    elif result.kind == "kll":
+        qs = kll.quantile(st, [0.5, 0.9, 0.99])
+        row["estimate"] = float(qs[0])
+        row["detail"] = f"p90={qs[1]:.6g} p99={qs[2]:.6g}"
+    elif result.kind == "cuckoo":
+        row["estimate"] = float(st.length)
+        row["detail"] = f"positive_rate={st.spec.positive_rate():.2e}"
+    return row
+
+
+def write_results(results: dict, out_dir: str) -> str:
+    """Persist estimates + final states as partitioned parquet.
+
+    Layout (resumable-output contract): one directory per sketch name,
+    each holding an ``estimates.parquet`` (estimate row + serialized
+    state per group) written atomically via tmp-and-rename, so a rerun
+    can skip sketches whose directory already exists.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..registry import kernel_for
+
+    by_sketch: dict[str, list] = {}
+    for (name, _gk), res in sorted(results.items()):
+        by_sketch.setdefault(name, []).append(res)
+    for name, group in by_sketch.items():
+        sdir = os.path.join(out_dir, f"sketch={name}")
+        if os.path.exists(os.path.join(sdir, "estimates.parquet")):
+            continue  # resume: already written
+        rows = [finalize_row(r) for r in group]
+        kernel = kernel_for(group[0].kind)
+        states = [kernel.to_bytes(r.state) for r in group]
+        table = pa.table(
+            {
+                "sketch": [r["sketch"] for r in rows],
+                "group_key": [r["group_key"] for r in rows],
+                "kind": [r["kind"] for r in rows],
+                "rows": pa.array([r["rows"] for r in rows], pa.int64()),
+                "estimate": pa.array([r["estimate"] for r in rows], pa.float64()),
+                "detail": [r["detail"] for r in rows],
+                "state": pa.array(states, pa.large_binary()),
+            }
+        )
+        tmp = sdir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(table, os.path.join(tmp, "estimates.parquet"))
+        if os.path.exists(sdir):
+            import shutil
+
+            shutil.rmtree(sdir)
+        os.rename(tmp, sdir)
+    return out_dir
+
+
 class SketchPipeline:
     def __init__(
         self,
