@@ -120,7 +120,7 @@ def run_scaling() -> dict:
         # scaling needs a compute-bound input: default to 4M turns
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_HEADLINE_ONLY="1",
-                   GRAFT_TURNS=os.environ.get("GRAFT_TURNS_SCALING", "16000000"))
+                   GRAFT_TURNS=os.environ.get("GRAFT_TURNS_SCALING", "32000000"))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -67,6 +67,17 @@ def _with_bucket(fan_in: int):
     return _assign
 
 
+def _local_combine(df: pd.DataFrame) -> pd.DataFrame:
+    """Combiner: merge all partials of each (sketch, group_key) present in
+    ONE block — a map-side pre-aggregation with NO shuffle (ray_guide
+    "Aggregation at scale")."""
+    out = [
+        _merge_group(g)
+        for _, g in df.groupby(["sketch", "group_key"], sort=False)
+    ]
+    return pd.concat(out, ignore_index=True)
+
+
 def merge_partials(partials, *, fan_in: int = 64, tree_threshold: int = 4096):
     """Tree-merge a Dataset of partial rows to one row per (sketch, group_key).
 
@@ -78,39 +89,33 @@ def merge_partials(partials, *, fan_in: int = 64, tree_threshold: int = 4096):
     shuffle levels, never one giant reduce task.  Returns a Dataset with
     the partial-row schema.
     """
+    """(docstring above still applies)
+
+    Implementation: a COMBINER tree, not a shuffle tree.  Each level
+    coalesces partial rows into ~``fan_in``-row blocks (``repartition``
+    without shuffle — cheap block concatenation) and merges within each
+    block via ``map_batches`` (zero network movement).  Only the final
+    per-(sketch, group_key) reduction — a handful of rows — is a real
+    ``groupby`` shuffle.  At 10^6 partials this is ~3 local levels +
+    one tiny all-to-all, vs log-many sort shuffles for a naive tree.
+    """
     # partial rows are tiny (states, not data) — materialize so the count
     # and the merge don't each re-execute the upstream build pipeline
     ds = partials.materialize()
     n = ds.count()
     levels = 0
     while n > tree_threshold and levels < 8:
+        blocks = max(1, n // fan_in)
         ds = (
-            ds.map_batches(_with_bucket(fan_in), batch_format="pyarrow")
-            .groupby("merge_key")
-            .map_groups(
-                lambda df: _merge_group(df.drop(columns=["merge_key"])),
-                batch_format="pandas",
-            )
+            ds.repartition(blocks)
+            .map_batches(_local_combine, batch_format="pandas")
+            .materialize()
         )
-        n = (n + fan_in - 1) // fan_in
+        n = ds.count()
         levels += 1
-    # The final per-group merge runs as ONE task per (sketch, group_key);
-    # past ~64 partials per group that serial chain (decompress+merge each)
-    # dominates the pipeline tail — pre-reduce it in parallel buckets of
-    # ~16 first.  Below that, the extra shuffle costs more than it saves.
-    meta = ds.select_columns(["sketch", "group_key"]).to_pandas()
-    if len(meta):
-        max_group = int(meta.value_counts(["sketch", "group_key"]).max())
-        if max_group > 64:
-            pre_fan = (max_group + 15) // 16
-            ds = (
-                ds.map_batches(_with_bucket(pre_fan), batch_format="pyarrow")
-                .groupby("merge_key")
-                .map_groups(
-                    lambda df: _merge_group(df.drop(columns=["merge_key"])),
-                    batch_format="pandas",
-                )
-            )
+    # last local combine pass bounds the final shuffle to <= #groups rows
+    # per block
+    ds = ds.repartition(max(1, min(8, n // 32 + 1))).map_batches(_local_combine, batch_format="pandas")
     return ds.groupby(["sketch", "group_key"]).map_groups(_merge_group, batch_format="pandas")
 
 
