@@ -69,6 +69,10 @@ class CuckooSpec:
         """base_cuckoo_filter.go:73-75."""
         return 2.0 ** (math.log2(2.0 * self.bucket_size) - self.fp_length)
 
+    def cell_size(self) -> int:
+        """Total slots = size * bucket_size (base_cuckoo_filter.go:60-63)."""
+        return self.size * self.bucket_size
+
 
 class CuckooState:
     __slots__ = ("spec", "buckets", "length", "rng")

@@ -149,6 +149,11 @@ def count(state: HLLState, with_correction: bool = True, with_rounding: bool = T
     return est
 
 
+def reset(state: HLLState) -> None:
+    """Zero the registers (hyperloglog.go:48-52)."""
+    state.registers.fill(0)
+
+
 def merge(a: HLLState, b: HLLState) -> HLLState:
     if a.spec != b.spec:
         raise ValueError(f"hll spec mismatch: {a.spec} vs {b.spec}")
