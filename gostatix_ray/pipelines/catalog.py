@@ -184,6 +184,36 @@ def q_cuckoo_signup_users_semijoin(sf_dir: str):
     return kept.groupby("event_type").aggregate(Count(alias_name="n"))
 
 
+def q_lineitem_orders_bloom_semijoin(sf_dir: str):
+    """Cross-table bloom semi-join on TPC-H-ish tables: lineitem rows whose
+    order has status 'F', counted per returnflag.  The order-key filter is
+    built once and broadcast — no shuffle join (ray_guide "Semi / anti
+    join"); FPP 1e-9 over <=100k keys => exact on this data (verified)."""
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    f_orders = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")), batch_format="pyarrow"
+    )
+    state = _one_state(
+        f_orders,
+        SketchRequest(
+            "f_orderkeys", "bloom", bloom.BloomSpec.from_params(200_000, 1e-9),
+            on=lambda b: pc.cast(b["o_orderkey"], pa.string()),
+        ),
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("okey", pc.cast(batch["l_orderkey"], pa.string()))
+
+    kept = filter_by_membership(
+        li.map_batches(_key, batch_format="pyarrow"), bloom.to_bytes(state), "bloom", "okey",
+        concurrency=_CONC,
+    )
+    return kept.groupby("l_returnflag").aggregate(Count(alias_name="n"))
+
+
 def q_distinct_users_by_type_exact(sf_dir: str):
     """Two-level exact distinct: distinct users per event_type."""
     from ray.data.aggregate import Count
@@ -527,6 +557,7 @@ QUERIES = {
     "cms_token_counts": q_cms_token_counts,
     "bloom_click_users_semijoin": q_bloom_click_users_semijoin,
     "cuckoo_signup_users_semijoin": q_cuckoo_signup_users_semijoin,
+    "lineitem_orders_bloom_semijoin": q_lineitem_orders_bloom_semijoin,
     "distinct_users_by_type_exact": q_distinct_users_by_type_exact,
     "user_sessions": q_user_sessions,
     "doc_dedup_exact": q_doc_dedup_exact,
@@ -576,6 +607,10 @@ ORACLE_SQL = {
     "cuckoo_signup_users_semijoin": (
         "SELECT event_type, count(*) AS n FROM events WHERE user_id IN "
         "(SELECT DISTINCT user_id FROM events WHERE event_type = 'signup') GROUP BY event_type"
+    ),
+    "lineitem_orders_bloom_semijoin": (
+        "SELECT l_returnflag, count(*) AS n FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') GROUP BY l_returnflag"
     ),
     "distinct_users_by_type_exact": (
         "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"

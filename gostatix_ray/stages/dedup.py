@@ -248,23 +248,26 @@ def minhash_candidate_pairs(
         df = df[sizes > 1]
         if df.empty:
             return empty
-        out_a, out_b, out_j = [], [], []
+        frames = []
         for _, g in df.groupby(["band", "band_hash"], sort=False):
             g = g.sort_values(id_col, kind="stable").drop_duplicates(subset=[id_col])
             if len(g) < 2:
                 continue
             ids = g[id_col].to_numpy()
             sigs = np.stack(g["sig"].to_numpy())
-            for i in range(len(ids)):
-                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-                hit = np.where(eq >= threshold)[0]
-                for h in hit:
-                    out_a.append(ids[i])
-                    out_b.append(ids[i + 1 + h])
-                    out_j.append(float(eq[h]))
-        if not out_a:
+            # full pairwise signature-agreement matrix, vectorized
+            ia, ib = np.triu_indices(len(ids), k=1)
+            eq = (sigs[ia] == sigs[ib]).mean(axis=1)
+            keep = eq >= threshold
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "est_jaccard": eq[keep]}
+                    )
+                )
+        if not frames:
             return empty
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+        return pd.concat(frames, ignore_index=True)
 
     pairs = bucketed_groupby(exploded, ["band", "band_hash"], _pairs)
 

@@ -153,6 +153,27 @@ def test_grouped_sketches(ray_session, transcripts_path, ground_truth):
     assert abs(est - true) / true < 0.1
 
 
+def test_salted_equals_unsalted_byte_identical(ray_session, transcripts_path):
+    """North rule at pipeline level: salted repartition (skew control)
+    cannot change final sketch state — merge associativity makes the
+    result partition-layout-invariant, byte for byte."""
+    import ray.data as rd
+
+    from gostatix_ray.registry import kernel_for
+
+    reqs = [
+        SketchRequest("convs", "hll", hll.HLLSpec(m=1 << 12), on="conv_id"),
+        SketchRequest("toks", "cms", cms.CMSSpec(rows=3, columns=2048), on=tokens_of("text")),
+    ]
+    plain = SketchPipeline(reqs, batch_size=4096, concurrency=2).run(rd.read_parquet(transcripts_path))
+    salted = SketchPipeline(
+        reqs, batch_size=4096, concurrency=2, salt_by="conv_id", salt_buckets=6
+    ).run(rd.read_parquet(transcripts_path))
+    for key in plain:
+        k = kernel_for(plain[key].kind)
+        assert k.to_bytes(plain[key].state) == k.to_bytes(salted[key].state), key
+
+
 def test_per_turn_text_equality_invariant(ray_session, transcripts_path):
     """input_hint invariant: per-turn text equality under stable
     (conv_id, turn_idx) ordering vs a direct reference scan."""
