@@ -274,6 +274,22 @@ def q_simhash_dedup_pairs(sf_dir: str):
     return pairs
 
 
+def q_doc_dup_clusters(sf_dir: str):
+    """Near-dup clusters: minhash candidate pairs -> connected components
+    (min-label propagation) -> (doc_id, cluster_id)."""
+    from ..stages.dedup import duplicate_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_candidate_pairs(
+        ds, text_col="text", id_col="doc_id", num_perm=128, bands=32, shingle=3,
+        threshold=0.5, concurrency=_CONC,
+    )
+    if pairs.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    return duplicate_clusters(pairs)
+
+
 def q_embedding_near_dup(sf_dir: str):
     # the synthetic embeddings have no true near-dups (max pair cosine ~0.51);
     # 0.45 exercises the LSH-bucket + exact-check path with a small result
@@ -562,6 +578,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "doc_dedup_exact": q_doc_dedup_exact,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "doc_dup_clusters": q_doc_dup_clusters,
     "simhash_dedup_pairs": q_simhash_dedup_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "doc_token_stats": q_doc_token_stats,

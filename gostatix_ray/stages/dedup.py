@@ -299,6 +299,93 @@ def exact_jaccard_pairs(table: pa.Table, pairs: pd.DataFrame, text_col="text", i
     return out
 
 
+def duplicate_clusters(pairs, *, max_rounds: int = 8):
+    """Connected components over candidate near-dup pairs: Dataset[id_a,
+    id_b] -> Dataset[doc_id, cluster_id] (cluster_id = min member id).
+
+    Distributed min-label propagation (ray_guide "Near-dup"): each round
+    every node adopts the minimum label among itself and its neighbors
+    (one groupby per round); converges in <= graph-diameter rounds,
+    which for near-dup clusters (small, dense) is a handful.  The edge
+    set streams through groupbys; only the *label table* (candidate
+    nodes — typically a tiny fraction of the corpus) is broadcast per
+    round (``ray.put``).  If candidates ever rival the corpus, swap the
+    broadcast for a bucketed hash join on node id.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    if edges.count() == 0:
+        return rd.from_items([])
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [batch["id_a"].combine_chunks() if isinstance(batch["id_a"], pa.ChunkedArray) else batch["id_a"],
+                     batch["id_b"].combine_chunks() if isinstance(batch["id_b"], pa.ChunkedArray) else batch["id_b"]]
+                ),
+                "peer": pa.concat_arrays(
+                    [batch["id_b"].combine_chunks() if isinstance(batch["id_b"], pa.ChunkedArray) else batch["id_b"],
+                     batch["id_a"].combine_chunks() if isinstance(batch["id_a"], pa.ChunkedArray) else batch["id_a"]]
+                ),
+            }
+        )
+
+    sym = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+    # labels start as each node's own id
+    labels = sym.groupby("node").aggregate(Min("peer", alias_name="nbr_min")).map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "label": pa.compute.min_element_wise(b["node"], b["nbr_min"]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    for _ in range(max_rounds):
+        # join labels onto edges (small label table broadcast via driver map)
+        lab = dict(zip(labels.to_pandas()["node"], labels.to_pandas()["label"]))
+        import ray
+
+        lab_ref = ray.put(lab)
+
+        def _prop(batch: pa.Table) -> pa.Table:
+            m = ray.get(lab_ref)
+            node = batch["node"].to_numpy(zero_copy_only=False)
+            peer = batch["peer"].to_numpy(zero_copy_only=False)
+            peer_label = np.array([m[p] for p in peer])
+            return pa.table({"node": pa.array(node), "cand": pa.array(peer_label)})
+
+        new_labels = (
+            sym.map_batches(_prop, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="nbr_min"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["node"],
+                        "label": pa.compute.min_element_wise(
+                            pa.array([ray.get(lab_ref)[n] for n in b["node"].to_pylist()]),
+                            b["nbr_min"],
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        old = labels.to_pandas().sort_values("node").reset_index(drop=True)
+        new = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
+        labels = new_labels
+        if old["label"].equals(new["label"]):
+            break
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}), batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

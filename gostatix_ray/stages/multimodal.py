@@ -91,6 +91,44 @@ class FrameSample:
         )
 
 
+class AudioFeatures:
+    """audio payload -> fixed-size feature frames (stub).
+
+    A real implementation would load soundfile/librosa once per actor in
+    ``__init__`` and compute e.g. log-mel frames in ``__call__``.  The
+    deterministic fake derives per-frame pseudo-energies from the
+    payload hash; frame count comes from the declared duration so the
+    output layout (one row per frame) is exercised for real.
+    """
+
+    def __init__(self, frame_ms: int = 1000, real_codec: bool = False):
+        self.frame_ms = frame_ms
+        if real_codec:
+            raise NotImplementedError("audio codecs are not available in this environment")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        h1, _ = hash128(payloads, 29)
+        dur = batch["duration_ms"].to_numpy(zero_copy_only=False)
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out_id, out_frame, out_energy = [], [], []
+        for mid, d, h in zip(ids, dur, h1.tolist()):
+            n = max(1, int(d) // self.frame_ms)
+            for f in range(n):
+                out_id.append(mid)
+                out_frame.append(f)
+                out_energy.append(((h >> (f % 53)) & 0xFFFF) / 65535.0)
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_frame, pa.int32()),
+                "energy": pa.array(out_energy, pa.float32()),
+            }
+        )
+
+
 def decode_images(ds, *, feature_dim: int = 16, batch_size: int = 256, concurrency=None):
     """Actor-pool decode stage sized for large binary rows."""
     import ray

@@ -96,3 +96,21 @@ def test_embedding_near_dup(ray_session):
     got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert (0, 20) in got
     assert all(c >= 0.95 for c in pairs["cosine"])
+
+
+def test_duplicate_clusters(ray_session):
+    import ray.data as rd
+
+    # two chains: 1-2, 2-3 (cluster 1) and 10-11 (cluster 10); 20-21-22 via 20-22
+    pairs = rd.from_items(
+        [
+            {"id_a": 1, "id_b": 2},
+            {"id_a": 2, "id_b": 3},
+            {"id_a": 10, "id_b": 11},
+            {"id_a": 21, "id_b": 22},
+            {"id_a": 20, "id_b": 22},
+        ]
+    )
+    out = dedup.duplicate_clusters(pairs).to_pandas().sort_values("doc_id")
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

@@ -48,3 +48,22 @@ def test_decode_pipeline_on_dataset(ray_session):
     assert len(out) == 32
     assert set(out.columns) == {"media_id", "width", "height", "features"}
     assert all(len(f) == 4 for f in out["features"])
+
+
+def test_audio_features_stub():
+    import pyarrow as pa
+
+    from gostatix_ray.stages.multimodal import AudioFeatures
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([b"\x01" * 64, b"\x02" * 64], pa.large_binary()),
+            "duration_ms": pa.array([3000, 500], pa.int64()),
+        }
+    )
+    out = AudioFeatures(frame_ms=1000)(batch)
+    assert out["media_id"].to_pylist() == [1, 1, 1, 2]
+    assert out["frame_idx"].to_pylist() == [0, 1, 2, 0]
+    out2 = AudioFeatures(frame_ms=1000)(batch)
+    assert out["energy"].to_pylist() == out2["energy"].to_pylist()
