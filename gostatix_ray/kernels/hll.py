@@ -160,6 +160,27 @@ def merge(a: HLLState, b: HLLState) -> HLLState:
     return HLLState(a.spec, np.maximum(a.registers, b.registers))
 
 
+def union_count(a: HLLState, b: HLLState) -> float:
+    """|A ∪ B| estimate = count of the max-merge (exact HLL union)."""
+    return count(merge(a, b))
+
+
+def intersection_count(a: HLLState, b: HLLState) -> float:
+    """|A ∩ B| estimate via inclusion-exclusion: |A|+|B|-|A∪B|.
+
+    No reference counterpart (gostatix has no set ops beyond Merge);
+    standard HLL practice — error grows with |A∪B|/|A∩B|, so treat
+    small intersections as noise (can go slightly negative; clamped)."""
+    est = count(a) + count(b) - union_count(a, b)
+    return max(0.0, est)
+
+
+def jaccard(a: HLLState, b: HLLState) -> float:
+    """Jaccard similarity estimate |A∩B|/|A∪B| from HLL sketches."""
+    u = union_count(a, b)
+    return intersection_count(a, b) / u if u > 0 else 0.0
+
+
 def equals(a: HLLState, b: HLLState) -> bool:
     return a.spec == b.spec and bool(np.array_equal(a.registers, b.registers))
 

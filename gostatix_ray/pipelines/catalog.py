@@ -184,6 +184,39 @@ def q_cuckoo_signup_users_semijoin(sf_dir: str):
     return kept.groupby("event_type").aggregate(Count(alias_name="n"))
 
 
+def q_bloom_anti_join_open_orders(sf_dir: str):
+    """Anti-join through a negated bloom filter: lineitem rows whose order
+    is NOT in status 'F', counted per returnflag.
+
+    Caveat baked into the contract: a bloom FALSE POSITIVE here drops a
+    row wrongly, so anti-joins need a much tighter FPP than semi-joins —
+    p=1e-9 over the key set makes a wrong drop essentially impossible
+    (verified exact vs SQL on this data)."""
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    f_orders = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")), batch_format="pyarrow"
+    )
+    state = _one_state(
+        f_orders,
+        SketchRequest(
+            "f_orderkeys_anti", "bloom", bloom.BloomSpec.from_params(200_000, 1e-9),
+            on=lambda b: pc.cast(b["o_orderkey"], pa.string()),
+        ),
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("okey", pc.cast(batch["l_orderkey"], pa.string()))
+
+    kept = filter_by_membership(
+        li.map_batches(_key, batch_format="pyarrow"), bloom.to_bytes(state), "bloom", "okey",
+        negate=True, concurrency=_CONC,
+    )
+    return kept.groupby("l_returnflag").aggregate(Count(alias_name="n"))
+
+
 def q_lineitem_orders_bloom_semijoin(sf_dir: str):
     """Cross-table bloom semi-join on TPC-H-ish tables: lineitem rows whose
     order has status 'F', counted per returnflag.  The order-key filter is
@@ -574,6 +607,7 @@ QUERIES = {
     "bloom_click_users_semijoin": q_bloom_click_users_semijoin,
     "cuckoo_signup_users_semijoin": q_cuckoo_signup_users_semijoin,
     "lineitem_orders_bloom_semijoin": q_lineitem_orders_bloom_semijoin,
+    "bloom_anti_join_open_orders": q_bloom_anti_join_open_orders,
     "distinct_users_by_type_exact": q_distinct_users_by_type_exact,
     "user_sessions": q_user_sessions,
     "doc_dedup_exact": q_doc_dedup_exact,
@@ -624,6 +658,10 @@ ORACLE_SQL = {
     "cuckoo_signup_users_semijoin": (
         "SELECT event_type, count(*) AS n FROM events WHERE user_id IN "
         "(SELECT DISTINCT user_id FROM events WHERE event_type = 'signup') GROUP BY event_type"
+    ),
+    "bloom_anti_join_open_orders": (
+        "SELECT l_returnflag, count(*) AS n FROM lineitem WHERE l_orderkey NOT IN "
+        "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') GROUP BY l_returnflag"
     ),
     "lineitem_orders_bloom_semijoin": (
         "SELECT l_returnflag, count(*) AS n FROM lineitem WHERE l_orderkey IN "

@@ -70,3 +70,14 @@ def test_roundtrip_and_merge_count():
     assert hll.equals(merged, rt)
     est = hll.count(rt)
     assert abs(est - 1000) / 1000 < 0.15
+
+
+def test_union_intersection_jaccard():
+    spec = hll.HLLSpec(m=1 << 12)
+    a, b = hll.new(spec), hll.new(spec)
+    hll.update(a, [f"x{i}" for i in range(3000)])          # A = 0..2999
+    hll.update(b, [f"x{i}" for i in range(2000, 5000)])    # B = 2000..4999
+    assert abs(hll.union_count(a, b) - 5000) / 5000 < 0.1
+    inter = hll.intersection_count(a, b)
+    assert abs(inter - 1000) / 1000 < 0.35  # inclusion-exclusion noise
+    assert 0.1 < hll.jaccard(a, b) < 0.3    # true 1000/5000 = 0.2
