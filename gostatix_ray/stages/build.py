@@ -112,13 +112,37 @@ def decompress_state(blob: bytes) -> bytes:
 
 
 def _fragment_id(values: pa.Array, nrows: int) -> str:
-    """Deterministic, content-derived block id (idempotent under retry)."""
+    """Deterministic, content-derived block id (idempotent under retry).
+
+    Hashes the array's LOGICAL byte range, not its raw buffers: a
+    zero-copy slice shares its parent's buffers, so buffer-hashing would
+    give two different batches of one parent block the same id — and the
+    merge-side fragment dedupe would silently drop one.  (Regression:
+    tests/test_e2e_ray.py::test_fragment_ids_distinguish_slices.)
+    """
     h = hashlib.blake2b(digest_size=12)
-    for buf in values.buffers():
-        if buf is not None:
-            h.update(bytes(buf)[:4096])
-            h.update(str(len(buf)).encode())
+    typ = values.type
+    bufs = values.buffers()
+    if pa.types.is_string(typ) or pa.types.is_binary(typ) or pa.types.is_large_string(typ) or pa.types.is_large_binary(typ):
+        odt = np.int64 if (pa.types.is_large_string(typ) or pa.types.is_large_binary(typ)) else np.int32
+        off = np.frombuffer(bufs[1], dtype=odt)[values.offset : values.offset + len(values) + 1]
+        data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]] if bufs[2] is not None else np.empty(0, np.uint8)
+        h.update(off.tobytes()[:256])  # leading offsets anchor the layout
+        h.update(data[:4096].tobytes())
+        h.update(data[-4096:].tobytes())
+        h.update(str(len(data)).encode())
+    elif bufs and len(bufs) > 1 and bufs[1] is not None:
+        width = typ.bit_width // 8 if hasattr(typ, "bit_width") else 8
+        data = np.frombuffer(bufs[1], dtype=np.uint8)[values.offset * width : (values.offset + len(values)) * width]
+        h.update(data[:4096].tobytes())
+        h.update(data[-4096:].tobytes())
+        h.update(str(len(data)).encode())
+    else:  # fallback: stringify head/tail
+        head = values.slice(0, min(64, len(values))).to_pylist()
+        tail = values.slice(max(0, len(values) - 64)).to_pylist()
+        h.update(repr((head, tail)).encode())
     h.update(str(nrows).encode())
+    h.update(str(len(values)).encode())
     return h.hexdigest()
 
 

@@ -188,3 +188,20 @@ def test_per_turn_text_equality_invariant(ray_session, transcripts_path):
         .reset_index(drop=True)
     )
     assert (ours["text"].values == ref["text"].values).all()
+
+
+def test_fragment_ids_distinguish_slices():
+    """Two different zero-copy slices of one parent array must get
+    different fragment ids (they share buffers; hashing raw buffers
+    collided and the merge-side dedupe then dropped real partials)."""
+    from gostatix_ray.stages.build import _fragment_id
+
+    parent = pa.array([f"v{i}" for i in range(1000)])
+    a = parent.slice(0, 500)
+    b = parent.slice(500, 500)
+    assert _fragment_id(a, 500) != _fragment_id(b, 500)
+    # identical content (retry) => identical id
+    assert _fragment_id(a, 500) == _fragment_id(parent.slice(0, 500), 500)
+    # numeric arrays too
+    nums = pa.array(np.arange(1000))
+    assert _fragment_id(nums.slice(0, 500), 500) != _fragment_id(nums.slice(500, 500), 500)
