@@ -205,3 +205,25 @@ def test_fragment_ids_distinguish_slices():
     # numeric arrays too
     nums = pa.array(np.arange(1000))
     assert _fragment_id(nums.slice(0, 500), 500) != _fragment_id(nums.slice(500, 500), 500)
+
+
+def test_merge_dedupes_retried_fragments(ray_session):
+    """A duplicated partial row (task retry artifact / checkpoint overlap)
+    must contribute exactly once (content-addressed fragment dedupe)."""
+    import ray.data as rd
+
+    from gostatix_ray.stages.build import compress_state
+
+    spec = cms.CMSSpec(rows=2, columns=256)
+    s = cms.new(spec)
+    cms.update(s, ["x", "x", "y"])
+    row = {
+        "sketch": "t", "kind": "cms", "group_key": "",
+        "state": compress_state(cms.to_bytes(s)), "rows": 3,
+        "fragment": "t::abc123", "checksum": "cc",
+    }
+    partials = rd.from_items([row, dict(row)])  # duplicated fragment
+    final = collect_final(merge_partials(partials))
+    merged = cms.from_bytes(final[("t", "")])
+    assert list(cms.count(merged, ["x", "y"])) == [2, 1]  # not doubled
+    assert merged.all_sum == 3
