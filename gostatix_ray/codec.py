@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import base64
 import json
-import math
+
 
 import numpy as np
 

@@ -227,3 +227,17 @@ def test_merge_dedupes_retried_fragments(ray_session):
     merged = cms.from_bytes(final[("t", "")])
     assert list(cms.count(merged, ["x", "y"])) == [2, 1]  # not doubled
     assert merged.all_sum == 3
+
+
+def test_streaming_merge_equals_materialized(ray_session, transcripts_path):
+    """merge_partials_streaming (single lazy execution) produces the same
+    final states as the materialized combiner tree."""
+    import ray.data as rd
+
+    from gostatix_ray.stages.merge import merge_partials_streaming
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id"])
+    req = [SketchRequest("c", "hll", hll.HLLSpec(m=1 << 10), on="conv_id")]
+    a = collect_final(merge_partials(build_partials(ds, req, batch_size=4096, concurrency=2)))
+    b = collect_final(merge_partials_streaming(build_partials(ds, req, batch_size=4096, concurrency=2)))
+    assert a[("c", "")] == b[("c", "")]
