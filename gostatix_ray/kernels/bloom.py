@@ -100,6 +100,19 @@ def positive_rate(state: BloomState) -> float:
     return (set_bits / state.spec.size) ** state.spec.num_hashes
 
 
+def approximate_count(state: BloomState) -> float:
+    """Cardinality estimate from the fill ratio: -(m/k)·ln(1 - X/m)
+    (Swamidass & Baldi 2007).  No reference counterpart; standard
+    bloom-filter query."""
+    m, k = state.spec.size, state.spec.num_hashes
+    x = int(np.bitwise_count(state.bits).sum()) if hasattr(np, "bitwise_count") else int(
+        np.unpackbits(state.bits.view(np.uint8)).sum()
+    )
+    if x >= m:
+        return float("inf")
+    return -(m / k) * math.log(1.0 - x / m)
+
+
 def merge(a: BloomState, b: BloomState) -> BloomState:
     if a.spec != b.spec:
         raise ValueError(f"bloom spec mismatch: {a.spec} vs {b.spec}")

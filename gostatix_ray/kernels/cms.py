@@ -104,6 +104,19 @@ def count(state: CMSState, values) -> np.ndarray:
     return count_hashed(state, h1, h2)
 
 
+def inner_product(a: CMSState, b: CMSState) -> int:
+    """Estimate of the inner product Σ_x f_a(x)·f_b(x) of the two
+    sketched frequency vectors: min over rows of the row dot products
+    (Cormode & Muthukrishnan 2005, §4.2 — same guarantees as Count:
+    overestimate-only, error ≤ ε·N_a·N_b with prob 1-δ).  No reference
+    counterpart; standard CMS query."""
+    if a.spec != b.spec:
+        raise ValueError(f"cms spec mismatch: {a.spec} vs {b.spec}")
+    with np.errstate(over="ignore"):
+        dots = (a.matrix.astype(np.float64) * b.matrix.astype(np.float64)).sum(axis=1)
+    return int(dots.min())
+
+
 def merge(a: CMSState, b: CMSState) -> CMSState:
     if a.spec != b.spec:
         raise ValueError(f"cms spec mismatch: {a.spec} vs {b.spec}")  # count_min_sketch.go:141-146

@@ -375,26 +375,41 @@ def q_lang_doc_stats(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_events_hourly_window(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    """Tumbling 1h window per user, with MAP-SIDE COMBINE: each batch
+    pre-aggregates (user, hour) partials so the groupby shuffles partial
+    sums, not raw rows (ray_guide "Aggregation at scale").  Summation
+    order differs from a row shuffle but stays deterministic; the
+    4-decimal rounding absorbs float association noise vs the oracle."""
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def _hour(batch: pa.Table) -> pa.Table:
-        return batch.append_column("hour", pc.floor_temporal(batch["ts"], unit="hour"))
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "hour": pc.floor_temporal(batch["ts"], unit="hour").to_pandas(),
+                "value": batch["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["user_id", "hour"], sort=False, as_index=False).agg(
+            pn=("value", "size"), psum=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
-        ds.map_batches(_hour, batch_format="pyarrow")
-        .select_columns(["user_id", "hour", "value"])
+        ds.map_batches(_partial, batch_format="pyarrow")
         .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("pn", alias_name="n"), Sum("psum", alias_name="sum_value"))
     )
 
     def _round(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.schema.get_field_index("sum_value"),
-            "sum_value",
-            pc.round(batch["sum_value"], ndigits=4),
-        )
+        idx = batch.schema.get_field_index("sum_value")
+        batch = batch.set_column(idx, "sum_value", pc.round(batch["sum_value"], ndigits=4))
+        nidx = batch.schema.get_field_index("n")
+        return batch.set_column(nidx, "n", pc.cast(batch["n"], pa.int64()))
 
     return agg.map_batches(_round, batch_format="pyarrow")
 

@@ -80,3 +80,10 @@ def test_sizing_formulas():
     spec = bloom.BloomSpec.from_params(10000, 0.001)
     assert spec.size == 143776
     assert spec.num_hashes == 10  # ceil(floor(143776/10000) * ln2) = ceil(14*0.693) = 10
+
+
+def test_approximate_count():
+    s = bloom.new(bloom.BloomSpec.from_params(10000, 0.01))
+    bloom.update(s, [f"item-{i}" for i in range(5000)])
+    est = bloom.approximate_count(s)
+    assert abs(est - 5000) / 5000 < 0.05  # Swamidass-Baldi estimate

@@ -76,3 +76,19 @@ def test_roundtrip():
     s2 = cms.from_bytes(cms.to_bytes(s))
     assert cms.equals(s, s2)
     assert s2.all_sum == 3
+
+
+def test_inner_product():
+    spec = cms.CMSSpec(rows=5, columns=4096)
+    a, b = cms.new(spec), cms.new(spec)
+    # f_a = {x:3, y:2}; f_b = {x:4, z:5} => <f_a, f_b> = 12
+    cms.update(a, ["x", "y"], counts=[3, 2])
+    cms.update(b, ["x", "z"], counts=[4, 5])
+    est = cms.inner_product(a, b)
+    assert est >= 12
+    assert est <= 12 + spec.error_bound_eps() * a.all_sum * b.all_sum + 1
+
+
+def test_inner_product_spec_mismatch():
+    with pytest.raises(ValueError):
+        cms.inner_product(cms.new(cms.CMSSpec(rows=2, columns=64)), cms.new(cms.CMSSpec(rows=2, columns=128)))
