@@ -93,11 +93,12 @@ def contains(state: BloomState, values) -> np.ndarray:
 
 
 def positive_rate(state: BloomState) -> float:
-    """Realized-FPP estimate from bit density (bloom_filter.go:228-231)."""
+    """Realized-FPP estimate, reference formula (bloom_filter.go:228-231):
+    ``(1 - exp(-bitCount/size))^numHashes``."""
     set_bits = int(np.bitwise_count(state.bits).sum()) if hasattr(np, "bitwise_count") else int(
         np.unpackbits(state.bits.view(np.uint8)).sum()
     )
-    return (set_bits / state.spec.size) ** state.spec.num_hashes
+    return (1.0 - math.exp(-set_bits / state.spec.size)) ** state.spec.num_hashes
 
 
 def approximate_count(state: BloomState) -> float:

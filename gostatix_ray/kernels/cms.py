@@ -112,9 +112,13 @@ def inner_product(a: CMSState, b: CMSState) -> int:
     counterpart; standard CMS query."""
     if a.spec != b.spec:
         raise ValueError(f"cms spec mismatch: {a.spec} vs {b.spec}")
-    with np.errstate(over="ignore"):
-        dots = (a.matrix.astype(np.float64) * b.matrix.astype(np.float64)).sum(axis=1)
-    return int(dots.min())
+    # exact integer dot products (float64 loses precision past 2^53, which
+    # would break the overestimate-only guarantee for large sketches):
+    # object dtype keeps Python bignums end to end.
+    am = a.matrix.astype(object)
+    bm = b.matrix.astype(object)
+    dots = [int((am[r] * bm[r]).sum()) for r in range(a.spec.rows)]
+    return min(dots)
 
 
 def merge(a: CMSState, b: CMSState) -> CMSState:

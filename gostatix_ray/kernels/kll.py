@@ -84,14 +84,18 @@ def _compact(state: KLLState) -> None:
 
 def update(state: KLLState, values, counts=None) -> None:
     v = np.asarray(values, dtype=np.float64)
-    v = v[~np.isnan(v)]
+    mask = ~np.isnan(v)
+    if counts is not None:
+        # weighted insert: align counts with values BEFORE the NaN mask so
+        # weights stay attached to their own elements, then repeat
+        c = np.asarray(counts, dtype=np.int64)
+        if c.size < v.size:
+            c = np.pad(c, (0, v.size - c.size), constant_values=1)
+        v = np.repeat(v[mask], np.maximum(c[: v.size][mask], 0))
+    else:
+        v = v[mask]
     if v.size == 0:
         return
-    if counts is not None:
-        # weighted insert: push repeated powers of two into matching levels
-        c = np.asarray(counts, dtype=np.int64)[: v.size]
-        reps = np.repeat(v, np.maximum(c, 0))
-        v = reps
     state.levels[0] = np.concatenate([state.levels[0], v])
     state.n += v.size
     _compact(state)

@@ -91,10 +91,19 @@ def _flush(state: TDigestState) -> None:
 
 def update(state: TDigestState, values, counts=None) -> None:
     v = np.asarray(values, dtype=np.float64)
-    v = v[~np.isnan(v)]
+    mask = ~np.isnan(v)
+    if counts is None:
+        v = v[mask]
+        w = np.ones_like(v)
+    else:
+        # align counts with values BEFORE the NaN mask so weights stay
+        # attached to their own elements
+        w = np.asarray(counts, dtype=np.float64)
+        if w.size < v.size:
+            w = np.pad(w, (0, v.size - w.size), constant_values=1.0)
+        v, w = v[mask], w[: mask.size][mask]
     if v.size == 0:
         return
-    w = np.ones_like(v) if counts is None else np.asarray(counts, dtype=np.float64)[: v.size]
     state.buf_means.append(v)
     state.buf_weights.append(w)
     if sum(b.size for b in state.buf_means) >= 16 * int(state.spec.compression):

@@ -114,11 +114,18 @@ def decompress_state(blob: bytes) -> bytes:
 def _fragment_id(values: pa.Array, nrows: int) -> str:
     """Deterministic, content-derived block id (idempotent under retry).
 
-    Hashes the array's LOGICAL byte range, not its raw buffers: a
+    Hashes the array's FULL LOGICAL byte range, not its raw buffers: a
     zero-copy slice shares its parent's buffers, so buffer-hashing would
     give two different batches of one parent block the same id — and the
     merge-side fragment dedupe would silently drop one.  (Regression:
     tests/test_e2e_ray.py::test_fragment_ids_distinguish_slices.)
+
+    The hash covers EVERY byte (offsets normalized to the slice start, so
+    equal content hashes equal regardless of parent layout): two distinct
+    blocks can only collide if their content is byte-identical.  blake2b
+    streams >1 GB/s, negligible next to the sketch-hash cost.  Blocks with
+    legitimately identical content are disambiguated by the builder-level
+    task discriminator (see ``SketchBuilder.__call__``), never here.
     """
     h = hashlib.blake2b(digest_size=12)
     typ = values.type
@@ -127,23 +134,37 @@ def _fragment_id(values: pa.Array, nrows: int) -> str:
         odt = np.int64 if (pa.types.is_large_string(typ) or pa.types.is_large_binary(typ)) else np.int32
         off = np.frombuffer(bufs[1], dtype=odt)[values.offset : values.offset + len(values) + 1]
         data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]] if bufs[2] is not None else np.empty(0, np.uint8)
-        h.update(off.tobytes()[:256])  # leading offsets anchor the layout
-        h.update(data[:4096].tobytes())
-        h.update(data[-4096:].tobytes())
-        h.update(str(len(data)).encode())
+        h.update((off - off[0]).astype(np.int64).tobytes())  # normalized, FULL offsets
+        h.update(data.tobytes())  # FULL data range
     elif bufs and len(bufs) > 1 and bufs[1] is not None:
         width = typ.bit_width // 8 if hasattr(typ, "bit_width") else 8
         data = np.frombuffer(bufs[1], dtype=np.uint8)[values.offset * width : (values.offset + len(values)) * width]
-        h.update(data[:4096].tobytes())
-        h.update(data[-4096:].tobytes())
-        h.update(str(len(data)).encode())
-    else:  # fallback: stringify head/tail
-        head = values.slice(0, min(64, len(values))).to_pylist()
-        tail = values.slice(max(0, len(values) - 64)).to_pylist()
-        h.update(repr((head, tail)).encode())
+        h.update(data.tobytes())  # FULL data range
+    else:  # fallback: stringify everything (rare non-flat types)
+        h.update(repr(values.to_pylist()).encode())
+    if bufs and bufs[0] is not None:  # validity bitmap participates too
+        h.update(np.asarray(values.is_valid()).tobytes())
     h.update(str(nrows).encode())
     h.update(str(len(values)).encode())
     return h.hexdigest()
+
+
+def _task_discriminator() -> str:
+    """A non-content block discriminator, stable across retries.
+
+    Ray retries re-execute the same task spec with the same TaskID, so
+    (task_id, per-task batch seq) is identical for a retried attempt of a
+    block but distinct for two legitimately identical-content blocks —
+    exactly the property the fragment dedupe needs (ADVICE round 1).
+    Outside a Ray task (driver-side tests) falls back to a constant.
+    """
+    try:
+        import ray
+
+        tid = ray.get_runtime_context().get_task_id()
+        return tid or "driver"
+    except Exception:
+        return "driver"
 
 
 class SketchBuilder:
@@ -152,6 +173,10 @@ class SketchBuilder:
     def __init__(self, requests: list[SketchRequest]):
         # once per actor: validate specs, bind kernels (SURVEY.md §2.1)
         self._reqs = [(r, kernel_for(r.kind)) for r in requests]
+        # block-discriminator state: (task_id, seq-within-task) — see
+        # _task_discriminator.  Reset whenever the executing task changes.
+        self._last_task = None
+        self._seq = 0
         # warm numpy/hash allocators so the first real block isn't 2-3x slower
         from ..hashing import hash128
 
@@ -190,6 +215,11 @@ class SketchBuilder:
         kernel.update(state, distinct, counts)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        task = _task_discriminator()
+        if task != self._last_task:
+            self._last_task, self._seq = task, 0
+        disc = f"{task[:16]}.{self._seq}"
+        self._seq += 1
         out = {k: [] for k in ("sketch", "kind", "group_key", "state", "rows", "fragment", "checksum")}
         for req, kernel in self._reqs:
             values = _column_values(batch, req)
@@ -231,7 +261,7 @@ class SketchBuilder:
                 out["group_key"].append(gkey)
                 out["state"].append(blob)
                 out["rows"].append(len(vals))
-                out["fragment"].append(f"{req.name}:{gkey}:{frag}")
+                out["fragment"].append(f"{req.name}:{gkey}:{frag}:{disc}")
                 out["checksum"].append(hashlib.blake2b(blob, digest_size=8).hexdigest())
         return pa.table(
             {

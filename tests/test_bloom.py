@@ -87,3 +87,16 @@ def test_approximate_count():
     bloom.update(s, [f"item-{i}" for i in range(5000)])
     est = bloom.approximate_count(s)
     assert abs(est - 5000) / 5000 < 0.05  # Swamidass-Baldi estimate
+
+
+def test_positive_rate_reference_formula():
+    # bloom_filter.go:228-231: (1 - exp(-bitCount/size))^numHashes
+    import math
+
+    import numpy as np
+
+    s = bloom.new(bloom.BloomSpec.from_params(1000, 0.01))
+    bloom.update(s, [f"k{i}" for i in range(500)])
+    set_bits = int(np.unpackbits(s.bits.view(np.uint8)).sum())
+    expect = (1.0 - math.exp(-set_bits / s.spec.size)) ** s.spec.num_hashes
+    assert bloom.positive_rate(s) == expect

@@ -92,3 +92,15 @@ def test_inner_product():
 def test_inner_product_spec_mismatch():
     with pytest.raises(ValueError):
         cms.inner_product(cms.new(cms.CMSSpec(rows=2, columns=64)), cms.new(cms.CMSSpec(rows=2, columns=128)))
+
+
+def test_inner_product_exact_past_float53():
+    # round-1 ADVICE (low): float64 accumulation loses precision past 2^53
+    # and could UNDER-report, breaking the overestimate-only guarantee.
+    spec = cms.CMSSpec(rows=2, columns=16)
+    a, b = cms.new(spec), cms.new(spec)
+    big = 1 << 40
+    cms.update(a, ["x"], counts=[big])
+    cms.update(b, ["x"], counts=[big])
+    est = cms.inner_product(a, b)
+    assert est >= big * big  # exact integer math: never under-reports

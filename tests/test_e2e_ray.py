@@ -207,6 +207,54 @@ def test_fragment_ids_distinguish_slices():
     assert _fragment_id(nums.slice(0, 500), 500) != _fragment_id(nums.slice(500, 500), 500)
 
 
+def test_fragment_ids_cover_full_byte_range():
+    """Blocks that differ ONLY in the middle (outside any head/tail
+    window) must get different ids — a head/tail-sampling hash collided
+    here and the merge dedupe silently dropped one block's partial
+    (round-1 ADVICE, high)."""
+    from gostatix_ray.stages.build import _fragment_id
+
+    base = [f"padpadpad{i:08d}" for i in range(20000)]
+    mid = list(base)
+    mid[10000] = "DIFFERENT-MIDDLE"
+    a, b = pa.array(base), pa.array(mid)
+    assert _fragment_id(a, len(base)) != _fragment_id(b, len(base))
+    # numeric: same head/tail 4096-byte windows, middle differs
+    na = np.zeros(20000, np.int64)
+    nb = na.copy()
+    nb[10000] = 7
+    assert _fragment_id(pa.array(na), 20000) != _fragment_id(pa.array(nb), 20000)
+
+
+def test_identical_content_blocks_get_distinct_fragments():
+    """Two legitimately identical-content input blocks (sorted /
+    low-cardinality column at a fixed batch size) must contribute TWO
+    partials, not be deduped into one: the builder mixes a (task, seq)
+    discriminator into the fragment id (round-1 ADVICE, high)."""
+    from gostatix_ray.stages.build import SketchBuilder
+
+    req = [SketchRequest("c", "cms", cms.CMSSpec(rows=2, columns=128), on="k")]
+    builder = SketchBuilder(req)
+    batch = pa.table({"k": pa.array(["a"] * 100)})
+    out1 = builder(batch)
+    out2 = builder(batch)  # identical content, next block
+    f1 = out1["fragment"].to_pylist()[0]
+    f2 = out2["fragment"].to_pylist()[0]
+    assert f1 != f2
+    # and the merge keeps both (count doubles instead of being dropped)
+    import pandas as pd
+
+    from gostatix_ray.stages.merge import _merge_group
+
+    df = pd.concat([out1.to_pandas(), out2.to_pandas()], ignore_index=True)
+    merged = cms.from_bytes(
+        __import__("gostatix_ray.stages.build", fromlist=["decompress_state"]).decompress_state(
+            _merge_group(df)["state"].iloc[0]
+        )
+    )
+    assert int(cms.count(merged, ["a"])[0]) == 200
+
+
 def test_merge_dedupes_retried_fragments(ray_session):
     """A duplicated partial row (task retry artifact / checkpoint overlap)
     must contribute exactly once (content-addressed fragment dedupe)."""

@@ -96,6 +96,23 @@ def test_kll_space_bound(data):
     assert sum(l.size for l in s.levels) < 3 * 200
 
 
+def test_weighted_update_nan_alignment():
+    """NaN values must drop their OWN weights, not shift everyone else's
+    (round-1 ADVICE, medium: counts[:v.size] after the NaN filter attached
+    weights to the wrong elements — weighted median came out 20 where 10
+    is correct)."""
+    vals = [10.0, np.nan, 20.0]
+    wts = [100, 1, 1]  # the heavy weight belongs to 10.0
+    t = tdigest.new(tdigest.TDigestSpec(compression=100.0))
+    tdigest.update(t, vals, wts)
+    assert float(tdigest.quantile(t, 0.5)[0]) == pytest.approx(10.0, abs=0.5)
+    assert tdigest.total_weight(t) == 101
+    k = kll.new(kll.KLLSpec(k=64))
+    kll.update(k, vals, wts)
+    assert float(kll.quantile(k, 0.5)[0]) == 10.0
+    assert k.n == 101
+
+
 def test_kll_roundtrip(data):
     s = kll.new(kll.KLLSpec(k=64))
     kll.update(s, data[:5000])
