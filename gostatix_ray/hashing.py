@@ -288,3 +288,31 @@ def _hash128_core(mat: np.ndarray, lengths: np.ndarray, seed: int) -> tuple[np.n
 def hash64(values, seed: int = 0) -> np.ndarray:
     """h1 only — what the reference's cuckoo `getHash` returns."""
     return hash128(values, seed)[0]
+
+
+# ---------------------------------------------------------------------------
+# vectorized hex presentation (no per-row Python format() loops)
+# ---------------------------------------------------------------------------
+
+def hex64(arr: np.ndarray) -> np.ndarray:
+    """uint64 array -> 16-char lowercase hex strings, one C call
+    (big-endian byte view + binascii.hexlify + fixed-width numpy view)."""
+    import binascii
+
+    if arr.size == 0:
+        return np.empty(0, dtype="U16")
+    hx = binascii.hexlify(np.ascontiguousarray(arr, dtype=">u8").tobytes())
+    return np.frombuffer(hx, dtype="S16").astype("U16")
+
+
+def hex128(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """(h1, h2) uint64 arrays -> 32-char lowercase hex strings (h1 || h2)."""
+    import binascii
+
+    if h1.size == 0:
+        return np.empty(0, dtype="U32")
+    pair = np.empty((h1.size, 2), dtype=">u8")
+    pair[:, 0] = h1
+    pair[:, 1] = h2
+    hx = binascii.hexlify(pair.tobytes())
+    return np.frombuffer(hx, dtype="S32").astype("U32")

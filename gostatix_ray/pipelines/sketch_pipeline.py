@@ -161,7 +161,16 @@ class SketchPipeline:
             if self.checkpoint_dir:
                 lin.write_checkpoint(partials, self.checkpoint_dir)
                 partials = lin.resume_partials(self.checkpoint_dir)
-        merged = merge_partials(partials, fan_in=self.fan_in)
+        # Default: STREAMING merge — one lazy execution, so build, bucket
+        # shuffle and merges overlap with no materialize barrier (the ~4s
+        # serial tail that dominated small-input runs).  The materialized
+        # combiner tree remains for the checkpoint path, where partials are
+        # already on parquet and the tree bounds per-level fan-in for very
+        # large checkpoints.
+        if self.checkpoint_dir:
+            merged = merge_partials(partials, fan_in=self.fan_in)
+        else:
+            merged = merge_partials_streaming(partials, pre_fan=self.fan_in)
         final = {}
         rows_by_key = {}
         for batch in merged.iter_batches(batch_size=4096, batch_format="pyarrow"):

@@ -57,17 +57,24 @@ def bucketed_groupby(ds, key_cols: list[str], fn, *, num_buckets: int = 64):
     )
 
 
-def add_content_hash(ds, text_col: str = "text", out_col: str = "content_hash"):
+def add_content_hash(ds, text_col: str = "text", out_col: str = "content_hash", hex: bool = False):
+    """Append the 128-bit content hash as TWO uint64 columns
+    ``{out_col}_1`` / ``{out_col}_2`` (the shuffle key is multi-column;
+    no per-row hex formatting in the hot path).  ``hex=True`` adds a
+    32-char hex presentation column ``out_col`` (vectorized)."""
+
     def _h(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         h1, h2 = hash128(col, 0)
-        hexes = np.char.add(
-            np.vectorize(lambda x: format(x, "016x"))(h1.astype(object)),
-            np.vectorize(lambda x: format(x, "016x"))(h2.astype(object)),
-        )
-        return batch.append_column(out_col, pa.array(hexes.astype(str)))
+        batch = batch.append_column(f"{out_col}_1", pa.array(h1))
+        batch = batch.append_column(f"{out_col}_2", pa.array(h2))
+        if hex:
+            from ..hashing import hex128
+
+            batch = batch.append_column(out_col, pa.array(hex128(h1, h2)))
+        return batch
 
     return ds.map_batches(_h, batch_format="pyarrow")
 
@@ -76,17 +83,22 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", keep: str = 
     """One survivor per distinct text: the min (or max) id.
 
     128-bit content hash => collision probability ~n^2/2^129; the hash
-    column (not the text) is the shuffle key, so the wide op moves tiny
-    rows when the caller pre-projects [id_col, text_col].
+    columns (not the text) are the shuffle key, so the wide op moves tiny
+    (uint64, uint64, id) rows when the caller pre-projects
+    [id_col, text_col].
     """
     hashed = add_content_hash(ds, text_col)
 
     def _keep(df: pd.DataFrame) -> pd.DataFrame:
         agg = "min" if keep == "min" else "max"
-        out = df.groupby("content_hash", as_index=False, sort=False)[id_col].agg(agg)
+        out = df.groupby(["content_hash_1", "content_hash_2"], as_index=False, sort=False)[id_col].agg(agg)
         return out[[id_col]]
 
-    return bucketed_groupby(hashed.select_columns([id_col, "content_hash"]), ["content_hash"], _keep)
+    return bucketed_groupby(
+        hashed.select_columns([id_col, "content_hash_1", "content_hash_2"]),
+        ["content_hash_1", "content_hash_2"],
+        _keep,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -415,9 +427,11 @@ class SimHash:
         with np.errstate(over="ignore"):
             for j in range(64):
                 fp |= sim[:, j] << np.uint64(j)
+        from ..hashing import hex64
+
         cols = {
             self.id_col: batch[self.id_col],
-            "simhash": pa.array([format(int(x), "016x") for x in fp]),
+            "simhash": pa.array(hex64(fp)),
         }
         for bi in range(self.bands):
             part = (fp >> np.uint64(bi * (64 // self.bands))) & np.uint64((1 << (64 // self.bands)) - 1)

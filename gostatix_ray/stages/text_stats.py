@@ -14,8 +14,6 @@ first-class per the build brief).  All stages are vectorized
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -39,18 +37,21 @@ def _tokens(batch_text: pa.ChunkedArray | pa.Array) -> pa.Array:
 class TokenStats:
     """(id, text) -> id, n_tokens, n_chars, n_bpe_tokens, avg_token_len."""
 
+    # BPE-ish pre-tokenizer (GPT-2-style contractions/word/number/punct
+    # split), RE2 syntax for Arrow's count_substring_regex: \p{L}\p{N}_
+    # mirrors Python's Unicode \w so CJK text tokenizes identically.
+    _BPE_RE2 = r"'s|'t|'re|'ve|'m|'ll|'d| ?[\p{L}\p{N}_]+| ?[^\s\p{L}\p{N}_]+|\s+"
+
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
-        # BPE-ish pre-tokenizer (GPT-2-style contractions/word/number/punct split)
-        self.bpe = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         toks = _tokens(batch[self.text_col])
         n_tokens = pc.list_value_length(toks).cast(pa.int64())
         n_chars = pc.utf8_length(batch[self.text_col]).cast(pa.int64())
-        texts = batch[self.text_col].to_pylist()
-        n_bpe = pa.array([len(self.bpe.findall(t or "")) for t in texts], pa.int64())
+        # Arrow-native non-overlapping match count — no per-row Python regex
+        n_bpe = pc.count_substring_regex(batch[self.text_col], self._BPE_RE2).cast(pa.int64())
         avg_len = pc.divide(
             pc.cast(pc.subtract(n_chars, pc.subtract(n_tokens, 1)), pa.float64()),
             pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64()),
@@ -165,21 +166,34 @@ class Fingerprint:
         th, _ = hash128(flat, SEED_FEATURE + 1)
         offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
-        roll = np.empty(len(lengths), dtype=np.uint64)
-        for i in range(len(lengths)):  # per-doc min of window sums — small loop, numpy inner
-            seg = th[offsets[i] : offsets[i + 1]]
-            if seg.size == 0:
-                roll[i] = 0
-                continue
-            w = min(self.window, seg.size)
-            with np.errstate(over="ignore"):
-                csum = np.cumsum(seg, dtype=np.uint64)
-                wins = csum[w - 1 :] - np.concatenate([[np.uint64(0)], csum[:-w]])
-            roll[i] = wins.min()
+        # vectorized rolling min: GLOBAL width-w window sums (uint64 modular
+        # arithmetic makes the global cumsum difference equal the per-doc
+        # sum), windows crossing a doc boundary masked to MAX, per-doc min
+        # via one reduceat over the long-doc segments — no per-doc loop.
+        n_docs = len(lengths)
+        roll = np.zeros(n_docs, dtype=np.uint64)
+        N = th.size
+        w = self.window
+        with np.errstate(over="ignore"):
+            ext = np.zeros(N + 1, dtype=np.uint64)
+            np.cumsum(th, dtype=np.uint64, out=ext[1:])
+            long = lengths >= w
+            short = (lengths > 0) & ~long
+            if short.any():  # shorter than the window: one full-doc sum
+                roll[short] = ext[offsets[1:][short]] - ext[offsets[:-1][short]]
+            if long.any() and N >= w:
+                wins = ext[w:] - ext[: N - w + 1]  # wins[s] = sum th[s:s+w]
+                doc_idx = np.repeat(np.arange(n_docs), lengths)
+                valid = doc_idx[: N - w + 1] == doc_idx[w - 1 :]
+                wins = np.where(valid, wins, np.uint64(0xFFFFFFFFFFFFFFFF))
+                starts = offsets[:-1][long]
+                roll[long] = np.minimum.reduceat(wins, starts)
+        from ..hashing import hex64
+
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "content_hash": pa.array([format(int(x), "016x") for x in h1]),
-                "rolling_fp": pa.array([format(int(x), "016x") for x in roll]),
+                "content_hash": pa.array(hex64(h1)),
+                "rolling_fp": pa.array(hex64(roll)),
             }
         )

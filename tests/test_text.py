@@ -62,3 +62,25 @@ def test_stage_runs_on_dataset(ray_session):
     out = ds.map_batches(TokenStats(), batch_format="pyarrow", concurrency=2).to_pandas()
     assert len(out) == 100
     assert (out["n_tokens"] == 6).all()
+
+
+def test_bpe_count_matches_python_regex():
+    """The RE2 pattern given to Arrow must count the same non-overlapping
+    matches as the Python/Unicode original, including CJK text."""
+    import re
+
+    import pyarrow as pa
+
+    py = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+")
+    texts = [
+        "It's a test, isn't it? 42 times!",
+        "hello   world",
+        "我有一个想法 and some english",
+        "", "x", "don't you'll we've",
+        "punct!!! ... ??? -- ##",
+    ]
+    ts = TokenStats("text", "doc_id")
+    out = ts(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    got = out["n_bpe_tokens"].to_pylist()
+    want = [len(py.findall(t)) for t in texts]
+    assert got == want, (got, want)
