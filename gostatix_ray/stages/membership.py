@@ -17,19 +17,28 @@ from ..registry import kernel_for
 
 
 class MembershipFilter:
-    """Actor callable: keep (or drop) rows whose key is in the sketch filter."""
+    """Task callable: keep (or drop) rows whose key is in the sketch filter.
+    The broadcast state deserializes lazily ONCE PER WORKER (the unpickled
+    callable is cached per worker process), not per batch."""
 
     def __init__(self, state_ref, kind: str, column: str, negate: bool = False):
-        import ray
-
-        blob = ray.get(state_ref) if not isinstance(state_ref, (bytes, bytearray)) else state_ref
-        self._kernel = kernel_for(kind)
-        self._state = self._kernel.from_bytes(blob)
+        self._ref = state_ref
+        self._kind = kind
+        self._state = None
         self._column = column
         self._negate = negate
-        self._lookup = self._kernel.contains if kind == "bloom" else self._kernel.lookup_batch
+
+    def _ensure(self):
+        if self._state is None:
+            import ray
+
+            blob = ray.get(self._ref) if not isinstance(self._ref, (bytes, bytearray)) else self._ref
+            self._kernel = kernel_for(self._kind)
+            self._state = self._kernel.from_bytes(blob)
+            self._lookup = self._kernel.contains if self._kind == "bloom" else self._kernel.lookup_batch
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._ensure()
         col = batch[self._column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -182,19 +191,23 @@ def build_partitioned_cuckoo(ds, column: str, spec, *, n_partitions: int = 16, c
 
 
 class PartitionedCuckooFilterStage:
-    """Actor callable filtering rows through a broadcast PartitionedCuckoo."""
+    """Task callable filtering rows through a broadcast PartitionedCuckoo
+    (lazy once-per-worker deserialization, as MembershipFilter)."""
 
     def __init__(self, blob_ref, column: str, negate: bool = False):
-        import ray
-
-        blob = ray.get(blob_ref) if not isinstance(blob_ref, (bytes, bytearray)) else blob_ref
-        self._filter = PartitionedCuckoo.from_bytes(blob)
+        self._ref = blob_ref
+        self._filter = None
         self._column = column
         self._negate = negate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if self._filter is None:
+            import ray
+
+            blob = ray.get(self._ref) if not isinstance(self._ref, (bytes, bytearray)) else self._ref
+            self._filter = PartitionedCuckoo.from_bytes(blob)
         col = batch[self._column]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -212,8 +225,7 @@ def filter_by_partitioned_cuckoo(ds, filt: "PartitionedCuckoo", column: str, *, 
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
     ref = ray.put(filt.to_bytes())
     return ds.map_batches(
-        PartitionedCuckooFilterStage,
-        fn_constructor_args=(ref, column, negate),
+        PartitionedCuckooFilterStage(ref, column, negate),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -231,10 +243,9 @@ def filter_by_membership(ds, state_bytes: bytes, kind: str, column: str, *, nega
 
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
-    state_ref = ray.put(state_bytes)  # broadcast once, read per actor
+    state_ref = ray.put(state_bytes)  # broadcast once, read per worker
     return ds.map_batches(
-        MembershipFilter,
-        fn_constructor_args=(state_ref, kind, column, negate),
+        MembershipFilter(state_ref, kind, column, negate),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
