@@ -57,6 +57,9 @@ def export_bloom(state: bloom.BloomState) -> bytes:
             "m": state.spec.size,
             "k": state.spec.num_hashes,
             "b": base64.b64encode(_bitset_to_blob(state)).decode(),
+            # "hash" marker only for the non-reference hash: a metro-mode
+            # export carries EXACTLY the reference's field set (interop)
+            **({"hash": "murmur"} if state.spec.hash == "murmur" else {}),
         }
     ).encode()
 
@@ -66,7 +69,9 @@ def import_bloom(data: bytes) -> bloom.BloomState:
     size, words = _bitset_from_blob(base64.b64decode(d["b"]))
     if size != d["m"]:
         raise ValueError(f"bloom bitset length {size} != m {d['m']}")
-    return bloom.BloomState(bloom.BloomSpec(size=d["m"], num_hashes=d["k"]), words)
+    return bloom.BloomState(
+        bloom.BloomSpec(size=d["m"], num_hashes=d["k"], hash=d.get("hash", "metro")), words
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -83,6 +88,7 @@ def export_hll(state: hll.HLLState) -> bytes:
             "r": base64.b64encode(state.registers.tobytes()).decode(),
             "k": "",
             "mode": state.spec.mode,  # our extension (absent => compat)
+            **({"hash": "murmur"} if state.spec.hash == "murmur" else {}),
         }
     ).encode()
 
@@ -90,7 +96,7 @@ def export_hll(state: hll.HLLState) -> bytes:
 def import_hll(data: bytes) -> hll.HLLState:
     d = json.loads(data)
     reg = np.frombuffer(base64.b64decode(d["r"]), dtype=np.uint8).copy()
-    spec = hll.HLLSpec(m=d["nr"], mode=d.get("mode", "compat"))
+    spec = hll.HLLSpec(m=d["nr"], mode=d.get("mode", "compat"), hash=d.get("hash", "metro"))
     if len(reg) != spec.m:
         raise ValueError("register array length != nr")
     return hll.HLLState(spec, reg)
@@ -108,6 +114,7 @@ def export_cms(state: cms.CMSState) -> bytes:
             "s": state.all_sum,
             "m": state.matrix.tolist(),
             "k": "",
+            **({"hash": "murmur"} if state.spec.hash == "murmur" else {}),
         }
     ).encode()
 
@@ -115,7 +122,9 @@ def export_cms(state: cms.CMSState) -> bytes:
 def import_cms(data: bytes) -> cms.CMSState:
     d = json.loads(data)
     mat = np.array(d["m"], dtype=np.uint64).reshape(d["r"], d["c"])
-    return cms.CMSState(cms.CMSSpec(rows=d["r"], columns=d["c"]), mat, d["s"])
+    return cms.CMSState(
+        cms.CMSSpec(rows=d["r"], columns=d["c"], hash=d.get("hash", "metro")), mat, d["s"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -171,7 +180,11 @@ def import_topk(data: bytes) -> topk.TopKState:
     d = json.loads(data)
     cms_state = import_cms(json.dumps(d["s"]).encode())
     cand = {e["v"]: e["f"] for e in d["h"]}
-    return topk.TopKState(topk.TopKSpec(k=d["k"], error_rate=d["er"], accuracy=d["a"]), cms_state, cand)
+    return topk.TopKState(
+        topk.TopKSpec(k=d["k"], error_rate=d["er"], accuracy=d["a"], hash=cms_state.spec.hash),
+        cms_state,
+        cand,
+    )
 
 
 EXPORTERS = {

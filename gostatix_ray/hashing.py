@@ -8,15 +8,17 @@ The reference (kwertop/gostatix) uses two hash functions:
   (``bloom_filter.go:322-325``, ``base_hyperloglog.go:85``,
   ``base_count_min_sketch.go:54``).
 
-We standardize on **murmur3 x64-128 with a per-structure seed** for every
-sketch (documented deviation: metrohash is an external Go dependency with
-no published reference spec in this sandbox; murmur3 is a published
-algorithm we can pin with test vectors, and the reference itself vendors
-it).  All estimate-quality oracles from the reference's tests
-(HLL 100±2, CMS exact small counts, bloom FPP grid, top-k ranking) are
-statements about *hash-statistical* behavior, not about metrohash bits,
-and are re-validated in ``tests/`` against this hash.  The cuckoo filter
-is bit-compatible with the reference (same murmur3 h1, seed 0).
+The engine's NATIVE sketch hash is **murmur3 x64-128 with a
+per-structure seed** (pinned by public test vectors).  For state-level
+compatibility with Go gostatix deployments, bloom/HLL/CMS/top-k specs
+also accept ``hash="metro"``, which routes through the vectorized
+MetroHash128 implementation in ``gostatix_ray.metro`` (seed 1373, the
+reference's call signature) — see ``sketch_hash128`` below and
+tests/test_metro.py.  All estimate-quality oracles from the reference's
+tests (HLL 100±2, CMS exact small counts, bloom FPP grid, top-k
+ranking) are statements about *hash-statistical* behavior and are
+validated under BOTH hashes.  The cuckoo filter is bit-compatible with
+the reference in all modes (same murmur3 h1, seed 0).
 
 Two implementations, pinned against each other and against published
 murmur3 test vectors in ``tests/test_hashing.py``:
@@ -316,3 +318,21 @@ def hex128(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     pair[:, 1] = h2
     hx = binascii.hexlify(pair.tobytes())
     return np.frombuffer(hx, dtype="S32").astype("U32")
+
+
+def sketch_hash128(values, seed: int, hash_mode: str = "murmur"):
+    """Dispatch the sketch hash by spec-declared mode.
+
+    ``murmur`` (default): vectorized murmur3 x64-128 — the engine's
+    native hash.  ``metro``: MetroHash128 per the published algorithm —
+    the reference's hash (``metro.Hash128(data, 1373)``,
+    bloom_filter.go:322-325), for state-level compatibility with Go
+    gostatix deployments.  The mode lives ON THE SPEC so it serializes
+    with states and ships inside SketchRequests (a process-global switch
+    would not survive distribution).
+    """
+    if hash_mode == "metro":
+        from .metro import metro_hash128
+
+        return metro_hash128(values, seed)
+    return hash128(values, seed)

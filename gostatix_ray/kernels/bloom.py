@@ -23,24 +23,26 @@ import struct
 
 import numpy as np
 
-from ..hashing import SEED_BLOOM, hash128
+from ..hashing import SEED_BLOOM, hash128, sketch_hash128
 
 _MAGIC = b"GXBL"
+_MAGIC_METRO = b"GXB2"  # same layout, hash="metro"
 
 
 @dataclass(frozen=True)
 class BloomSpec:
     size: int  # number of bits
     num_hashes: int
+    hash: str = "murmur"  # "metro" = reference-compatible metrohash128(1373)
 
     @classmethod
-    def from_params(cls, num_items: int, error_rate: float) -> "BloomSpec":
+    def from_params(cls, num_items: int, error_rate: float, hash: str = "murmur") -> "BloomSpec":
         if num_items <= 0 or not (0.0 < error_rate < 1.0):
             raise ValueError("num_items must be > 0 and 0 < error_rate < 1")
         size = math.ceil(-(num_items * math.log(error_rate)) / (math.log(2) ** 2))
         # reference quirk: integer division before * ln2 (util/base.go:23-25)
         num_hashes = math.ceil((size // num_items) * math.log(2))
-        return cls(size=size, num_hashes=max(1, num_hashes))
+        return cls(size=size, num_hashes=max(1, num_hashes), hash=hash)
 
 
 class BloomState:
@@ -76,7 +78,7 @@ def update_hashed(state: BloomState, h1: np.ndarray, h2: np.ndarray) -> None:
 
 
 def update(state: BloomState, values) -> None:
-    h1, h2 = hash128(values, SEED_BLOOM)
+    h1, h2 = sketch_hash128(values, SEED_BLOOM, state.spec.hash)
     update_hashed(state, h1, h2)
 
 
@@ -88,7 +90,7 @@ def contains_hashed(state: BloomState, h1: np.ndarray, h2: np.ndarray) -> np.nda
 
 
 def contains(state: BloomState, values) -> np.ndarray:
-    h1, h2 = hash128(values, SEED_BLOOM)
+    h1, h2 = sketch_hash128(values, SEED_BLOOM, state.spec.hash)
     return contains_hashed(state, h1, h2)
 
 
@@ -125,12 +127,14 @@ def equals(a: BloomState, b: BloomState) -> bool:
 
 
 def to_bytes(state: BloomState) -> bytes:
-    return _MAGIC + struct.pack("<QQ", state.spec.size, state.spec.num_hashes) + state.bits.tobytes()
+    magic = _MAGIC_METRO if state.spec.hash == "metro" else _MAGIC
+    return magic + struct.pack("<QQ", state.spec.size, state.spec.num_hashes) + state.bits.tobytes()
 
 
 def from_bytes(data: bytes) -> BloomState:
-    if data[:4] != _MAGIC:
+    if data[:4] not in (_MAGIC, _MAGIC_METRO):
         raise ValueError("not a bloom state blob")
     size, k = struct.unpack_from("<QQ", data, 4)
     bits = np.frombuffer(data, dtype=np.uint64, offset=20).copy()
-    return BloomState(BloomSpec(size=size, num_hashes=k), bits)
+    hash_mode = "metro" if data[:4] == _MAGIC_METRO else "murmur"
+    return BloomState(BloomSpec(size=size, num_hashes=k, hash=hash_mode), bits)

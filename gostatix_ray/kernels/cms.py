@@ -24,24 +24,26 @@ import struct
 
 import numpy as np
 
-from ..hashing import SEED_CMS, hash128
+from ..hashing import SEED_CMS, hash128, sketch_hash128
 
 _MAGIC = b"GXCM"
+_MAGIC_METRO = b"GXC2"  # same layout, hash="metro"
 
 
 @dataclass(frozen=True)
 class CMSSpec:
     rows: int  # d
     columns: int  # w
+    hash: str = "murmur"  # "metro" = reference-compatible metrohash128(1373)
 
     @classmethod
-    def from_error_rate(cls, error_rate: float, delta: float) -> "CMSSpec":
+    def from_error_rate(cls, error_rate: float, delta: float, hash: str = "murmur") -> "CMSSpec":
         """count_min_sketch.go:44-52 (NewCountMinSketchFromEstimates)."""
         if not (0.0 < error_rate < 1.0) or not (0.0 < delta < 1.0):
             raise ValueError("error_rate and delta must be in (0, 1)")
         columns = math.ceil(math.e / error_rate)
         rows = math.ceil(math.log(1.0 / delta))
-        return cls(rows=max(1, rows), columns=max(1, columns))
+        return cls(rows=max(1, rows), columns=max(1, columns), hash=hash)
 
     def error_bound_eps(self) -> float:
         return math.e / self.columns
@@ -88,7 +90,7 @@ def update_hashed(state: CMSState, h1: np.ndarray, h2: np.ndarray, counts=None) 
 
 
 def update(state: CMSState, values, counts=None) -> None:
-    h1, h2 = hash128(values, SEED_CMS)
+    h1, h2 = sketch_hash128(values, SEED_CMS, state.spec.hash)
     update_hashed(state, h1, h2, counts)
 
 
@@ -100,7 +102,7 @@ def count_hashed(state: CMSState, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
 
 def count(state: CMSState, values) -> np.ndarray:
     """Vectorized Count over a query column (count_min_sketch.go:76-92)."""
-    h1, h2 = hash128(values, SEED_CMS)
+    h1, h2 = sketch_hash128(values, SEED_CMS, state.spec.hash)
     return count_hashed(state, h1, h2)
 
 
@@ -133,16 +135,18 @@ def equals(a: CMSState, b: CMSState) -> bool:
 
 
 def to_bytes(state: CMSState) -> bytes:
+    magic = _MAGIC_METRO if state.spec.hash == "metro" else _MAGIC
     return (
-        _MAGIC
+        magic
         + struct.pack("<QQQ", state.spec.rows, state.spec.columns, state.all_sum)
         + state.matrix.tobytes()
     )
 
 
 def from_bytes(data: bytes) -> CMSState:
-    if data[:4] != _MAGIC:
+    if data[:4] not in (_MAGIC, _MAGIC_METRO):
         raise ValueError("not a cms state blob")
     rows, cols, all_sum = struct.unpack_from("<QQQ", data, 4)
     mat = np.frombuffer(data, dtype=np.uint64, offset=28).reshape(rows, cols).copy()
-    return CMSState(CMSSpec(rows=rows, columns=cols), mat, all_sum)
+    hash_mode = "metro" if data[:4] == _MAGIC_METRO else "murmur"
+    return CMSState(CMSSpec(rows=rows, columns=cols, hash=hash_mode), mat, all_sum)

@@ -36,7 +36,7 @@ import struct
 
 import numpy as np
 
-from ..hashing import SEED_HLL, hash128
+from ..hashing import SEED_HLL, hash128, sketch_hash128
 
 _MAGIC = b"GXHL"
 _MODES = ("standard", "compat")
@@ -57,6 +57,7 @@ def _alpha(m: int) -> float:
 class HLLSpec:
     m: int  # number of registers, power of two
     mode: str = "standard"
+    hash: str = "murmur"  # "metro" = reference-compatible metrohash128(1373)
 
     def __post_init__(self):
         if self.m < 2 or (self.m & (self.m - 1)) != 0:
@@ -121,7 +122,7 @@ def update_hashed(state: HLLState, h1: np.ndarray) -> None:
 
 
 def update(state: HLLState, values) -> None:
-    h1, _ = hash128(values, SEED_HLL)
+    h1, _ = sketch_hash128(values, SEED_HLL, state.spec.hash)
     update_hashed(state, h1)
 
 
@@ -186,7 +187,8 @@ def equals(a: HLLState, b: HLLState) -> bool:
 
 
 def to_bytes(state: HLLState) -> bytes:
-    mode = 0 if state.spec.mode == "standard" else 1
+    # mode byte: bit0 = compat-mode, bit1 = metro hash
+    mode = (0 if state.spec.mode == "standard" else 1) | (2 if state.spec.hash == "metro" else 0)
     return _MAGIC + struct.pack("<QB", state.spec.m, mode) + state.registers.tobytes()
 
 
@@ -195,4 +197,5 @@ def from_bytes(data: bytes) -> HLLState:
         raise ValueError("not an hll state blob")
     m, mode = struct.unpack_from("<QB", data, 4)
     reg = np.frombuffer(data, dtype=np.uint8, offset=13).copy()
-    return HLLState(HLLSpec(m=m, mode=_MODES[mode]), reg)
+    hash_mode = "metro" if mode & 2 else "murmur"
+    return HLLState(HLLSpec(m=m, mode=_MODES[mode & 1], hash=hash_mode), reg)

@@ -34,9 +34,10 @@ class TopKSpec:
     k: int
     error_rate: float = 0.001
     accuracy: float = 0.999  # delta, reference calls it "accuracy" (top_k.go:82-90)
+    hash: str = "murmur"  # "metro" = reference-compatible metrohash128(1373)
 
     def cms_spec(self) -> cms_mod.CMSSpec:
-        return cms_mod.CMSSpec.from_error_rate(self.error_rate, self.accuracy)
+        return cms_mod.CMSSpec.from_error_rate(self.error_rate, self.accuracy, hash=self.hash)
 
 
 class TopKState:
@@ -164,4 +165,4 @@ def from_bytes(data: bytes) -> TopKState:
         off += 12
         cand[data[off : off + ln].decode()] = est
         off += ln
-    return TopKState(TopKSpec(k=k, error_rate=err, accuracy=acc), cms_state, cand)
+    return TopKState(TopKSpec(k=k, error_rate=err, accuracy=acc, hash=cms_state.spec.hash), cms_state, cand)

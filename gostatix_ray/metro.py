@@ -1,0 +1,225 @@
+"""MetroHash128 — the reference's primary sketch hash, re-implemented
+from the published algorithm (J. Andrew Rogers, metrohash128_1, public
+repository jandrewrogers/MetroHash; the reference consumes it through
+the go port ``github.com/dgryski/go-metro`` as ``metro.Hash128(data,
+1373)`` — /root/reference/bloom_filter.go:322-325,
+base_hyperloglog.go:85, base_count_min_sketch.go:54).
+
+Two implementations pinned against each other in tests/test_hashing.py:
+
+* ``metrohash128(data, seed)`` — scalar, pure Python over one ``bytes``;
+  a direct transcription of the published reference algorithm.
+* ``metro_hash128(values, seed)`` — vectorized NumPy over an Arrow
+  string/binary column: the 32-byte block loop runs ``max_len/32``
+  Python iterations per BATCH (not per row) over uint64 views of a
+  padded matrix; the 16/8/4/2/1-byte tail steps are masked gathers.
+
+Caveat, stated plainly: this sandbox has no network access, so the
+upstream test vectors could not be retrieved to machine-verify
+bit-compatibility against the C++/Go implementations.  What IS verified:
+scalar ≡ vectorized on randomized lengths 0..200 (property test), the
+published constants/rotations/structure, and golden self-vectors pinned
+in tests to catch regressions.  The statistical sketch oracles (HLL
+100±2, bloom FPP grid, CMS exactness) are re-validated under
+``hash="metro"`` mode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK = 0xFFFFFFFFFFFFFFFF
+_K0 = 0xC83A91E1
+_K1 = 0x8648DBDB
+_K2 = 0x7BDEC03B
+_K3 = 0x2F5870A5
+
+
+def _rotr(x: int, r: int) -> int:
+    return ((x >> r) | (x << (64 - r))) & _MASK
+
+
+def metrohash128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """Scalar MetroHash128 (metrohash128_1 variant) of one bytestring."""
+    n = len(data)
+    v0 = ((seed - _K0) * _K3 + n) & _MASK
+    v1 = ((seed + _K1) * _K2 + n) & _MASK
+    p = 0
+    if n >= 32:
+        v2 = ((seed + _K0) * _K2 + n) & _MASK
+        v3 = ((seed - _K1) * _K3 + n) & _MASK
+        while p <= n - 32:
+            v0 = (v0 + int.from_bytes(data[p : p + 8], "little") * _K0) & _MASK
+            v0 = (_rotr(v0, 29) + v2) & _MASK
+            v1 = (v1 + int.from_bytes(data[p + 8 : p + 16], "little") * _K1) & _MASK
+            v1 = (_rotr(v1, 29) + v3) & _MASK
+            v2 = (v2 + int.from_bytes(data[p + 16 : p + 24], "little") * _K2) & _MASK
+            v2 = (_rotr(v2, 29) + v0) & _MASK
+            v3 = (v3 + int.from_bytes(data[p + 24 : p + 32], "little") * _K3) & _MASK
+            v3 = (_rotr(v3, 29) + v1) & _MASK
+            p += 32
+        v2 ^= (_rotr(((v0 + v3) * _K0 + v1) & _MASK, 21) * _K1) & _MASK
+        v3 ^= (_rotr(((v1 + v2) * _K1 + v0) & _MASK, 21) * _K0) & _MASK
+        v0 ^= (_rotr(((v0 + v2) * _K0 + v3) & _MASK, 21) * _K1) & _MASK
+        v1 ^= (_rotr(((v1 + v3) * _K1 + v2) & _MASK, 21) * _K0) & _MASK
+    rem = n - p
+    if rem >= 16:
+        v0 = (v0 + int.from_bytes(data[p : p + 8], "little") * _K2) & _MASK
+        v0 = (_rotr(v0, 33) * _K3) & _MASK
+        v1 = (v1 + int.from_bytes(data[p + 8 : p + 16], "little") * _K2) & _MASK
+        v1 = (_rotr(v1, 33) * _K3) & _MASK
+        v0 ^= (_rotr((v0 * _K2 + v1) & _MASK, 45) * _K1) & _MASK
+        v1 ^= (_rotr((v1 * _K3 + v0) & _MASK, 45) * _K0) & _MASK
+        p += 16
+        rem -= 16
+    if rem >= 8:
+        v0 = (v0 + int.from_bytes(data[p : p + 8], "little") * _K2) & _MASK
+        v0 = (_rotr(v0, 33) * _K3) & _MASK
+        v0 ^= (_rotr((v0 * _K2 + v1) & _MASK, 27) * _K1) & _MASK
+        p += 8
+        rem -= 8
+    if rem >= 4:
+        v1 = (v1 + int.from_bytes(data[p : p + 4], "little") * _K2) & _MASK
+        v1 = (_rotr(v1, 33) * _K3) & _MASK
+        v1 ^= (_rotr((v1 * _K3 + v0) & _MASK, 46) * _K0) & _MASK
+        p += 4
+        rem -= 4
+    if rem >= 2:
+        v0 = (v0 + int.from_bytes(data[p : p + 2], "little") * _K2) & _MASK
+        v0 = (_rotr(v0, 33) * _K3) & _MASK
+        v0 ^= (_rotr((v0 * _K2 + v1) & _MASK, 22) * _K1) & _MASK
+        p += 2
+        rem -= 2
+    if rem >= 1:
+        v1 = (v1 + data[p] * _K2) & _MASK
+        v1 = (_rotr(v1, 33) * _K3) & _MASK
+        v1 ^= (_rotr((v1 * _K3 + v0) & _MASK, 58) * _K0) & _MASK
+    v0 = (v0 + _rotr((v0 * _K0 + v1) & _MASK, 13)) & _MASK
+    v1 = (v1 + _rotr((v1 * _K1 + v0) & _MASK, 37)) & _MASK
+    v0 = (v0 + _rotr((v0 * _K2 + v1) & _MASK, 13)) & _MASK
+    v1 = (v1 + _rotr((v1 * _K3 + v0) & _MASK, 37)) & _MASK
+    return v0, v1
+
+
+# ---------------------------------------------------------------------------
+# vectorized implementation
+# ---------------------------------------------------------------------------
+
+_k0 = np.uint64(_K0)
+_k1 = np.uint64(_K1)
+_k2 = np.uint64(_K2)
+_k3 = np.uint64(_K3)
+
+
+def _vrotr(x: np.ndarray, r: int) -> np.ndarray:
+    return (x >> np.uint64(r)) | (x << np.uint64(64 - r))
+
+
+def metro_hash128(values, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized MetroHash128 of a column; returns (h1, h2) uint64 arrays.
+
+    Bit-equal to :func:`metrohash128` per element (property-tested)."""
+    from .hashing import to_padded_bytes
+
+    mat, lengths = to_padded_bytes(values)
+    n = len(lengths)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    # widen the pad so every 32-byte block and tail word GATHER is
+    # in-bounds even for masked-out rows (fancy indexing evaluates all
+    # rows): round up to a 32 multiple and add one full spare block
+    width = mat.shape[1]
+    pad = (32 - (width % 32)) % 32 + 32
+    mat = np.pad(mat, ((0, 0), (0, pad)))
+    width = mat.shape[1]
+    w64 = mat.view(np.uint64)  # (n, width//8)
+    w32 = mat.view(np.uint32)
+    w16 = mat.view(np.uint16)
+    L = lengths.astype(np.uint64)
+    s = np.uint64(seed & _MASK)
+    with np.errstate(over="ignore"):
+        v0 = (s - _k0) * _k3 + L
+        v1 = (s + _k1) * _k2 + L
+        v2 = (s + _k0) * _k2 + L
+        v3 = (s - _k1) * _k3 + L
+        rounds = np.where(lengths >= 32, lengths // 32, 0).astype(np.int64)
+        max_rounds = int(rounds.max())
+        for j in range(max_rounds):
+            m = rounds > j
+            b0 = w64[:, 4 * j]
+            b1 = w64[:, 4 * j + 1]
+            b2 = w64[:, 4 * j + 2]
+            b3 = w64[:, 4 * j + 3]
+            nv0 = _vrotr(v0 + b0 * _k0, 29) + v2
+            nv1 = _vrotr(v1 + b1 * _k1, 29) + v3
+            nv2 = _vrotr(v2 + b2 * _k2, 29) + nv0
+            nv3 = _vrotr(v3 + b3 * _k3, 29) + nv1
+            v0 = np.where(m, nv0, v0)
+            v1 = np.where(m, nv1, v1)
+            v2 = np.where(m, nv2, v2)
+            v3 = np.where(m, nv3, v3)
+        big = lengths >= 32
+        if big.any():
+            nv2 = v2 ^ (_vrotr((v0 + v3) * _k0 + v1, 21) * _k1)
+            nv3 = v3 ^ (_vrotr((v1 + nv2) * _k1 + v0, 21) * _k0)
+            nv0 = v0 ^ (_vrotr((v0 + nv2) * _k0 + nv3, 21) * _k1)
+            nv1 = v1 ^ (_vrotr((v1 + nv3) * _k1 + nv2, 21) * _k0)
+            v0 = np.where(big, nv0, v0)
+            v1 = np.where(big, nv1, v1)
+        # tail: byte position p = 32*rounds, remaining = lengths - p
+        pos = (rounds * 32).astype(np.int64)
+        rem = lengths - pos
+        rows = np.arange(n)
+
+        m = rem >= 16
+        if m.any():
+            a = w64[rows, pos // 8]
+            b = w64[rows, pos // 8 + 1]
+            nv0 = _vrotr(v0 + a * _k2, 33) * _k3
+            nv1 = _vrotr(v1 + b * _k2, 33) * _k3
+            nv0 = nv0 ^ (_vrotr(nv0 * _k2 + nv1, 45) * _k1)
+            nv1 = nv1 ^ (_vrotr(nv1 * _k3 + nv0, 45) * _k0)
+            v0 = np.where(m, nv0, v0)
+            v1 = np.where(m, nv1, v1)
+            pos = np.where(m, pos + 16, pos)
+            rem = np.where(m, rem - 16, rem)
+
+        m = rem >= 8
+        if m.any():
+            a = w64[rows, pos // 8]
+            nv0 = _vrotr(v0 + a * _k2, 33) * _k3
+            nv0 = nv0 ^ (_vrotr(nv0 * _k2 + v1, 27) * _k1)
+            v0 = np.where(m, nv0, v0)
+            pos = np.where(m, pos + 8, pos)
+            rem = np.where(m, rem - 8, rem)
+
+        m = rem >= 4
+        if m.any():
+            a = w32[rows, pos // 4].astype(np.uint64)
+            nv1 = _vrotr(v1 + a * _k2, 33) * _k3
+            nv1 = nv1 ^ (_vrotr(nv1 * _k3 + v0, 46) * _k0)
+            v1 = np.where(m, nv1, v1)
+            pos = np.where(m, pos + 4, pos)
+            rem = np.where(m, rem - 4, rem)
+
+        m = rem >= 2
+        if m.any():
+            a = w16[rows, pos // 2].astype(np.uint64)
+            nv0 = _vrotr(v0 + a * _k2, 33) * _k3
+            nv0 = nv0 ^ (_vrotr(nv0 * _k2 + v1, 22) * _k1)
+            v0 = np.where(m, nv0, v0)
+            pos = np.where(m, pos + 2, pos)
+            rem = np.where(m, rem - 2, rem)
+
+        m = rem >= 1
+        if m.any():
+            a = mat[rows, pos].astype(np.uint64)
+            nv1 = _vrotr(v1 + a * _k2, 33) * _k3
+            nv1 = nv1 ^ (_vrotr(nv1 * _k3 + v0, 58) * _k0)
+            v1 = np.where(m, nv1, v1)
+
+        v0 = v0 + _vrotr(v0 * _k0 + v1, 13)
+        v1 = v1 + _vrotr(v1 * _k1 + v0, 37)
+        v0 = v0 + _vrotr(v0 * _k2 + v1, 13)
+        v1 = v1 + _vrotr(v1 * _k3 + v0, 37)
+    return v0, v1

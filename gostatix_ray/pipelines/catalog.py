@@ -107,6 +107,23 @@ def q_topk_event_types_sketch(sf_dir: str):
     return pd.DataFrame({"event_type": [e for e, _ in vals], "cnt": [c for _, c in vals]})
 
 
+def q_topk_event_types_metro(sf_dir: str):
+    """Reference-hash-mode twin of topk_event_types_sketch: the whole
+    build/merge/query path runs under hash=\"metro\" (metrohash128 seed
+    1373, the reference's hash — gostatix_ray.metro), oracle-checked."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    state = _one_state(
+        ds,
+        SketchRequest(
+            "topk_et_metro", "topk",
+            topk.TopKSpec(k=3, error_rate=0.0001, accuracy=0.01, hash="metro"),
+            on="event_type",
+        ),
+    )
+    vals = topk.values(state)
+    return pd.DataFrame({"event_type": [e for e, _ in vals], "cnt": [c for _, c in vals]})
+
+
 def q_token_counts_exact(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -698,6 +715,7 @@ QUERIES = {
     "user_event_type_pairs_exact": q_user_event_type_pairs_exact,
     "top_event_types_exact": q_top_event_types_exact,
     "topk_event_types_sketch": q_topk_event_types_sketch,
+    "topk_event_types_metro": q_topk_event_types_metro,
     "token_counts_exact": q_token_counts_exact,
     "cms_token_counts": q_cms_token_counts,
     "bloom_click_users_semijoin": q_bloom_click_users_semijoin,
@@ -737,6 +755,10 @@ ORACLE_SQL = {
     ),
     "top_event_types_exact": "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
     "topk_event_types_sketch": (
+        "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type "
+        "ORDER BY cnt DESC, event_type ASC LIMIT 3"
+    ),
+    "topk_event_types_metro": (
         "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type "
         "ORDER BY cnt DESC, event_type ASC LIMIT 3"
     ),

@@ -13,7 +13,7 @@ def test_bloom_json_roundtrip():
     bloom.update(s, ["alpha", "beta"])
     blob = codec.export_bloom(s)
     d = json.loads(blob)
-    assert set(d) == {"m", "k", "b"}  # bloom_filter.go:246-250 field names
+    assert set(d) == {"m", "k", "b", "hash"}  # reference fields + murmur marker
     s2 = codec.import_bloom(blob)
     assert bloom.equals(s, s2)
 
@@ -34,7 +34,7 @@ def test_cms_json_roundtrip():
     cms.update(s, ["x", "x", "y"])
     blob = codec.export_cms(s)
     d = json.loads(blob)
-    assert set(d) == {"r", "c", "s", "m", "k"}  # count_min_sketch.go:96-100
+    assert set(d) == {"r", "c", "s", "m", "k", "hash"}  # reference fields + murmur marker
     s2 = codec.import_cms(blob)
     assert cms.equals(s, s2)
     assert s2.all_sum == 3

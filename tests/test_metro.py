@@ -1,0 +1,104 @@
+"""MetroHash128 kernel + hash="metro" sketch compat mode.
+
+The reference hashes bloom/HLL/CMS/top-k keys with metro.Hash128(data,
+1373) (bloom_filter.go:322-325, base_hyperloglog.go:85,
+base_count_min_sketch.go:54).  Upstream test vectors are unreachable in
+this offline sandbox; what we pin: scalar == vectorized on randomized
+inputs, golden self-vectors (regression), and the reference's
+statistical oracles re-validated under metro mode.
+"""
+
+import numpy as np
+import pytest
+
+from gostatix_ray.kernels import bloom, cms, hll, topk
+from gostatix_ray.metro import metro_hash128, metrohash128
+
+
+def test_scalar_equals_vectorized_randomized():
+    rng = np.random.default_rng(3)
+    vals = [bytes(rng.integers(0, 256, int(rng.integers(0, 201)), dtype=np.uint8)) for _ in range(300)]
+    for seed in (0, 1373):
+        h1, h2 = metro_hash128(vals, seed)
+        for i, v in enumerate(vals):
+            assert metrohash128(v, seed) == (int(h1[i]), int(h2[i])), (seed, i, len(v))
+
+
+def test_scalar_equals_vectorized_arrow_strings():
+    import pyarrow as pa
+
+    vals = ["", "a", "hello world", "x" * 31, "y" * 32, "z" * 33, "w" * 64, "v" * 100]
+    arr = pa.array(vals)
+    h1, h2 = metro_hash128(arr, 1373)
+    for i, v in enumerate(vals):
+        assert metrohash128(v.encode(), 1373) == (int(h1[i]), int(h2[i]))
+
+
+def test_golden_self_vectors():
+    """Regression pins for THIS implementation (upstream vectors offline-
+    unavailable; these protect against accidental kernel drift)."""
+    assert metrohash128(b"", 0) == (0x0005F3CA3D41D1CB, 0x4606B14684C65FB6)
+    key63 = b"012345678901234567890123456789012345678901234567890123456789012"
+    assert metrohash128(key63, 0) == (0x064D600BBDFE08B3, 0x0883690033D117BB)
+    assert metrohash128(b"hello", 1373) == (0xBDA391C6E28C9362, 0xA3DD78462948DC2D)
+
+
+def test_hll_100_plus_minus_2_under_metro():
+    # hyperloglog_test.go's statistical oracle, re-run under hash="metro"
+    s = hll.new(hll.HLLSpec(m=1 << 14, hash="metro"))
+    hll.update(s, [f"user-{i}" for i in range(100)])
+    assert abs(hll.count(s) - 100) <= 2
+
+
+def test_bloom_fpp_and_membership_under_metro():
+    spec = bloom.BloomSpec.from_params(10000, 0.01, hash="metro")
+    s = bloom.new(spec)
+    keys = [f"k{i}" for i in range(10000)]
+    bloom.update(s, keys)
+    assert bloom.contains(s, keys).all()  # no false negatives
+    neg = bloom.contains(s, [f"other{i}" for i in range(10000)])
+    assert neg.mean() <= 1.5 * 0.01  # FPP near configured
+    assert bloom.positive_rate(s) <= 1.1 * 0.01
+
+
+def test_cms_exact_small_counts_under_metro():
+    s = cms.new(cms.CMSSpec.from_error_rate(0.001, 0.01, hash="metro"))
+    cms.update(s, ["a", "b", "a", "c"], counts=[2, 3, 1, 5])
+    got = cms.count(s, ["a", "b", "c"])
+    assert list(got) == [3, 3, 5]  # exact at this load (overestimate-only)
+
+
+def test_topk_under_metro():
+    s = topk.new(topk.TopKSpec(k=2, hash="metro"))
+    topk.update(s, ["x"] * 5 + ["y"] * 3 + ["z"])
+    assert [e for e, _ in topk.values(s)] == ["x", "y"]
+    assert s.cms.spec.hash == "metro"
+
+
+def test_metro_state_roundtrip_and_spec_isolation():
+    # metro and murmur states never merge (spec mismatch), and binary
+    # round-trips preserve the hash mode
+    a = bloom.new(bloom.BloomSpec.from_params(100, 0.01, hash="metro"))
+    b = bloom.new(bloom.BloomSpec.from_params(100, 0.01))
+    with pytest.raises(ValueError):
+        bloom.merge(a, b)
+    bloom.update(a, ["q"])
+    rt = bloom.from_bytes(bloom.to_bytes(a))
+    assert rt.spec.hash == "metro" and bloom.equals(rt, a)
+    c = cms.new(cms.CMSSpec(rows=2, columns=64, hash="metro"))
+    cms.update(c, ["q"])
+    rt = cms.from_bytes(cms.to_bytes(c))
+    assert rt.spec.hash == "metro" and cms.equals(rt, c)
+    h = hll.new(hll.HLLSpec(m=256, mode="compat", hash="metro"))
+    hll.update(h, ["q", "r"])
+    rt = hll.from_bytes(hll.to_bytes(h))
+    assert rt.spec.hash == "metro" and rt.spec.mode == "compat" and hll.equals(rt, h)
+
+
+def test_metro_differs_from_murmur():
+    # sanity: the two modes really produce different states
+    a = bloom.new(bloom.BloomSpec(size=1024, num_hashes=3, hash="metro"))
+    b = bloom.new(bloom.BloomSpec(size=1024, num_hashes=3))
+    bloom.update(a, ["same-key"])
+    bloom.update(b, ["same-key"])
+    assert not np.array_equal(a.bits, b.bits)

@@ -1,0 +1,73 @@
+"""Reference binary WriteTo/ReadFrom stream framing round-trips
+(bloom_filter.go:279-320, hyperloglog.go:124-172,
+count_min_sketch.go:156-218, cuckoo_filter.go:223-297,
+top_k.go:216-301)."""
+
+import numpy as np
+
+from gostatix_ray import stream_codec as sc
+from gostatix_ray.kernels import bloom, cms, cuckoo, hll, topk
+
+
+def test_bloom_stream_roundtrip():
+    s = bloom.new(bloom.BloomSpec.from_params(1000, 0.01, hash="metro"))
+    bloom.update(s, [f"k{i}" for i in range(100)])
+    blob = sc.write_stream("bloom", s)
+    rt, used = sc.read_stream("bloom", blob)
+    assert used == len(blob)
+    assert bloom.equals(rt, s) and rt.spec.hash == "metro"
+    # header layout: BE size / numHashes / bitset size / bit length
+    import struct
+
+    size, k, bs, bl = struct.unpack_from(">QQQQ", blob, 0)
+    assert size == s.spec.size == bs == bl and k == s.spec.num_hashes
+
+
+def test_hll_stream_roundtrip():
+    s = hll.new(hll.HLLSpec(m=1 << 10, mode="compat", hash="metro"))
+    hll.update(s, [f"u{i}" for i in range(500)])
+    blob = sc.write_stream("hll", s)
+    assert len(blob) == 24 + s.spec.m
+    rt, used = sc.read_stream("hll", blob)
+    assert used == len(blob) and hll.equals(rt, s)
+
+
+def test_cms_stream_roundtrip():
+    s = cms.new(cms.CMSSpec(rows=4, columns=512, hash="metro"))
+    cms.update(s, ["a", "b", "a"], counts=[2, 1, 3])
+    blob = sc.write_stream("cms", s)
+    rt, used = sc.read_stream("cms", blob)
+    assert used == len(blob) and cms.equals(rt, s) and rt.all_sum == 6
+
+
+def test_cuckoo_stream_roundtrip_nonfull_buckets():
+    # non-full buckets exercise the reference writeTo/readFrom asymmetry
+    # we adjudicate (module docstring): every slot framed, empties len-0
+    spec = cuckoo.CuckooSpec(size=64, bucket_size=4, fp_length=8, retries=50)
+    s = cuckoo.new(spec)
+    cuckoo.insert_batch(s, [f"item-{i}" for i in range(40)])
+    blob = sc.write_stream("cuckoo", s)
+    rt, used = sc.read_stream("cuckoo", blob)
+    assert used == len(blob)
+    assert rt.length == s.length
+    assert np.array_equal(rt.buckets, s.buckets)
+    assert cuckoo.lookup_batch(rt, ["item-0", "item-39", "nope"]).tolist() == [True, True, False]
+
+
+def test_topk_stream_roundtrip():
+    s = topk.new(topk.TopKSpec(k=3, hash="metro"))
+    topk.update(s, ["x"] * 5 + ["y"] * 3 + ["z"] * 2 + ["w"])
+    blob = sc.write_stream("topk", s)
+    rt, used = sc.read_stream("topk", blob)
+    assert used == len(blob)
+    assert topk.values(rt) == topk.values(s)
+    assert rt.spec.hash == "metro" and rt.cms.spec.hash == "metro"
+
+
+def test_topk_pads_to_k_entries():
+    s = topk.new(topk.TopKSpec(k=5))
+    topk.update(s, ["only"])
+    blob = sc.write_stream("topk", s)
+    rt, used = sc.read_stream("topk", blob, hash_mode="murmur")
+    assert used == len(blob)
+    assert [e for e, _ in topk.values(rt)] == ["only"]
