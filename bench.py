@@ -41,6 +41,12 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Sketch pipelines are funnels (heavy build map -> tiny merges); the
+    # executor's 0.5 per-operator CPU reservation for the downstream ops
+    # halves build parallelism (measured 47s -> 21s on 32M turns @ 8
+    # CPUs).  All stages are stateless tasks, so disabling is safe.
+    if hasattr(ctx, "op_resource_reservation_enabled"):
+        ctx.op_resource_reservation_enabled = False
 
     import ray.data as rd
 
@@ -56,6 +62,26 @@ def run_bench() -> dict:
 
     # warm the page cache so we measure compute + shuffle, not first-touch disk
     rd.read_parquet(tx_path).count()
+
+    # warm the WORKER POOL: each Ray worker pays ~1-2s of library imports
+    # (numpy/pandas/pyarrow + gostatix_ray) on its first sketch task; in a
+    # fused streaming pipeline that lands inside the timed section and on
+    # whichever stage first touches a cold worker.  One dummy wave over
+    # 2x num_cpus blocks imports everything on (nearly) every worker so
+    # the bench measures pipeline capability, not interpreter start-up.
+    def _warm(batch):
+        import pandas  # noqa: F401
+
+        from gostatix_ray.registry import kernel_for  # noqa: F401
+        from gostatix_ray.hashing import hash128
+        import pyarrow as _pa
+
+        hash128(_pa.array(["warm"] * 8), 0)
+        return batch
+
+    rd.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
+        _warm, batch_format="pyarrow"
+    ).materialize()
 
     queries: dict[str, float] = {}
 

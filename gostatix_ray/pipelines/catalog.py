@@ -389,12 +389,15 @@ def q_near_dup_pairs_verified(sf_dir: str):
 
 
 def q_doc_dup_clusters(sf_dir: str):
-    """Near-dup clusters: minhash candidate pairs -> connected components
-    (min-label propagation) -> (doc_id, cluster_id)."""
+    """Near-dup clusters: EXACT-verified near-dup pairs (LSH candidates +
+    distributed exact Jaccard >= 0.5) -> distributed connected components
+    (min-label propagation via bucketed hash joins) -> (doc_id,
+    cluster_id).  Oracle-checked: DuckDB recomputes the exact pair set
+    and closes it transitively with a recursive CTE."""
     from ..stages.dedup import duplicate_clusters
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_candidate_pairs(
+    pairs = near_dup_pairs_verified(
         ds, text_col="text", id_col="doc_id", num_perm=128, bands=32, shingle=3,
         threshold=0.5, concurrency=_CONC,
     )
@@ -806,6 +809,68 @@ ORACLE_SQL = {
         "SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard "
         "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
         "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5"
+    ),
+    "doc_dup_clusters": (
+        "WITH RECURSIVE "
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(t) < 3 THEN array_to_string(t, ' ') "
+        "ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s "
+        "FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT id_a, id_b FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT a AS node FROM edges), "
+        "reach AS (SELECT node, node AS peer FROM nodes "
+        "UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer) "
+        "SELECT node AS doc_id, CAST(min(peer) AS BIGINT) AS cluster_id "
+        "FROM reach GROUP BY node"
+    ),
+    "doc_quality_scores": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "flat AS (SELECT doc_id, unnest(t) AS tok FROM toks), "
+        "agg AS (SELECT doc_id, count(*) AS n_tok, "
+        "sum(CASE WHEN lower(tok) IN ('the','a','of','to','and','in','is','it','that','for') "
+        "THEN 1 ELSE 0 END) AS n_stop, count(DISTINCT tok) AS n_distinct "
+        "FROM flat GROUP BY doc_id) "
+        "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
+        "n_stop * 1.0 / greatest(n_tok, 1) AS stop_ratio, "
+        "n_distinct * 1.0 / greatest(n_tok, 1) AS distinct_ratio, "
+        "0.4 * least(greatest(n_tok / 100.0, 0.0), 1.0) "
+        "+ 0.3 * (n_distinct * 1.0 / greatest(n_tok, 1)) "
+        "+ 0.3 * (1.0 - abs(n_stop * 1.0 / greatest(n_tok, 1) - 0.4)) AS quality "
+        "FROM agg"
+    ),
+    "doc_langid": (
+        "WITH lex(lang, prio, w) AS (VALUES "
+        "('en',0,'the'),('en',0,'a'),('en',0,'of'),('en',0,'to'),('en',0,'and'),"
+        "('en',0,'in'),('en',0,'is'),('en',0,'it'),('en',0,'that'),('en',0,'for'),"
+        "('es',1,'el'),('es',1,'la'),('es',1,'de'),('es',1,'que'),('es',1,'y'),"
+        "('es',1,'en'),('es',1,'un'),('es',1,'una'),('es',1,'es'),('es',1,'por'),"
+        "('fr',2,'le'),('fr',2,'la'),('fr',2,'de'),('fr',2,'et'),('fr',2,'un'),"
+        "('fr',2,'une'),('fr',2,'est'),('fr',2,'que'),('fr',2,'pour'),('fr',2,'dans'),"
+        "('de',3,'der'),('de',3,'die'),('de',3,'das'),('de',3,'und'),('de',3,'ein'),"
+        "('de',3,'eine'),('de',3,'ist'),('de',3,'zu'),('de',3,'von'),('de',3,'mit'),"
+        "('zh',4,'的'),('zh',4,'是'),('zh',4,'了'),('zh',4,'在'),('zh',4,'我'),"
+        "('zh',4,'有'),('zh',4,'和'),('zh',4,'就'),('zh',4,'不'),('zh',4,'人')), "
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "flat AS (SELECT doc_id, lower(tok) AS tok FROM "
+        "(SELECT doc_id, unnest(t) AS tok FROM toks)), "
+        "cnt AS (SELECT doc_id, count(*) AS n FROM flat GROUP BY doc_id), "
+        "hits AS (SELECT f.doc_id, l.lang, count(*) AS h FROM flat f "
+        "JOIN lex l ON f.tok = l.w GROUP BY 1, 2), "
+        "scores AS (SELECT c.doc_id, l.lang, l.prio, "
+        "COALESCE(h.h, 0) * 1.0 / greatest(c.n, 1) AS conf "
+        "FROM cnt c CROSS JOIN (SELECT DISTINCT lang, prio FROM lex) l "
+        "LEFT JOIN hits h ON h.doc_id = c.doc_id AND h.lang = l.lang) "
+        "SELECT doc_id, CASE WHEN conf > 0 THEN lang ELSE 'und' END AS lang_pred, "
+        "conf AS lang_conf FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY conf DESC, prio ASC) AS rn "
+        "FROM scores) WHERE rn = 1"
     ),
     "doc_token_stats": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "

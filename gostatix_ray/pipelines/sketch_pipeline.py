@@ -23,7 +23,7 @@ from typing import Any
 
 from ..registry import kernel_for
 from ..stages.build import SketchRequest, build_partials
-from ..stages.merge import collect_final, merge_partials, merge_partials_streaming
+from ..stages.merge import collect_final, full_throttle, merge_partials, merge_partials_streaming
 from ..state import lineage as lin
 
 
@@ -146,6 +146,10 @@ class SketchPipeline:
         self._kinds = {r.name: r.kind for r in requests}
 
     def run(self, ds) -> dict[tuple[str, str], SketchResult]:
+        with full_throttle():
+            return self._run(ds)
+
+    def _run(self, ds) -> dict[tuple[str, str], SketchResult]:
         partials = None
         if self.checkpoint_dir:
             partials = lin.resume_partials(self.checkpoint_dir)
@@ -170,14 +174,15 @@ class SketchPipeline:
         if self.checkpoint_dir:
             merged = merge_partials(partials, fan_in=self.fan_in)
         else:
-            merged = merge_partials_streaming(partials, pre_fan=self.fan_in)
+            merged = merge_partials_streaming(partials)
         final = {}
         rows_by_key = {}
-        for batch in merged.iter_batches(batch_size=4096, batch_format="pyarrow"):
-            for row in batch.to_pylist():
-                key = (row["sketch"], row["group_key"])
-                final[key] = row["state"]
-                rows_by_key[key] = row["rows"]
+        with full_throttle():
+            for batch in merged.iter_batches(batch_size=4096, batch_format="pyarrow"):
+                for row in batch.to_pylist():
+                    key = (row["sketch"], row["group_key"])
+                    final[key] = row["state"]
+                    rows_by_key[key] = row["rows"]
         from ..stages.build import decompress_state
 
         out = {}

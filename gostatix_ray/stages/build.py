@@ -112,20 +112,22 @@ def decompress_state(blob: bytes) -> bytes:
 
 
 def _fragment_id(values: pa.Array, nrows: int) -> str:
-    """Deterministic, content-derived block id (idempotent under retry).
+    """Content-derived block id component (cheap SAMPLED hash).
 
-    Hashes the array's FULL LOGICAL byte range, not its raw buffers: a
-    zero-copy slice shares its parent's buffers, so buffer-hashing would
-    give two different batches of one parent block the same id — and the
-    merge-side fragment dedupe would silently drop one.  (Regression:
+    Hashes the array's LOGICAL byte range (normalized offsets + head/tail
+    data windows + lengths), never raw buffers: a zero-copy slice shares
+    its parent's buffers, so buffer-hashing would give two different
+    batches of one parent block the same id.  (Regression:
     tests/test_e2e_ray.py::test_fragment_ids_distinguish_slices.)
 
-    The hash covers EVERY byte (offsets normalized to the slice start, so
-    equal content hashes equal regardless of parent layout): two distinct
-    blocks can only collide if their content is byte-identical.  blake2b
-    streams >1 GB/s, negligible next to the sketch-hash cost.  Blocks with
-    legitimately identical content are disambiguated by the builder-level
-    task discriminator (see ``SketchBuilder.__call__``), never here.
+    UNIQUENESS between distinct blocks does NOT rest on this hash: the
+    builder mixes a (task_id, per-task seq) discriminator into every
+    fragment (see ``SketchBuilder.__call__``), which alone separates any
+    two blocks — including byte-identical ones — while staying stable
+    across retries of the same task.  The sampled content hash only adds
+    retry-stability margin and a debuggable lineage label, so sampling
+    (vs hashing every byte) is safe — a full-range hash measured 33% of
+    the whole build stage and bought nothing (round-2 profiling).
     """
     h = hashlib.blake2b(digest_size=12)
     typ = values.type
@@ -134,15 +136,21 @@ def _fragment_id(values: pa.Array, nrows: int) -> str:
         odt = np.int64 if (pa.types.is_large_string(typ) or pa.types.is_large_binary(typ)) else np.int32
         off = np.frombuffer(bufs[1], dtype=odt)[values.offset : values.offset + len(values) + 1]
         data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]] if bufs[2] is not None else np.empty(0, np.uint8)
-        h.update((off - off[0]).astype(np.int64).tobytes())  # normalized, FULL offsets
-        h.update(data.tobytes())  # FULL data range
+        h.update((off[:64] - off[0]).astype(np.int64).tobytes())  # leading offsets anchor layout
+        h.update(data[:4096].tobytes())
+        h.update(data[-4096:].tobytes())
+        h.update(str(len(data)).encode())
     elif bufs and len(bufs) > 1 and bufs[1] is not None:
         width = typ.bit_width // 8 if hasattr(typ, "bit_width") else 8
         data = np.frombuffer(bufs[1], dtype=np.uint8)[values.offset * width : (values.offset + len(values)) * width]
-        h.update(data.tobytes())  # FULL data range
-    else:  # fallback: stringify everything (rare non-flat types)
-        h.update(repr(values.to_pylist()).encode())
-    if bufs and bufs[0] is not None:  # validity bitmap participates too
+        h.update(data[:4096].tobytes())
+        h.update(data[-4096:].tobytes())
+        h.update(str(len(data)).encode())
+    else:  # fallback: stringify head/tail
+        head = values.slice(0, min(64, len(values))).to_pylist()
+        tail = values.slice(max(0, len(values) - 64)).to_pylist()
+        h.update(repr((head, tail)).encode())
+    if values.null_count:  # validity participates only when nulls exist
         h.update(np.asarray(values.is_valid()).tobytes())
     h.update(str(nrows).encode())
     h.update(str(len(values)).encode())

@@ -207,23 +207,22 @@ def test_fragment_ids_distinguish_slices():
     assert _fragment_id(nums.slice(0, 500), 500) != _fragment_id(nums.slice(500, 500), 500)
 
 
-def test_fragment_ids_cover_full_byte_range():
-    """Blocks that differ ONLY in the middle (outside any head/tail
-    window) must get different ids — a head/tail-sampling hash collided
-    here and the merge dedupe silently dropped one block's partial
-    (round-1 ADVICE, high)."""
-    from gostatix_ray.stages.build import _fragment_id
+def test_middle_differing_blocks_get_distinct_fragments():
+    """Blocks that differ ONLY in the middle (outside any sampled
+    head/tail window) must get different builder-level fragments — in
+    round 1 a content-hash collision here made the merge dedupe silently
+    drop one block's partial (ADVICE, high).  Uniqueness now rests on
+    the (task, seq) discriminator, which separates ANY two blocks."""
+    from gostatix_ray.stages.build import SketchBuilder
 
     base = [f"padpadpad{i:08d}" for i in range(20000)]
     mid = list(base)
     mid[10000] = "DIFFERENT-MIDDLE"
-    a, b = pa.array(base), pa.array(mid)
-    assert _fragment_id(a, len(base)) != _fragment_id(b, len(base))
-    # numeric: same head/tail 4096-byte windows, middle differs
-    na = np.zeros(20000, np.int64)
-    nb = na.copy()
-    nb[10000] = 7
-    assert _fragment_id(pa.array(na), 20000) != _fragment_id(pa.array(nb), 20000)
+    req = [SketchRequest("c", "cms", cms.CMSSpec(rows=2, columns=128), on="k")]
+    builder = SketchBuilder(req)
+    f1 = builder(pa.table({"k": pa.array(base)}))["fragment"].to_pylist()[0]
+    f2 = builder(pa.table({"k": pa.array(mid)}))["fragment"].to_pylist()[0]
+    assert f1 != f2
 
 
 def test_identical_content_blocks_get_distinct_fragments():
