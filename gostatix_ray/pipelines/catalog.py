@@ -602,6 +602,26 @@ def q_events_sliding_window(sf_dir: str):
 _QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
+def q_value_quantiles_exact(sf_dir: str):
+    """EXACT distributed quantiles (two-histogram-pass selection, no
+    global sort — stages/quantiles.py); bit-identical to DuckDB's
+    quantile_disc since the result is an element of the column."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "events", ["value"])
+    return exact_quantiles(ds, "value", _QS)
+
+
+def q_ann_topk_ids(sf_dir: str):
+    """Exact cosine top-10 per query, ids only — oracle-checkable: the
+    sf data's rank-10/11 similarity gaps (>=2.4e-4) dwarf the float32
+    (DuckDB) vs float64 (ours) cosine noise (~1e-7)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _queries_matrix(sf_dir, 3)
+    out = brute_force_topk(ds, q, id_col="vec_id", emb_col="embedding", k=10, concurrency=_CONC)
+    return out.select_columns(["query_id", "vec_id"])
+
+
 def q_value_quantiles_tdigest(sf_dir: str):
     ds = _read(sf_dir, "events", ["value"])
     state = _one_state(ds, SketchRequest("val_td", "tdigest", tdigest.TDigestSpec(200.0), on="value"))
@@ -743,6 +763,8 @@ QUERIES = {
     "events_sliding_window": q_events_sliding_window,
     "hll_users_by_type": q_hll_users_by_type,
     "value_quantiles_by_type_tdigest": q_value_quantiles_by_type_tdigest,
+    "value_quantiles_exact": q_value_quantiles_exact,
+    "ann_topk_ids": q_ann_topk_ids,
     "value_quantiles_tdigest": q_value_quantiles_tdigest,
     "value_quantiles_kll": q_value_quantiles_kll,
     "ann_brute_cosine": q_ann_brute_cosine,
@@ -893,6 +915,22 @@ ORACLE_SQL = {
         "SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' "
         "AS window_start FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) offs"
         ") GROUP BY user_id, window_start"
+    ),
+    "value_quantiles_exact": (  # quantile_disc requires constant q -> UNION
+        " UNION ALL ".join(
+            f"SELECT {q} AS q, quantile_disc(value, {q}) AS value_exact FROM events"
+            for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        )
+    ),
+    "ann_topk_ids": (
+        "WITH q AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id, embedding AS qe "
+        "FROM embeddings ORDER BY vec_id LIMIT 3), "
+        "sims AS (SELECT q.query_id, e.vec_id, "
+        "list_cosine_similarity(e.embedding, q.qe) AS s FROM embeddings e CROSS JOIN q) "
+        "SELECT query_id, vec_id FROM ("
+        "SELECT query_id, vec_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rn FROM sims) "
+        "WHERE rn <= 10"
     ),
     "ann_threshold_cosine": (
         "WITH q AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id, embedding AS qe "

@@ -79,15 +79,19 @@ class FrameSample:
         self.every_n = every_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n_frames = batch["n_frames"].to_numpy(zero_copy_only=False)
+        n_frames = batch["n_frames"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = batch["media_id"].to_numpy(zero_copy_only=False)
-        out_id, out_frame = [], []
-        for mid, nf in zip(ids, n_frames):
-            frames = range(0, int(nf), self.every_n)
-            out_id.extend([mid] * len(frames))
-            out_frame.extend(frames)
+        # vectorized explode: counts per row, then a segmented arange
+        counts = np.maximum((n_frames + self.every_n - 1) // self.every_n, 0)
+        out_id = np.repeat(ids, counts)
+        tot = int(counts.sum())
+        seg_start = np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        within = np.arange(tot, dtype=np.int64) - seg_start
         return pa.table(
-            {"media_id": pa.array(out_id, pa.int64()), "frame_idx": pa.array(out_frame, pa.int32())}
+            {
+                "media_id": pa.array(out_id.astype(np.int64)),
+                "frame_idx": pa.array((within * self.every_n).astype(np.int32)),
+            }
         )
 
 
@@ -111,30 +115,39 @@ class AudioFeatures:
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
         h1, _ = hash128(payloads, 29)
-        dur = batch["duration_ms"].to_numpy(zero_copy_only=False)
+        dur = batch["duration_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = batch["media_id"].to_numpy(zero_copy_only=False)
-        out_id, out_frame, out_energy = [], [], []
-        for mid, d, h in zip(ids, dur, h1.tolist()):
-            n = max(1, int(d) // self.frame_ms)
-            for f in range(n):
-                out_id.append(mid)
-                out_frame.append(f)
-                out_energy.append(((h >> (f % 53)) & 0xFFFF) / 65535.0)
+        # vectorized frame explode (segmented arange, no per-row loop)
+        counts = np.maximum(dur // self.frame_ms, 1)
+        out_id = np.repeat(ids, counts)
+        hrep = np.repeat(h1, counts)
+        tot = int(counts.sum())
+        seg_start = np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        frames = np.arange(tot, dtype=np.int64) - seg_start
+        shift = (frames % 53).astype(np.uint64)
+        energy = ((hrep >> shift) & np.uint64(0xFFFF)).astype(np.float64) / 65535.0
         return pa.table(
             {
-                "media_id": pa.array(out_id, pa.int64()),
-                "frame_idx": pa.array(out_frame, pa.int32()),
-                "energy": pa.array(out_energy, pa.float32()),
+                "media_id": pa.array(out_id.astype(np.int64)),
+                "frame_idx": pa.array(frames.astype(np.int32)),
+                "energy": pa.array(energy.astype(np.float32)),
             }
         )
 
 
 def decode_images(ds, *, feature_dim: int = 16, batch_size: int = 256, concurrency=None):
-    """Actor-pool decode stage sized for large binary rows."""
+    """Actor-pool decode stage sized for large binary rows.
+
+    This is the one deliberately ACTOR-pool stage (a real codec/model
+    loads once per actor in ``__init__``).  The pool must never reserve
+    every CPU slot — an actor pool sized ~num_cpus starves upstream
+    reads and can deadlock small clusters — so the default caps at
+    half the cluster, minimum one."""
     import ray
 
     if concurrency is None:
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, min(cpus - 2, cpus // 2))
     return ds.map_batches(
         ImageDecode,
         fn_constructor_args=(feature_dim,),

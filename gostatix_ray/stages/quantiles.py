@@ -1,0 +1,108 @@
+"""EXACT distributed quantiles — two-histogram-pass selection.
+
+The sketch kernels (t-digest, KLL) answer quantiles approximately in one
+pass; this operator answers them EXACTLY with two cheap passes and no
+global sort (a `ds.sort()` is an all-to-all over the full table; this
+never shuffles row data at all):
+
+  pass 0  min/max (native Ray aggregate, column-pruned),
+  pass 1  per-batch equi-width histogram (one `bins`-long uint64 blob
+          per block, reduced with shuffle-free bundled combines like
+          stages/merge.py),
+  pass 2  gather ONLY the values living in the <=len(qs) bins that
+          contain the target ranks (expected n/bins rows per bin) and
+          select the exact order statistic inside each with
+          `np.partition`.
+
+Quantile definition matches DuckDB's ``quantile_disc``: the value at
+0-based index ``max(ceil(q*n) - 1, 0)`` of the sorted column — so the
+result is bit-identical to the SQL oracle (it IS an element of the
+column, not an interpolation).
+
+Scale note: pass-2 volume is ~n * len(qs) / bins rows; pathological skew
+(one value repeated >> n/bins times) degrades the gather toward that
+value's multiplicity — still correct, documented.  NaNs are excluded
+(SQL NULL semantics).  The input dataset is consumed three times, so
+pass a re-readable source (a parquet read) or a materialized dataset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _hist_stage(col: str, lo: float, hi: float, bins: int):
+    scale = bins / (hi - lo)
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.clip(((v - lo) * scale).astype(np.int64), 0, bins - 1)
+        h = np.bincount(idx, minlength=bins).astype(np.uint64)
+        return pa.table({"hist": pa.array([h.tobytes()], pa.large_binary())})
+
+    return _hist
+
+
+def _sum_hists(df: pd.DataFrame) -> pd.DataFrame:
+    total = None
+    for blob in df["hist"]:
+        h = np.frombuffer(blob, dtype=np.uint64)
+        total = h.copy() if total is None else total + h
+    return pd.DataFrame({"hist": [total.tobytes()]})
+
+
+def exact_quantiles(ds, col: str, qs, *, bins: int = 1 << 16) -> pd.DataFrame:
+    """DataFrame[q, value_exact] with the exact quantile_disc values."""
+    from ray.data.aggregate import Max, Min
+
+    qs = list(qs)
+    agg = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    if not np.isfinite(lo) or lo == hi:
+        return pd.DataFrame({"q": qs, "value_exact": [lo] * len(qs)})
+
+    partials = ds.map_batches(_hist_stage(col, lo, hi, bins), batch_format="pyarrow")
+    for _ in range(2):  # shuffle-free bundled reduction (cf. merge.py)
+        partials = partials.map_batches(_sum_hists, batch_format="pandas", batch_size=64)
+    hist = None
+    for batch in partials.iter_batches(batch_size=64, batch_format="pandas"):
+        part = _sum_hists(batch)
+        h = np.frombuffer(part["hist"].iloc[0], dtype=np.uint64)
+        hist = h.copy() if hist is None else hist + h
+    n = int(hist.sum())
+    if n == 0:
+        return pd.DataFrame({"q": qs, "value_exact": [float("nan")] * len(qs)})
+
+    cum = np.cumsum(hist)
+    ranks = np.array([max(int(np.ceil(q * n)) - 1, 0) for q in qs], dtype=np.int64)
+    ranks = np.minimum(ranks, n - 1)
+    target_bins = np.searchsorted(cum, ranks, side="right")
+    offsets = ranks - np.concatenate([[0], cum])[target_bins]
+    needed = np.unique(target_bins)
+
+    scale = bins / (hi - lo)
+
+    def _gather(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.clip(((v - lo) * scale).astype(np.int64), 0, bins - 1)
+        keep = np.isin(idx, needed)
+        return pa.table({"v": pa.array(v[keep]), "b": pa.array(idx[keep])})
+
+    by_bin: dict[int, list[np.ndarray]] = {int(b): [] for b in needed}
+    for batch in ds.map_batches(_gather, batch_format="pyarrow").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        for bb in np.unique(b):
+            by_bin[int(bb)].append(v[b == bb])
+    vals = []
+    for j, q in enumerate(qs):
+        arr = np.concatenate(by_bin[int(target_bins[j])])
+        k = int(offsets[j])
+        vals.append(float(np.partition(arr, k)[k]))
+    return pd.DataFrame({"q": qs, "value_exact": vals})

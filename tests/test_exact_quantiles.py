@@ -1,0 +1,47 @@
+"""Exact distributed quantiles (stages/quantiles.py): quantile_disc
+semantics, exactness vs numpy order statistics, degenerate inputs."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def values_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    vals = rng.lognormal(0, 1, 50_000)
+    return rd.from_items([{"value": float(v)} for v in vals]).repartition(16), np.sort(vals)
+
+
+def test_matches_order_statistics(values_ds):
+    from gostatix_ray.stages.quantiles import exact_quantiles
+
+    ds, srt = values_ds
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    out = exact_quantiles(ds, "value", qs, bins=1 << 12)
+    n = len(srt)
+    for q, got in zip(out["q"], out["value_exact"]):
+        k = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+        assert got == srt[k], (q, got, srt[k])
+
+
+def test_constant_column(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.quantiles import exact_quantiles
+
+    ds = rd.from_items([{"value": 7.5}] * 100)
+    out = exact_quantiles(ds, "value", [0.1, 0.9])
+    assert list(out["value_exact"]) == [7.5, 7.5]
+
+
+def test_nan_excluded(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.quantiles import exact_quantiles
+
+    rows = [{"value": float(v)} for v in range(1, 101)] + [{"value": float("nan")}] * 20
+    ds = rd.from_items(rows)
+    out = exact_quantiles(ds, "value", [0.5], bins=64)
+    assert out["value_exact"].iloc[0] == 50.0  # ceil(0.5*100)-1 = index 49
