@@ -423,6 +423,88 @@ def q_embedding_near_dup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# relational (dimension joins + wide aggregates over the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_orders_by_customer_nation(sf_dir: str):
+    """orders ⨝ customer ⨝ nation via chained BROADCAST hash joins (the
+    dim tables ship once via ray.put; no shuffle), then one small
+    groupby.  Money sums as exact integer cents -> hash-stable vs SQL."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = pq.read_table(_os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(_os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"])
+    j = broadcast_join(orders, cust, key="o_custkey", small_key="c_custkey",
+                       columns=["c_nationkey"], concurrency=_CONC)
+    j = broadcast_join(j, nation, key="c_nationkey", small_key="n_nationkey",
+                       columns=["n_name"], concurrency=_CONC)
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"n_name": batch["n_name"], "cents": pa.array(cents)})
+
+    agg = (
+        j.map_batches(_cents, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
+    )
+    return agg.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("total_cents"), "total_cents",
+                               pc.cast(b["total_cents"], pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
+def q_lineitem_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary with MAP-SIDE COMBINE: per-batch
+    partial (flag, status) sums of integer-exact measures (quantities are
+    integer-valued doubles; prices to cents), then one groupby-sum.
+    Exact integer arithmetic makes the result hash-stable vs SQL."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(zero_copy_only=False),
+                "l_linestatus": batch["l_linestatus"].to_numpy(zero_copy_only=False),
+                "qty": batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "cents": np.floor(
+                    batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False).agg(
+            pn=("qty", "size"), pq=("qty", "sum"), pc_=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("pq", alias_name="sum_qty"),
+            Sum("pc_", alias_name="sum_base_cents"),
+        )
+    )
+
+    def _ints(b: pa.Table) -> pa.Table:
+        for col in ("n", "sum_qty", "sum_base_cents"):
+            b = b.set_column(b.schema.get_field_index(col), col, pc.cast(b[col], pa.int64()))
+        return b
+
+    return agg.map_batches(_ints, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
 
@@ -753,6 +835,8 @@ QUERIES = {
     "doc_dup_clusters": q_doc_dup_clusters,
     "simhash_dedup_pairs": q_simhash_dedup_pairs,
     "embedding_near_dup": q_embedding_near_dup,
+    "orders_by_customer_nation": q_orders_by_customer_nation,
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_scores": q_doc_quality_scores,
     "doc_langid": q_doc_langid,
@@ -820,6 +904,18 @@ ORACLE_SQL = {
         "> INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS is_gap FROM events) GROUP BY user_id"
     ),
     "doc_dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "orders_by_customer_nation": (
+        "SELECT n.n_name, count(*) AS n_orders, "
+        "CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+    ),
+    "lineitem_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
     "near_dup_pairs_verified": (
         "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
         "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(t) < 3 THEN array_to_string(t, ' ') "
