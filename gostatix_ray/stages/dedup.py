@@ -388,11 +388,16 @@ def _explode_bands(id_col: str, num_perm: int, bands: int):
     return _explode
 
 
-def _candidate_pairs_from_groups(exploded, id_col: str, group_cols: list[str], num_buckets: int = 64):
-    """Co-bucketed rows -> deduped candidate (id_a, id_b) pairs.
+def _candidate_pairs_from_groups(exploded, id_col: str, group_cols: list[str],
+                                 num_buckets: int = 64, dedupe: bool = True):
+    """Co-bucketed rows -> candidate (id_a, id_b) pairs.
 
     In-bucket work is fully vectorized: lexsort by group, distinct-size
-    triu broadcast (no per-group Python loop)."""
+    triu broadcast (no per-group Python loop).  ``dedupe=False`` skips
+    the cross-band dedupe shuffle — correct whenever the pairs feed
+    :func:`join_pairs_with_features`, whose pivot already drops
+    duplicate (id_a, id_b) rows; a pair recalled by b bands then rides
+    one extra slim shuffle b times instead of paying a whole sort."""
 
     empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                           "id_b": pd.Series([], dtype="int64")})
@@ -412,6 +417,8 @@ def _candidate_pairs_from_groups(exploded, id_col: str, group_cols: list[str], n
         return pd.DataFrame({"id_a": ids[ra].astype(np.int64), "id_b": ids[rb].astype(np.int64)})
 
     pairs = bucketed_groupby(exploded, group_cols, _pairs, num_buckets=num_buckets)
+    if not dedupe:
+        return pairs
 
     def _dedupe(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(subset=["id_a", "id_b"])
@@ -456,7 +463,9 @@ def minhash_candidate_pairs(
     ).materialize()  # consumed twice (band explode + feature join)
 
     exploded = sigs.map_batches(_explode_bands(id_col, num_perm, bands), batch_format="pyarrow")
-    cand = _candidate_pairs_from_groups(exploded, id_col, ["band", "band_hash"]).materialize()
+    cand = _candidate_pairs_from_groups(
+        exploded, id_col, ["band", "band_hash"], dedupe=False
+    ).materialize()
     if cand.count() == 0:
         return cand
 
@@ -532,7 +541,9 @@ def near_dup_pairs_verified(
         concurrency=concurrency,
     )
     exploded = sigs.map_batches(_explode_bands(id_col, num_perm, bands), batch_format="pyarrow")
-    cand = _candidate_pairs_from_groups(exploded, id_col, ["band", "band_hash"]).materialize()
+    cand = _candidate_pairs_from_groups(
+        exploded, id_col, ["band", "band_hash"], dedupe=False
+    ).materialize()
     if cand.count() == 0:
         return cand
 
@@ -885,7 +896,9 @@ def embedding_near_dup_pairs(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    cand = _candidate_pairs_from_groups(bucketed, id_col, ["table", "bucket"]).materialize()
+    cand = _candidate_pairs_from_groups(
+        bucketed, id_col, ["table", "bucket"], dedupe=False
+    ).materialize()
     if cand.count() == 0:
         return cand
 
