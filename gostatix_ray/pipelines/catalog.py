@@ -694,6 +694,16 @@ def q_value_quantiles_exact(sf_dir: str):
     return exact_quantiles(ds, "value", _QS)
 
 
+def q_value_quantiles_by_type_exact(sf_dir: str):
+    """Exact per-event_type quantiles (grouped two-histogram-pass
+    selection; bit-identical to per-group quantile_disc)."""
+    from ..stages.quantiles import exact_quantiles_grouped
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = exact_quantiles_grouped(ds, "value", "event_type", [0.25, 0.5, 0.9])
+    return out.rename(columns={"event_type": "event_type"})
+
+
 def q_ann_topk_ids(sf_dir: str):
     """Exact cosine top-10 per query, ids only — oracle-checkable: the
     sf data's rank-10/11 similarity gaps (>=2.4e-4) dwarf the float32
@@ -848,6 +858,7 @@ QUERIES = {
     "hll_users_by_type": q_hll_users_by_type,
     "value_quantiles_by_type_tdigest": q_value_quantiles_by_type_tdigest,
     "value_quantiles_exact": q_value_quantiles_exact,
+    "value_quantiles_by_type_exact": q_value_quantiles_by_type_exact,
     "ann_topk_ids": q_ann_topk_ids,
     "value_quantiles_tdigest": q_value_quantiles_tdigest,
     "value_quantiles_kll": q_value_quantiles_kll,
@@ -1016,6 +1027,13 @@ ORACLE_SQL = {
         " UNION ALL ".join(
             f"SELECT {q} AS q, quantile_disc(value, {q}) AS value_exact FROM events"
             for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        )
+    ),
+    "value_quantiles_by_type_exact": (
+        " UNION ALL ".join(
+            f"SELECT event_type, {q} AS q, quantile_disc(value, {q}) AS value_exact "
+            "FROM events GROUP BY event_type"
+            for q in (0.25, 0.5, 0.9)
         )
     ),
     "ann_topk_ids": (

@@ -106,3 +106,120 @@ def exact_quantiles(ds, col: str, qs, *, bins: int = 1 << 16) -> pd.DataFrame:
         k = int(offsets[j])
         vals.append(float(np.partition(arr, k)[k]))
     return pd.DataFrame({"q": qs, "value_exact": vals})
+
+
+# ---------------------------------------------------------------------------
+# grouped variant
+# ---------------------------------------------------------------------------
+
+def exact_quantiles_grouped(ds, col: str, group_col: str, qs, *, bins: int = 1 << 14) -> pd.DataFrame:
+    """DataFrame[group, q, value_exact]: exact per-group quantile_disc.
+
+    Same two-histogram-pass selection as :func:`exact_quantiles`, with
+    one histogram blob per (block, group).  Designed for LOW-cardinality
+    group columns (per-group stats: event types, languages, shards) —
+    the driver holds G x bins counters; G in the millions belongs in a
+    sketch (t-digest per group), not here.
+    """
+    from ray.data.aggregate import Max, Min
+
+    qs = list(qs)
+    ranges = {}
+    for row in ds.groupby(group_col).aggregate(Min(col), Max(col)).iter_rows():
+        ranges[row[group_col]] = (float(row[f"min({col})"]), float(row[f"max({col})"]))
+    groups = sorted(ranges)
+    g_lo = {g: ranges[g][0] for g in groups}
+    g_hi = {g: ranges[g][1] for g in groups}
+
+    def _hists(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch[group_col].to_numpy(zero_copy_only=False),
+                "v": batch[col].to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        ).dropna()
+        out_g, out_h = [], []
+        for g, sub in df.groupby("g", sort=False):
+            lo, hi = g_lo[g], g_hi[g]
+            v = sub["v"].to_numpy()
+            if hi == lo:
+                h = np.zeros(bins, np.uint64)
+                h[0] = len(v)
+            else:
+                idx = np.clip(((v - lo) * (bins / (hi - lo))).astype(np.int64), 0, bins - 1)
+                h = np.bincount(idx, minlength=bins).astype(np.uint64)
+            out_g.append(g)
+            out_h.append(h.tobytes())
+        return pa.table({"g": pa.array(out_g), "hist": pa.array(out_h, pa.large_binary())})
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows_g, rows_h = [], []
+        for g, sub in df.groupby("g", sort=False):
+            total = None
+            for blob in sub["hist"]:
+                h = np.frombuffer(blob, dtype=np.uint64)
+                total = h.copy() if total is None else total + h
+            rows_g.append(g)
+            rows_h.append(total.tobytes())
+        return pd.DataFrame({"g": rows_g, "hist": rows_h})
+
+    partials = ds.map_batches(_hists, batch_format="pyarrow")
+    for _ in range(2):
+        partials = partials.map_batches(_combine, batch_format="pandas", batch_size=64)
+    hists: dict = {}
+    for batch in partials.iter_batches(batch_size=64, batch_format="pandas"):
+        part = _combine(batch)
+        for g, blob in zip(part["g"], part["hist"]):
+            h = np.frombuffer(blob, dtype=np.uint64)
+            hists[g] = h.copy() if g not in hists else hists[g] + h
+
+    # per-group target bins + in-bin offsets
+    needed: dict = {}
+    plan: dict = {}
+    for g in groups:
+        hist = hists[g]
+        n = int(hist.sum())
+        cum = np.cumsum(hist)
+        ranks = np.minimum([max(int(np.ceil(q * n)) - 1, 0) for q in qs], n - 1)
+        tbins = np.searchsorted(cum, ranks, side="right")
+        offs = ranks - np.concatenate([[0], cum])[tbins]
+        plan[g] = (tbins, offs)
+        needed[g] = set(int(b) for b in tbins)
+
+    def _gather(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch[group_col].to_numpy(zero_copy_only=False),
+                "v": batch[col].to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        ).dropna()
+        out = []
+        for g, sub in df.groupby("g", sort=False):
+            lo, hi = g_lo[g], g_hi[g]
+            v = sub["v"].to_numpy()
+            if hi == lo:
+                idx = np.zeros(len(v), np.int64)
+            else:
+                idx = np.clip(((v - lo) * (bins / (hi - lo))).astype(np.int64), 0, bins - 1)
+            keep = np.isin(idx, list(needed[g]))
+            out.append(pd.DataFrame({"g": g, "v": v[keep], "b": idx[keep]}))
+        res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"g": pd.Series([], dtype=object), "v": pd.Series([], dtype="float64"),
+             "b": pd.Series([], dtype="int64")})
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    by_gb: dict = {}
+    for batch in ds.map_batches(_gather, batch_format="pyarrow").iter_batches(
+        batch_size=65536, batch_format="pandas"
+    ):
+        for (g, b), sub in batch.groupby(["g", "b"], sort=False):
+            by_gb.setdefault((g, int(b)), []).append(sub["v"].to_numpy())
+
+    rows = []
+    for g in groups:
+        tbins, offs = plan[g]
+        for q, tb, off in zip(qs, tbins, offs):
+            arr = np.concatenate(by_gb[(g, int(tb))])
+            k = int(off)
+            rows.append({group_col: g, "q": q, "value_exact": float(np.partition(arr, k)[k])})
+    return pd.DataFrame(rows)

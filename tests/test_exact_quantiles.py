@@ -45,3 +45,25 @@ def test_nan_excluded(ray_session):
     ds = rd.from_items(rows)
     out = exact_quantiles(ds, "value", [0.5], bins=64)
     assert out["value_exact"].iloc[0] == 50.0  # ceil(0.5*100)-1 = index 49
+
+
+def test_grouped_matches_order_statistics(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.quantiles import exact_quantiles_grouped
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g, n in (("a", 5000), ("b", 333), ("c", 1)):
+        for v in rng.normal(0, 1, n):
+            rows.append({"g": g, "value": float(v)})
+    ds = rd.from_items(rows).repartition(8)
+    out = exact_quantiles_grouped(ds, "value", "g", [0.1, 0.5, 0.99], bins=256)
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(r["value"])
+    for _, row in out.iterrows():
+        srt = np.sort(by_g[row["g"]])
+        n = len(srt)
+        k = min(max(int(np.ceil(row["q"] * n)) - 1, 0), n - 1)
+        assert row["value_exact"] == srt[k], (row["g"], row["q"])
