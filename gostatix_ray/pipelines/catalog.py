@@ -422,6 +422,19 @@ def q_embedding_near_dup(sf_dir: str):
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_curated_corpus(sf_dir: str):
+    """END-TO-END corpus curation (the LLM-data flagship composite):
+    quality filter -> exact dedup -> exact-verified near-dup cluster
+    prune.  Every stage is exact, so the whole composite is
+    oracle-checked against one DuckDB query."""
+    from .curation import curate_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return curate_corpus(
+        ds, min_quality=0.55, jaccard_threshold=0.5, concurrency=_CONC
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational (dimension joins + wide aggregates over the TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -843,6 +856,7 @@ QUERIES = {
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "near_dup_pairs_verified": q_near_dup_pairs_verified,
     "doc_dup_clusters": q_doc_dup_clusters,
+    "curated_corpus": q_curated_corpus,
     "simhash_dedup_pairs": q_simhash_dedup_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "orders_by_customer_nation": q_orders_by_customer_nation,
@@ -958,6 +972,38 @@ ORACLE_SQL = {
         "UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer) "
         "SELECT node AS doc_id, CAST(min(peer) AS BIGINT) AS cluster_id "
         "FROM reach GROUP BY node"
+    ),
+    "curated_corpus": (
+        "WITH RECURSIVE "
+        "toksall AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "qflat AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(t) AS tok FROM toksall)), "
+        "agg AS (SELECT doc_id, count(*) AS n_tok, "
+        "sum(CASE WHEN lower(tok) IN ('the','a','of','to','and','in','is','it','that','for') "
+        "THEN 1 ELSE 0 END) AS n_stop, count(DISTINCT tok) AS n_distinct FROM qflat GROUP BY doc_id), "
+        "goodq AS (SELECT doc_id FROM agg WHERE "
+        "0.4 * least(greatest(n_tok / 100.0, 0.0), 1.0) "
+        "+ 0.3 * (n_distinct * 1.0 / greatest(n_tok, 1)) "
+        "+ 0.3 * (1.0 - abs(n_stop * 1.0 / greatest(n_tok, 1) - 0.4)) >= 0.55), "
+        "surv AS (SELECT min(d.doc_id) AS doc_id FROM documents d "
+        "JOIN goodq g ON g.doc_id = d.doc_id GROUP BY d.text), "
+        "toks AS (SELECT ta.doc_id, ta.t FROM toksall ta JOIN surv s ON s.doc_id = ta.doc_id), "
+        "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(t) < 3 THEN array_to_string(t, ' ') "
+        "ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s "
+        "FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT id_a, id_b FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT a AS node FROM edges), "
+        "reach AS (SELECT node, node AS peer FROM nodes "
+        "UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer), "
+        "cc AS (SELECT node, min(peer) AS cluster_id FROM reach GROUP BY node) "
+        "SELECT s.doc_id FROM surv s LEFT JOIN cc ON cc.node = s.doc_id "
+        "WHERE cc.cluster_id IS NULL OR cc.cluster_id = s.doc_id"
     ),
     "doc_quality_scores": (
         "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "

@@ -1,0 +1,42 @@
+"""End-to-end corpus curation (pipelines/curation.py): planted quality
+failures, exact dups, and near-dup clusters must each be pruned."""
+
+import numpy as np
+
+from gostatix_ray.pipelines.curation import curate_corpus, exact_dedup_with_text, quality_filter
+
+
+def _mkdocs(ray_session):
+    import ray.data as rd
+
+    good = ("the quick brown fox jumps over the lazy dog while the sun sets slowly "
+            "behind the old red barn and the farmer watches it for a while")
+    rows = [
+        {"doc_id": 0, "text": good},
+        {"doc_id": 1, "text": good},  # exact dup of 0 -> dropped
+        {"doc_id": 2, "text": good.replace("lazy dog", "lazy cat")},  # near-dup of 0 -> dropped
+        {"doc_id": 3, "text": "zz zz zz zz"},  # low quality (repetitive, no stopwords)
+        {"doc_id": 4, "text": "it is a fine day to walk in the park and see the birds "
+                              "that sing from the tall green trees near the calm river"},
+    ]
+    return rd.from_items(rows)
+
+
+def test_curate_corpus_end_to_end(ray_session):
+    ds = _mkdocs(ray_session)
+    out = curate_corpus(ds, min_quality=0.5, jaccard_threshold=0.5, concurrency=2).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 4]
+
+
+def test_exact_dedup_with_text_returns_text(ray_session):
+    ds = _mkdocs(ray_session)
+    surv = exact_dedup_with_text(ds).to_pandas()
+    assert 1 not in set(surv["doc_id"])  # dup dropped
+    assert set(surv.columns) == {"doc_id", "text"}
+    assert (surv.loc[surv["doc_id"] == 0, "text"].iloc[0]).startswith("the quick")
+
+
+def test_quality_filter_drops_junk(ray_session):
+    ds = _mkdocs(ray_session)
+    kept = quality_filter(ds, min_quality=0.5).to_pandas()
+    assert 3 not in set(kept["doc_id"])
