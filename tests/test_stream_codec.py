@@ -71,3 +71,32 @@ def test_topk_pads_to_k_entries():
     rt, used = sc.read_stream("topk", blob, hash_mode="murmur")
     assert used == len(blob)
     assert [e for e, _ in topk.values(rt)] == ["only"]
+
+
+def test_fuzz_roundtrips_all_kinds():
+    """Randomized states round-trip exactly through the reference stream
+    framing for every structure and both hash modes."""
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        hash_mode = "metro" if trial % 2 else "murmur"
+        keys = [f"k{rng.integers(0, 1 << 30)}" for _ in range(int(rng.integers(1, 400)))]
+        b = bloom.new(bloom.BloomSpec.from_params(int(rng.integers(100, 5000)), 0.01, hash=hash_mode))
+        bloom.update(b, keys)
+        rt, used = sc.read_stream("bloom", sc.write_stream("bloom", b), hash_mode=hash_mode)
+        assert bloom.equals(rt, b) and used > 0
+        h = hll.new(hll.HLLSpec(m=1 << int(rng.integers(4, 12)), hash=hash_mode))
+        hll.update(h, keys)
+        rt, _ = sc.read_stream("hll", sc.write_stream("hll", h), hash_mode=hash_mode, mode="standard")
+        assert hll.equals(rt, h)
+        c = cms.new(cms.CMSSpec(rows=int(rng.integers(1, 6)), columns=int(rng.integers(16, 512)), hash=hash_mode))
+        cms.update(c, keys, counts=rng.integers(1, 100, len(keys)))
+        rt, _ = sc.read_stream("cms", sc.write_stream("cms", c), hash_mode=hash_mode)
+        assert cms.equals(rt, c) and rt.all_sum == c.all_sum
+        t = topk.new(topk.TopKSpec(k=int(rng.integers(1, 8)), hash=hash_mode))
+        topk.update(t, keys)
+        rt, _ = sc.read_stream("topk", sc.write_stream("topk", t), hash_mode=hash_mode)
+        assert topk.values(rt) == topk.values(t)
+        ck = cuckoo.new(cuckoo.CuckooSpec(size=64, bucket_size=4, fp_length=8, retries=100))
+        cuckoo.insert_batch(ck, keys[:100])
+        rt, _ = sc.read_stream("cuckoo", sc.write_stream("cuckoo", ck))
+        assert np.array_equal(rt.buckets, ck.buckets) and rt.length == ck.length
