@@ -45,8 +45,10 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _one_state(ds, req: SketchRequest, **kw):
+    from ..stages.merge import full_throttle_dataset
+
     # streaming merge: build + bucket + merge overlap in ONE lazy execution
-    partials = build_partials(ds, [req], concurrency=_CONC, **kw)
+    partials = build_partials(full_throttle_dataset(ds), [req], concurrency=_CONC, **kw)
     final = collect_final(merge_partials_streaming(partials))
     from ..registry import kernel_for
 

@@ -23,7 +23,13 @@ from typing import Any
 
 from ..registry import kernel_for
 from ..stages.build import SketchRequest, build_partials
-from ..stages.merge import collect_final, full_throttle, merge_partials, merge_partials_streaming
+from ..stages.merge import (
+    collect_final,
+    full_throttle,
+    full_throttle_dataset,
+    merge_partials,
+    merge_partials_streaming,
+)
 from ..state import lineage as lin
 
 
@@ -146,7 +152,8 @@ class SketchPipeline:
         self._kinds = {r.name: r.kind for r in requests}
 
     def run(self, ds) -> dict[tuple[str, str], SketchResult]:
-        with full_throttle():
+        ds = full_throttle_dataset(ds)  # input created outside: mutate ITS context
+        with full_throttle():  # datasets created inside inherit the session context
             return self._run(ds)
 
     def _run(self, ds) -> dict[tuple[str, str], SketchResult]:

@@ -55,6 +55,22 @@ def full_throttle():
         ctx.op_resource_reservation_enabled = prev
 
 
+def full_throttle_dataset(ds):
+    """Per-dataset reservation kill-switch (see :func:`full_throttle`).
+
+    Ray snapshots the DataContext at ROOT dataset creation and derived
+    datasets inherit the parent's copy, so a context manager around
+    later pipeline construction is a NO-OP for externally-created
+    inputs (measured: 42s vs 15s on the 32M-turn flagship).  Mutating
+    the dataset's OWN context propagates to everything derived from it.
+    """
+    try:
+        ds.context.op_resource_reservation_enabled = False
+    except Exception:  # pragma: no cover - older ray without the knob
+        pass
+    return ds
+
+
 def _merge_group(df: pd.DataFrame) -> pd.DataFrame:
     """Merge all partial rows of one (sketch, group_key, bucket) group."""
     # dedupe retried fragments (content-addressed => identical payloads)
