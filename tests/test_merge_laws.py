@@ -79,3 +79,27 @@ def test_topk_merge_value_invariance():
         for j in order[1:]:
             merged = topk.merge(merged, states[j])
         assert topk.values(merged) == expected
+
+
+def test_metro_mode_merge_laws():
+    """Metro-hash states obey the same byte-identity-under-partitioning
+    laws as murmur states (the hash only affects updates, never merges)."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    keys = [f"k{i}" for i in range(2000)]
+    for split in (1, 3, 7):
+        parts = np.array_split(np.array(keys), split)
+        b = bloom.new(bloom.BloomSpec.from_params(5000, 0.01, hash="metro"))
+        h = hll.new(hll.HLLSpec(m=1 << 10, hash="metro"))
+        c = cms.new(cms.CMSSpec(rows=3, columns=512, hash="metro"))
+        for p in rng.permutation(split):
+            pb = bloom.new(b.spec); bloom.update(pb, list(parts[p])); b = bloom.merge(b, pb)
+            ph = hll.new(h.spec); hll.update(ph, list(parts[p])); h = hll.merge(h, ph)
+            pc_ = cms.new(c.spec); cms.update(pc_, list(parts[p])); c = cms.merge(c, pc_)
+        if split == 1:
+            ref = (bloom.to_bytes(b), hll.to_bytes(h), cms.to_bytes(c))
+        else:
+            assert bloom.to_bytes(b) == ref[0]
+            assert hll.to_bytes(h) == ref[1]
+            assert cms.to_bytes(c) == ref[2]
