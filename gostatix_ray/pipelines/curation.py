@@ -106,3 +106,45 @@ def curate_corpus(
         return pa.table({id_col: pa.array(ids[keep].astype(np.int64))})
 
     return survivors.map_batches(_prune, batch_format="pyarrow")
+
+
+def write_partitioned_resumable(ds, out_dir: str, *, key_col="doc_id", n_parts: int = 16):
+    """Resumable partitioned-parquet sink: one directory per hash
+    partition of ``key_col``, written atomically (tmp + rename, then a
+    _SUCCESS marker) so a rerun SKIPS finished partitions — never one
+    giant file, never a half-written directory.
+
+    Returns the list of partition directories.  Each partition's write
+    is itself a distributed filtered write; the driver only loops over
+    the (small, fixed) partition count.
+    """
+    import os
+    import shutil
+
+    from ..hashing import hash128
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _with_part(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h1, _ = hash128(col.cast(pa.string()), 41)
+        return batch.append_column("__part", pa.array((h1 % np.uint64(n_parts)).astype(np.int64)))
+
+    parted = ds.map_batches(_with_part, batch_format="pyarrow").materialize()
+    dirs = []
+    for p in range(n_parts):
+        pdir = os.path.join(out_dir, f"part={p}")
+        dirs.append(pdir)
+        if os.path.exists(os.path.join(pdir, "_SUCCESS")):
+            continue  # resume: partition already complete
+        tmp = pdir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        sub = parted.filter(expr=f"__part == {p}").drop_columns(["__part"])
+        sub.write_parquet(tmp)
+        shutil.rmtree(pdir, ignore_errors=True)
+        os.rename(tmp, pdir)
+        with open(os.path.join(pdir, "_SUCCESS"), "w") as f:
+            f.write("")
+    return dirs

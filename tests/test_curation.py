@@ -40,3 +40,27 @@ def test_quality_filter_drops_junk(ray_session):
     ds = _mkdocs(ray_session)
     kept = quality_filter(ds, min_quality=0.5).to_pandas()
     assert 3 not in set(kept["doc_id"])
+
+
+def test_write_partitioned_resumable(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gostatix_ray.pipelines.curation import write_partitioned_resumable
+
+    ds = rd.from_items([{"doc_id": i, "text": f"doc {i}"} for i in range(200)])
+    out = str(tmp_path / "sink")
+    dirs = write_partitioned_resumable(ds, out, n_parts=4)
+    assert len(dirs) == 4 and all(os.path.exists(os.path.join(d, "_SUCCESS")) for d in dirs)
+    total = sum(pq.read_table(d).num_rows for d in dirs)
+    assert total == 200
+    # resume: poison one partition's marker, rerun -> only that one rewrites
+    os.remove(os.path.join(dirs[2], "_SUCCESS"))
+    mtimes = {d: os.path.getmtime(d) for d in dirs}
+    write_partitioned_resumable(ds, out, n_parts=4)
+    assert os.path.exists(os.path.join(dirs[2], "_SUCCESS"))
+    for d in (dirs[0], dirs[1], dirs[3]):
+        assert os.path.getmtime(d) == mtimes[d]  # untouched
+    assert sum(pq.read_table(d).num_rows for d in dirs) == 200
