@@ -519,6 +519,56 @@ def q_lineitem_pricing_summary(sf_dir: str):
     return agg.map_batches(_ints, batch_format="pyarrow")
 
 
+def q_lineitem_recent_pricing(sf_dir: str):
+    """Pricing summary over recent shipments with the predicate PUSHED
+    INTO THE PARQUET SCAN (pyarrow dataset filter -> row-group pruning:
+    at 100 TB, row groups outside the date range never leave storage),
+    then the same integer-exact map-side-combine aggregate."""
+    import datetime as dt
+
+    import pyarrow.compute as pac
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"],
+        filter=pac.field("l_shipdate") >= dt.datetime(2000, 1, 1),
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(zero_copy_only=False),
+                "qty": batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "cents": np.floor(
+                    batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("l_returnflag", sort=False, as_index=False).agg(
+            pn=("qty", "size"), pq=("qty", "sum"), pc_=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("pq", alias_name="sum_qty"),
+            Sum("pc_", alias_name="sum_base_cents"),
+        )
+    )
+
+    def _ints(b: pa.Table) -> pa.Table:
+        for col in ("n", "sum_qty", "sum_base_cents"):
+            b = b.set_column(b.schema.get_field_index(col), col, pc.cast(b[col], pa.int64()))
+        return b
+
+    return agg.map_batches(_ints, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -863,6 +913,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "orders_by_customer_nation": q_orders_by_customer_nation,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "lineitem_recent_pricing": q_lineitem_recent_pricing,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_scores": q_doc_quality_scores,
     "doc_langid": q_doc_langid,
@@ -942,6 +993,12 @@ ORACLE_SQL = {
         "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
         "CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "lineitem_recent_pricing": (
+        "SELECT l_returnflag, count(*) AS n, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01' GROUP BY l_returnflag"
     ),
     "near_dup_pairs_verified": (
         "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
