@@ -30,6 +30,12 @@ def full_throttle():
     """Disable Ray Data's per-operator CPU reservation while a sketch
     pipeline executes (restored on exit).
 
+    CAVEAT: the session context is snapshotted at ROOT dataset creation,
+    so this manager only affects datasets CREATED inside the with-block;
+    for an input dataset created elsewhere use
+    :func:`full_throttle_dataset`, which mutates that dataset's own
+    context (SketchPipeline.run does both).
+
     Sketch pipelines are FUNNELS: a compute-heavy build map feeding
     combines/merges whose total work is seconds.  The streaming
     executor's ReservationOpResourceAllocator (ratio 0.5) holds back
