@@ -20,6 +20,15 @@ Mirrors the short field names of the reference's JSON serialization
 The binary checkpoint format lives in each kernel's
 ``to_bytes``/``from_bytes``; this codec exists for interop/debugging and
 is round-trip tested in tests/test_codec.py.
+
+Hash-mode defaulting: imports with no ``hash`` field default to the
+reference's metrohash, EXCEPT an HLL blob carrying our ``mode``
+extension field (which the reference never writes) — that proves our
+exporter produced it, and our pre-metro exports were murmur-hashed with
+no marker.  Bloom/CMS/TopK JSON exported by this engine before the
+metro change must be re-exported (they are indistinguishable from
+reference blobs by design); the binary ``from_bytes`` path is
+unaffected (legacy magic maps to murmur).
 """
 
 from __future__ import annotations
@@ -83,7 +92,7 @@ def export_hll(state: hll.HLLState) -> bytes:
     return json.dumps(
         {
             "nr": m,
-            "nbp": 64 - state.spec.b,  # numBytesPerHash derivation (base_hyperloglog.go:46-58)
+            "nbp": state.spec.b,  # numBytesPerHash = log2(numRegisters) (base_hyperloglog.go:55)
             "c": hll._alpha(m),
             "r": base64.b64encode(state.registers.tobytes()).decode(),
             "k": "",
@@ -96,7 +105,11 @@ def export_hll(state: hll.HLLState) -> bytes:
 def import_hll(data: bytes) -> hll.HLLState:
     d = json.loads(data)
     reg = np.frombuffer(base64.b64decode(d["r"]), dtype=np.uint8).copy()
-    spec = hll.HLLSpec(m=d["nr"], mode=d.get("mode", "compat"), hash=d.get("hash", "metro"))
+    # Legacy-default disambiguation: the reference never writes "mode",
+    # so its presence proves OUR exporter produced the blob — and our
+    # pre-metro exports were murmur-hashed with no "hash" marker.
+    default_hash = "murmur" if "mode" in d else "metro"
+    spec = hll.HLLSpec(m=d["nr"], mode=d.get("mode", "compat"), hash=d.get("hash", default_hash))
     if len(reg) != spec.m:
         raise ValueError("register array length != nr")
     return hll.HLLState(spec, reg)

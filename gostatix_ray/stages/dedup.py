@@ -503,13 +503,26 @@ class ShingleSet:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         sh, counts = _shingle_hashes(col, self.shingle)
-        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        blobs = []
-        for i in range(len(counts)):  # per-doc unique+sort: numpy inner ops
-            seg = np.unique(sh[offsets[i] : offsets[i + 1]])
-            blobs.append(seg.tobytes())
-        return pa.table({self.id_col: batch[self.id_col], "shset": pa.array(blobs, pa.binary())})
+        n_docs = len(counts)
+        # per-doc unique+sort WITHOUT a per-doc loop: one global
+        # lexsort on (doc, value), adjacent-dedupe within doc, then the
+        # binary column is assembled straight from the offsets buffer
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        order = np.lexsort((sh, doc_idx))
+        sv, dv = sh[order], doc_idx[order]
+        if sv.size:
+            keep = np.empty(sv.size, dtype=bool)
+            keep[0] = True
+            keep[1:] = (sv[1:] != sv[:-1]) | (dv[1:] != dv[:-1])
+            sv, dv = sv[keep], dv[keep]
+        uniq_counts = np.bincount(dv, minlength=n_docs)
+        byte_offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(uniq_counts * 8, out=byte_offsets[1:])
+        shset = pa.Array.from_buffers(
+            pa.binary(), n_docs,
+            [None, pa.py_buffer(byte_offsets.tobytes()), pa.py_buffer(sv.tobytes())],
+        )
+        return pa.table({self.id_col: batch[self.id_col], "shset": shset})
 
 
 def near_dup_pairs_verified(
@@ -561,13 +574,27 @@ def near_dup_pairs_verified(
                               "jaccard": pd.Series([], dtype="float64")})
         if df.empty:
             return empty
-        jac = np.empty(len(df), dtype=np.float64)
         fa, fb = df["feat_a"].tolist(), df["feat_b"].tolist()
-        for i in range(len(df)):  # per-PAIR sorted-set intersect: numpy inner
-            a = np.frombuffer(fa[i], dtype=np.uint64)
-            b = np.frombuffer(fb[i], dtype=np.uint64)
-            inter = np.intersect1d(a, b, assume_unique=True).size
-            jac[i] = inter / max(1, a.size + b.size - inter)
+        npairs = len(df)
+        a_sizes = np.fromiter((len(x) >> 3 for x in fa), np.int64, npairs)
+        b_sizes = np.fromiter((len(x) >> 3 for x in fb), np.int64, npairs)
+        # batched intersect: each shset is unique, so |a ∩ b| = count of
+        # values occurring twice within a pair — ONE global lexsort on
+        # (pair, value) + adjacent-equality, no per-pair Python
+        vals = np.concatenate([
+            np.frombuffer(b"".join(fa), dtype=np.uint64),
+            np.frombuffer(b"".join(fb), dtype=np.uint64),
+        ])
+        pidx = np.concatenate([
+            np.repeat(np.arange(npairs), a_sizes),
+            np.repeat(np.arange(npairs), b_sizes),
+        ])
+        order = np.lexsort((vals, pidx))
+        v, p = vals[order], pidx[order]
+        dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+        inter = np.bincount(p[1:][dup], minlength=npairs).astype(np.float64)
+        union = np.maximum(a_sizes + b_sizes - inter, 1.0)
+        jac = inter / union
         # raw float64 division of identical ints is bit-identical to the
         # SQL twin's — no rounding (round() semantics differ across engines)
         out = pd.DataFrame({"id_a": df["id_a"].to_numpy(), "id_b": df["id_b"].to_numpy(),
@@ -601,7 +628,7 @@ def exact_jaccard_pairs(table: pa.Table, pairs: pd.DataFrame, text_col="text", i
 # connected components (duplicate clusters)
 # ---------------------------------------------------------------------------
 
-def duplicate_clusters(pairs, *, max_rounds: int = 16, num_buckets: int = 64):
+def duplicate_clusters(pairs, *, max_rounds: int | None = None, num_buckets: int = 64):
     """Connected components over candidate near-dup pairs: Dataset[id_a,
     id_b] -> Dataset[doc_id, cluster_id] (cluster_id = min member id).
 
@@ -611,6 +638,13 @@ def duplicate_clusters(pairs, *, max_rounds: int = 16, num_buckets: int = 64):
     Arrow ``groupby.Min``, and convergence is detected with a monotone
     scalar (labels only ever decrease, so an unchanged label sum is the
     fixpoint) — one cheap ``sum()`` per round instead of a compare join.
+
+    Runs to the FIXPOINT by default (labels advance one hop per round,
+    so convergence is bounded by the largest component's diameter; a
+    chain of pairwise near-dups longer than any fixed cap would
+    otherwise silently return unconverged cluster ids).  ``max_rounds``
+    is an optional safety valve that RAISES if hit before convergence —
+    never a silent truncation.
     """
     import ray.data as rd
     from ray.data.aggregate import Min
@@ -677,7 +711,8 @@ def duplicate_clusters(pairs, *, max_rounds: int = 16, num_buckets: int = 64):
             }
         )
 
-    for _ in range(max_rounds):
+    rounds = 0
+    while True:
         tagged = sym.map_batches(_tag_edges, batch_format="pyarrow").union(
             labels.map_batches(_tag_labels, batch_format="pyarrow")
         )
@@ -691,6 +726,12 @@ def duplicate_clusters(pairs, *, max_rounds: int = 16, num_buckets: int = 64):
         if new_sum == prev_sum:  # labels are monotone non-increasing
             break
         prev_sum = new_sum
+        rounds += 1
+        if max_rounds is not None and rounds >= max_rounds:
+            raise RuntimeError(
+                f"duplicate_clusters: no fixpoint after max_rounds={max_rounds} "
+                "(component diameter exceeds the cap; rerun with max_rounds=None)"
+            )
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}), batch_format="pyarrow"
     )

@@ -70,7 +70,10 @@ def read_bloom(data: bytes, hash_mode: str = "metro") -> tuple[bloom.BloomState,
 
 def write_hll(state: hll.HLLState) -> bytes:
     m = state.spec.m
-    nbp = 64 - state.spec.b  # numBytesPerHash (base_hyperloglog.go:46-58)
+    # numBytesPerHash = log2(numRegisters) = b (base_hyperloglog.go:55);
+    # the reference uses it directly in getRegisterIndexAndCount, so a
+    # wrong value silently mis-indexes registers after a Go-side import.
+    nbp = state.spec.b
     return (
         struct.pack(">QQd", m, nbp, hll._alpha(m))
         + state.registers.tobytes()
@@ -146,9 +149,15 @@ def read_cuckoo(data: bytes) -> tuple[cuckoo.CuckooState, int]:
 def write_topk(state: topk.TopKState) -> bytes:
     out = [struct.pack(">Qdd", state.spec.k, state.spec.error_rate, state.spec.accuracy)]
     out.append(write_cms(state.cms))
-    entries = sorted(state.candidates.items(), key=lambda kv: (-kv[1], kv[0]))[: state.spec.k]
+    # Top-k selection first (count desc, element asc), then emit
+    # frequency-ASCENDING: the reference's ReadFrom appends entries in
+    # stream order with no heap.Init, and minHeap.Less orders by
+    # frequency ascending (top_k.go:33-35) — an ascending array is a
+    # valid min-heap, so Go-side heap.Push/Pop behaves after import.
+    selected = sorted(state.candidates.items(), key=lambda kv: (-kv[1], kv[0]))[: state.spec.k]
+    entries = sorted(selected, key=lambda kv: (kv[1], kv[0]))
     while len(entries) < state.spec.k:  # Go always writes exactly k heap slots
-        entries.append(("", 0))
+        entries.insert(0, ("", 0))  # empty slots have frequency 0 → heap front
     for el, freq in entries:
         raw = el.encode()
         out.append(struct.pack(">Q", len(raw)))

@@ -67,3 +67,25 @@ def test_generic_dispatch():
     hll.update(s, ["q"])
     s2 = codec.import_json("hll", codec.export_json("hll", s))
     assert hll.equals(s, s2)
+
+
+def test_hll_json_nbp_is_log2_m():
+    """'nbp' = log2(numRegisters) (base_hyperloglog.go:55), not 64-b."""
+    s = hll.new(hll.HLLSpec(m=256))
+    d = json.loads(codec.export_json("hll", s))
+    assert d["nbp"] == 8 == s.spec.b
+
+
+def test_hll_json_legacy_hash_defaults():
+    """A blob with our 'mode' extension but no 'hash' marker is one of OUR
+    pre-metro exports => default murmur; a reference-shaped blob (no
+    'mode') defaults metro."""
+    s = hll.new(hll.HLLSpec(m=64, hash="murmur"))
+    hll.update(s, ["x", "y"])
+    d = json.loads(codec.export_json("hll", s))
+    d.pop("hash", None)  # simulate a pre-metro-change export
+    legacy = codec.import_json("hll", json.dumps(d).encode())
+    assert legacy.spec.hash == "murmur"
+    d.pop("mode")  # reference-shaped blob
+    ref = codec.import_json("hll", json.dumps(d).encode())
+    assert ref.spec.hash == "metro"

@@ -100,3 +100,44 @@ def test_fuzz_roundtrips_all_kinds():
         cuckoo.insert_batch(ck, keys[:100])
         rt, _ = sc.read_stream("cuckoo", sc.write_stream("cuckoo", ck))
         assert np.array_equal(rt.buckets, ck.buckets) and rt.length == ck.length
+
+
+def test_hll_stream_nbp_is_log2_m():
+    """numBytesPerHash on the wire must equal log2(numRegisters)
+    (base_hyperloglog.go:55) — the reference uses the imported value
+    directly in getRegisterIndexAndCount, so 64-b corrupts every
+    subsequent Update/Count on the Go side."""
+    import struct
+
+    for m in (16, 128, 1 << 14):
+        s = hll.new(hll.HLLSpec(m=m))
+        blob = sc.write_stream("hll", s)
+        _m, nbp, _bias = struct.unpack_from(">QQd", blob, 0)
+        assert _m == m
+        assert nbp == int(np.log2(m)) == s.spec.b
+
+
+def test_topk_stream_heap_order_is_frequency_ascending():
+    """The reference's ReadFrom appends entries in stream order with no
+    heap.Init, and minHeap.Less is frequency-ascending (top_k.go:33-35):
+    a frequency-ascending array is the only Go-safe emit order."""
+    import struct
+
+    s = topk.new(topk.TopKSpec(k=4))
+    topk.update(s, ["a"] * 7 + ["b"] * 4 + ["c"] * 9 + ["d"] * 2 + ["e"] * 1)
+    blob = sc.write_stream("topk", s)
+    # skip header (3x8) + embedded cms (3x8 header + rows*cols*8)
+    off = 24
+    rows, cols, _ = struct.unpack_from(">QQQ", blob, off)
+    off += 24 + 8 * rows * cols
+    freqs = []
+    for _ in range(4):
+        (ln,) = struct.unpack_from(">Q", blob, off)
+        off += 8 + ln
+        (f,) = struct.unpack_from(">Q", blob, off)
+        off += 8
+        freqs.append(f)
+    assert freqs == sorted(freqs), "stream must be a valid Go min-heap array"
+    # round-trip still recovers the same top-k values
+    rt, _ = sc.read_stream("topk", blob, hash_mode="murmur")
+    assert topk.values(rt) == topk.values(s)
