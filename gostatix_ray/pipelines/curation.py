@@ -76,11 +76,13 @@ def curate_corpus(
 ):
     """documents -> Dataset[doc_id] of the curated corpus.
 
-    The near-dup removal set (cluster members above the cluster minimum)
-    is tiny relative to the corpus, so it broadcasts exactly (ray.put of
-    an id array) — never a probabilistic filter."""
-    import ray
-
+    Scale shape (round-2 verdict fixes): the verified-pair dataset is
+    MATERIALIZED once (it is tiny post-LSH) so the empty-check does not
+    re-execute the LSH+verify pipeline for the cluster pass, and the
+    near-dup removal set stays DISTRIBUTED end to end — survivors are
+    pruned with a bucketed hash ANTI-JOIN against the cluster table
+    (dup rates of 20-50% are normal in web corpora, so cluster
+    membership is not driver-sized)."""
     filtered = quality_filter(ds, text_col=text_col, id_col=id_col, min_quality=min_quality)
     survivors = exact_dedup_with_text(filtered, text_col=text_col, id_col=id_col).materialize()
 
@@ -88,24 +90,33 @@ def curate_corpus(
         survivors, text_col=text_col, id_col=id_col, num_perm=num_perm,
         bands=bands, shingle=shingle, threshold=jaccard_threshold,
         concurrency=concurrency,
-    )
-    drop: np.ndarray
+    ).materialize()
+    surv_ids = survivors.select_columns([id_col])
     if pairs.count() == 0:
-        drop = np.empty(0, np.int64)
-    else:
-        clusters = duplicate_clusters(pairs).to_pandas()
-        drop = clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"].to_numpy(np.int64)
-    drop_ref = ray.put(np.sort(drop))
+        return surv_ids.map_batches(
+            lambda b: pa.table({id_col: b[id_col].cast(pa.int64())}), batch_format="pyarrow"
+        )
+    # drop set = cluster members above the cluster minimum, as a Dataset
+    drop_ds = duplicate_clusters(pairs).filter(expr="doc_id != cluster_id")
 
-    def _prune(batch: pa.Table) -> pa.Table:
-        import ray as _ray
+    def _tag_surv(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64())
+        return pa.table({"jkey": ids, "side": pa.array(np.zeros(len(ids), np.int8))})
 
-        d = _ray.get(drop_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        keep = ~np.isin(ids, d)
-        return pa.table({id_col: pa.array(ids[keep].astype(np.int64))})
+    def _tag_drop(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64())
+        return pa.table({"jkey": ids, "side": pa.array(np.ones(len(ids), np.int8))})
 
-    return survivors.map_batches(_prune, batch_format="pyarrow")
+    tagged = surv_ids.map_batches(_tag_surv, batch_format="pyarrow").union(
+        drop_ds.map_batches(_tag_drop, batch_format="pyarrow")
+    )
+
+    def _anti(df: pd.DataFrame) -> pd.DataFrame:
+        dropped = df.loc[df["side"] == 1, "jkey"]
+        keep = df[(df["side"] == 0) & ~df["jkey"].isin(dropped)]
+        return pd.DataFrame({id_col: keep["jkey"].to_numpy(np.int64)})
+
+    return bucketed_groupby(tagged, ["jkey"], _anti)
 
 
 def write_partitioned_resumable(ds, out_dir: str, *, key_col="doc_id", n_parts: int = 16):
@@ -114,9 +125,16 @@ def write_partitioned_resumable(ds, out_dir: str, *, key_col="doc_id", n_parts: 
     _SUCCESS marker) so a rerun SKIPS finished partitions — never one
     giant file, never a half-written directory.
 
-    Returns the list of partition directories.  Each partition's write
-    is itself a distributed filtered write; the driver only loops over
-    the (small, fixed) partition count.
+    ONE distributed pass (round-2 verdict fix: the old shape ran one
+    filtered full scan per partition): rows of already-finished
+    partitions are dropped in the same vectorized stage that assigns
+    ``__part``, then Ray's native Hive-partitioned ``write_parquet(
+    partition_cols=["__part"])`` splits blocks inside each write task —
+    no shuffle, no re-execution.  The whole run lands in a tmp dir and
+    each partition directory is renamed into place (+_SUCCESS)
+    afterwards, preserving the per-partition atomicity/resume protocol.
+
+    Returns the list of partition directories.
     """
     import os
     import shutil
@@ -124,27 +142,42 @@ def write_partitioned_resumable(ds, out_dir: str, *, key_col="doc_id", n_parts: 
     from ..hashing import hash128
 
     os.makedirs(out_dir, exist_ok=True)
+    done = {
+        p for p in range(n_parts)
+        if os.path.exists(os.path.join(out_dir, f"part={p}", "_SUCCESS"))
+    }
+    pending = sorted(set(range(n_parts)) - done)
+    dirs = [os.path.join(out_dir, f"part={p}") for p in range(n_parts)]
+    if not pending:
+        return dirs
+
+    done_arr = np.fromiter(done, np.int64, len(done)) if done else np.empty(0, np.int64)
 
     def _with_part(batch: pa.Table) -> pa.Table:
         col = batch[key_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         h1, _ = hash128(col.cast(pa.string()), 41)
-        return batch.append_column("__part", pa.array((h1 % np.uint64(n_parts)).astype(np.int64)))
+        part = (h1 % np.uint64(n_parts)).astype(np.int64)
+        batch = batch.append_column("__part", pa.array(part))
+        if done_arr.size:  # resume: finished partitions never leave this stage
+            batch = batch.filter(pa.array(~np.isin(part, done_arr)))
+        return batch
 
-    parted = ds.map_batches(_with_part, batch_format="pyarrow").materialize()
-    dirs = []
-    for p in range(n_parts):
+    tmp_root = os.path.join(out_dir, "__tmp_write")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    ds.map_batches(_with_part, batch_format="pyarrow").write_parquet(
+        tmp_root, partition_cols=["__part"]
+    )
+    for p in pending:
         pdir = os.path.join(out_dir, f"part={p}")
-        dirs.append(pdir)
-        if os.path.exists(os.path.join(pdir, "_SUCCESS")):
-            continue  # resume: partition already complete
-        tmp = pdir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        sub = parted.filter(expr=f"__part == {p}").drop_columns(["__part"])
-        sub.write_parquet(tmp)
+        tmp = os.path.join(tmp_root, f"__part={p}")
         shutil.rmtree(pdir, ignore_errors=True)
-        os.rename(tmp, pdir)
+        if os.path.isdir(tmp):
+            os.rename(tmp, pdir)
+        else:
+            os.makedirs(pdir, exist_ok=True)  # empty partition
         with open(os.path.join(pdir, "_SUCCESS"), "w") as f:
             f.write("")
+    shutil.rmtree(tmp_root, ignore_errors=True)
     return dirs

@@ -53,3 +53,18 @@ def test_codebook_deterministic():
     rng = np.random.default_rng(2)
     s = rng.standard_normal((100, 16))
     assert np.array_equal(train_codebook(s, 4), train_codebook(s, 4))
+
+
+def test_ann_query_prep_never_reads_full_table():
+    """Grep gate (round-2 verdict): query/codebook prep must stream —
+    column-pruned id scan + predicate fetch, bounded iter_batches sample —
+    never a whole-table pq.read_table on the driver."""
+    import inspect
+
+    from gostatix_ray.pipelines import catalog
+
+    src = inspect.getsource(catalog._queries_matrix)
+    assert "iter_batches" in src and "filters=" in src
+    assert "sort_by(\"vec_id\").slice" not in src
+    assert "iter_batches" in inspect.getsource(catalog._sample_embeddings)
+    assert "read_table" not in inspect.getsource(catalog.q_ann_ivf_cosine)

@@ -64,3 +64,65 @@ def test_write_partitioned_resumable(ray_session, tmp_path):
     for d in (dirs[0], dirs[1], dirs[3]):
         assert os.path.getmtime(d) == mtimes[d]  # untouched
     assert sum(pq.read_table(d).num_rows for d in dirs) == 200
+
+
+def test_sink_is_single_pass(ray_session, tmp_path):
+    """The resumable sink must execute its input dataset exactly ONCE
+    (round-2 verdict: the old shape ran one filtered pass per partition)."""
+    import ray
+    import ray.data as rd
+
+    from gostatix_ray.pipelines.curation import write_partitioned_resumable
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def incr(self):
+            self.n += 1
+
+        def get(self):
+            return self.n
+
+    c = Counter.remote()
+
+    def _count(batch):
+        ray.get(c.incr.remote())
+        return batch
+
+    ds = rd.from_items(
+        [{"doc_id": i, "text": f"doc {i}"} for i in range(100)], override_num_blocks=4
+    ).map_batches(_count, batch_format="pyarrow")
+    write_partitioned_resumable(ds, str(tmp_path / "sink1"), n_parts=8)
+    assert ray.get(c.get.remote()) == 4
+
+
+def test_curate_corpus_many_clusters(ray_session):
+    """Distributed anti-join prune with a cluster table big enough to span
+    multiple blocks: 40 near-dup triples + 20 distinct docs."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:03d}" for i in range(4000)]
+    rows = []
+    did = 0
+    expected = []
+    for g in range(40):
+        base_words = list(rng.choice(vocab, 30, replace=False))
+        base = " ".join(base_words)
+        v1 = base_words.copy()
+        v1[5] = "altered"
+        v2 = base_words.copy()
+        v2[20] = "changed"
+        for v, txt in enumerate([base, " ".join(v1), " ".join(v2)]):
+            rows.append({"doc_id": did + v, "text": txt})
+        expected.append(did)  # min id of the cluster survives
+        did += 3
+    for g in range(20):
+        rows.append({"doc_id": did, "text": " ".join(rng.choice(vocab, 30, replace=False))})
+        expected.append(did)
+        did += 1
+    ds = rd.from_items(rows, override_num_blocks=8)
+    out = curate_corpus(ds, min_quality=0.0, jaccard_threshold=0.5, concurrency=2).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(expected)
