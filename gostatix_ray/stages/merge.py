@@ -77,42 +77,85 @@ def full_throttle_dataset(ds):
     return ds
 
 
-def _merge_group(df: pd.DataFrame) -> pd.DataFrame:
-    """Merge all partial rows of one (sketch, group_key, bucket) group."""
-    # dedupe retried fragments (content-addressed => identical payloads)
-    df = df.drop_duplicates(subset=["fragment"], keep="first")
-    kind = df["kind"].iloc[0]
-    kernel = kernel_for(kind)
-    # deterministic merge order => byte-identical tree for byte-stable kinds
-    df = df.sort_values("fragment", kind="stable")
-    blobs = df["state"].tolist()
-    state = kernel.from_bytes(decompress_state(blobs[0]))
-    for blob in blobs[1:]:
-        state = kernel.merge(state, kernel.from_bytes(decompress_state(blob)))
-    out_blob = compress_state(kernel.to_bytes(state))
-    frag = hashlib.blake2b("|".join(sorted(df["fragment"])).encode(), digest_size=12).hexdigest()
-    return pd.DataFrame(
+def _state_views(col):
+    """Zero-copy memoryview accessor over a binary/large_binary column:
+    returns ``blob(i)`` slicing straight into the Arrow data buffer —
+    the compressed states are never boxed into Python bytes objects
+    (zlib accepts any buffer) until the kernel decodes them."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_large_binary(arr.type):
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                             count=len(arr) + 1, offset=arr.offset * 8)
+    else:
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                             count=len(arr) + 1, offset=arr.offset * 4)
+    data = memoryview(arr.buffers()[2])
+    return lambda i: data[offs[i] : offs[i + 1]]
+
+
+def _combine_table(tbl) -> "pa.Table":
+    """Merge all partial rows of each (sketch, group_key) in one Arrow
+    block — the round-2-verdict Arrow-native combine: only the tiny
+    metadata strings are materialized to Python; state blobs are
+    zero-copy buffer slices (the pandas object-column copies are gone
+    from the one stage guaranteed to run at every scale)."""
+    import pyarrow as pa
+
+    sketches = tbl["sketch"].to_pylist()
+    gkeys = tbl["group_key"].to_pylist()
+    kinds = tbl["kind"].to_pylist()
+    frags = tbl["fragment"].to_pylist()
+    rows = tbl["rows"].to_pylist()
+    blob = _state_views(tbl["state"])
+
+    groups: dict[tuple, dict] = {}
+    for i, key in enumerate(zip(sketches, gkeys)):
+        # dedupe retried fragments (content-addressed => identical payloads)
+        groups.setdefault(key, {}).setdefault(frags[i], i)
+    out = {c: [] for c in ("sketch", "kind", "group_key", "state", "rows", "fragment", "checksum")}
+    for (sk, gk), seen in groups.items():
+        # deterministic merge order => byte-identical tree for byte-stable kinds
+        ordered = [seen[f] for f in sorted(seen)]
+        kind = kinds[ordered[0]]
+        kernel = kernel_for(kind)
+        state = kernel.from_bytes(decompress_state(blob(ordered[0])))
+        for i in ordered[1:]:
+            state = kernel.merge(state, kernel.from_bytes(decompress_state(blob(i))))
+        out_blob = compress_state(kernel.to_bytes(state))
+        frag = hashlib.blake2b("|".join(sorted(seen)).encode(), digest_size=12).hexdigest()
+        out["sketch"].append(sk)
+        out["kind"].append(kind)
+        out["group_key"].append(gk)
+        out["state"].append(out_blob)
+        out["rows"].append(sum(rows[i] for i in seen.values()))
+        out["fragment"].append(f"{sk}:{gk}:{frag}")
+        out["checksum"].append(hashlib.blake2b(out_blob, digest_size=8).hexdigest())
+    return pa.table(
         {
-            "sketch": [df["sketch"].iloc[0]],
-            "kind": [kind],
-            "group_key": [df["group_key"].iloc[0]],
-            "state": [out_blob],
-            "rows": [int(df["rows"].sum())],
-            "fragment": [f"{df['sketch'].iloc[0]}:{df['group_key'].iloc[0]}:{frag}"],
-            "checksum": [hashlib.blake2b(out_blob, digest_size=8).hexdigest()],
+            "sketch": pa.array(out["sketch"], pa.string()),
+            "kind": pa.array(out["kind"], pa.string()),
+            "group_key": pa.array(out["group_key"], pa.string()),
+            "state": pa.array(out["state"], pa.large_binary()),
+            "rows": pa.array(out["rows"], pa.int64()),
+            "fragment": pa.array(out["fragment"], pa.string()),
+            "checksum": pa.array(out["checksum"], pa.string()),
         }
     )
 
 
-def _local_combine(df: pd.DataFrame) -> pd.DataFrame:
-    """Combiner: merge all partials of each (sketch, group_key) present in
-    ONE block — a map-side pre-aggregation with NO shuffle (ray_guide
-    "Aggregation at scale")."""
-    out = [
-        _merge_group(g)
-        for _, g in df.groupby(["sketch", "group_key"], sort=False)
-    ]
-    return pd.concat(out, ignore_index=True)
+def _merge_group(df: pd.DataFrame) -> pd.DataFrame:
+    """pandas-compat wrapper over :func:`_combine_table` (single group or
+    multiple — the Arrow combine handles both); kept for callers/tests
+    that hold partial rows in a DataFrame."""
+    import pyarrow as pa
+
+    return _combine_table(pa.Table.from_pandas(df, preserve_index=False)).to_pandas()
+
+
+_local_combine = _merge_group  # historical alias: both merged per-block
 
 
 def merge_partials(partials, *, fan_in: int = 64, tree_threshold: int = 4096):
@@ -145,15 +188,15 @@ def merge_partials(partials, *, fan_in: int = 64, tree_threshold: int = 4096):
         blocks = max(1, n // fan_in)
         ds = (
             ds.repartition(blocks)
-            .map_batches(_local_combine, batch_format="pandas")
+            .map_batches(_combine_table, batch_format="pyarrow")
             .materialize()
         )
         n = ds.count()
         levels += 1
     # last local combine pass bounds the final shuffle to <= #groups rows
     # per block
-    ds = ds.repartition(max(1, min(8, n // 32 + 1))).map_batches(_local_combine, batch_format="pandas")
-    return ds.groupby(["sketch", "group_key"]).map_groups(_merge_group, batch_format="pandas")
+    ds = ds.repartition(max(1, min(8, n // 32 + 1))).map_batches(_combine_table, batch_format="pyarrow")
+    return ds.groupby(["sketch", "group_key"]).map_groups(_combine_table, batch_format="pyarrow")
 
 
 def merge_partials_streaming(partials, *, combine_batch: int = 512, levels: int = 2):
@@ -177,8 +220,8 @@ def merge_partials_streaming(partials, *, combine_batch: int = 512, levels: int 
     """
     ds = partials
     for _ in range(levels):
-        ds = ds.map_batches(_local_combine, batch_format="pandas", batch_size=combine_batch)
-    return ds.groupby(["sketch", "group_key"]).map_groups(_merge_group, batch_format="pandas")
+        ds = ds.map_batches(_combine_table, batch_format="pyarrow", batch_size=combine_batch)
+    return ds.groupby(["sketch", "group_key"]).map_groups(_combine_table, batch_format="pyarrow")
 
 
 def collect_final(merged) -> dict[tuple[str, str], bytes]:
