@@ -687,6 +687,35 @@ def q_hll_users_by_type(sf_dir: str):
     return pd.DataFrame({"event_type": [r[0] for r in rows], "n_users_est": [r[1] for r in rows]})
 
 
+def q_hll_daily_active_users(sf_dir: str):
+    """Windowed grouped sketch: one HLL per DAY over a DERIVED tumbling-
+    window group key (round-2 verdict "what's missing" #2) — distinct
+    active users per day, estimate-valued; exact twin:
+    events_daily_active_users (green)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _day(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"), format="%Y-%m-%d")
+        return pa.table({"user_id": batch["user_id"], "day": day})
+
+    partials = build_partials(
+        ds.map_batches(_day, batch_format="pyarrow"),
+        [
+            SketchRequest(
+                "dau_hll", "hll", hll.HLLSpec(m=1 << 12),
+                on=lambda b: pc.cast(b["user_id"], pa.string()),
+                group_by="day",
+            )
+        ],
+        concurrency=_CONC,
+    )
+    final = collect_final(merge_partials_streaming(partials))
+    rows = sorted(
+        (gk, float(hll.count(hll.from_bytes(blob)))) for (_, gk), blob in final.items()
+    )
+    return pd.DataFrame({"day": [r[0] for r in rows], "active_users_est": [r[1] for r in rows]})
+
+
 def q_value_quantiles_by_type_tdigest(sf_dir: str):
     """Grouped quantiles: per-event_type t-digest medians (rows-only)."""
     ds = _read(sf_dir, "events", ["value", "event_type"])
@@ -949,6 +978,7 @@ QUERIES = {
     "events_daily_active_users": q_events_daily_active_users,
     "events_sliding_window": q_events_sliding_window,
     "hll_users_by_type": q_hll_users_by_type,
+    "hll_daily_active_users": q_hll_daily_active_users,
     "value_quantiles_by_type_tdigest": q_value_quantiles_by_type_tdigest,
     "value_quantiles_exact": q_value_quantiles_exact,
     "value_quantiles_by_type_exact": q_value_quantiles_by_type_exact,

@@ -159,6 +159,52 @@ def ivf_partition(ds, codebook: np.ndarray, *, emb_col="embedding", concurrency=
     return ds.map_batches(_Assign(), batch_format="pyarrow", concurrency=concurrency)
 
 
+def ivf_write_partitioned(ds, codebook: np.ndarray, out_dir: str, *,
+                          emb_col="embedding", concurrency=None) -> str:
+    """Build the READ-LEVEL IVF index: write the vector table as
+    Hive-partitioned parquet, one directory per centroid
+    (``centroid=<c>/``), in one distributed pass.  A probe then serves
+    from ``read_parquet`` over only its ``nprobe`` directories, so
+    unprobed partitions never leave storage — the 100-TB ANN shape end
+    to end."""
+    assigned = ivf_partition(ds, codebook, emb_col=emb_col, concurrency=concurrency)
+    assigned.write_parquet(out_dir, partition_cols=["centroid"])
+    return out_dir
+
+
+def ivf_topk_partitioned(index_dir: str, queries: np.ndarray, codebook: np.ndarray, *,
+                         id_col="vec_id", emb_col="embedding", k=10, nprobe=4,
+                         concurrency=None):
+    """ANN top-k over an :func:`ivf_write_partitioned` index, reading
+    ONLY the union of the queries' ``nprobe`` probed centroid
+    directories (storage-level pruning; per-query masking inside the
+    scan stays exact w.r.t. each query's own probe list).
+
+    Returns (result Dataset, probed centroid list)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.datasource.partitioning import Partitioning, PathPartitionFilter
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    cb = _normalize(np.asarray(codebook, dtype=np.float64))
+    probe = np.argsort(-(q @ cb.T), axis=1)[:, :nprobe]
+    probed = sorted({int(c) for c in probe.ravel()})
+    probed_set = {str(c) for c in probed}
+    # path-level pruning: unprobed centroid=<c>/ directories are filtered
+    # OUT of the file listing before any byte is read
+    flt = PathPartitionFilter.of(lambda kv: kv["centroid"] in probed_set, style="hive")
+    ds = rd.read_parquet(index_dir, partition_filter=flt, partitioning=Partitioning("hive"))
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index("centroid")
+        return batch.set_column(idx, "centroid", pc.cast(batch["centroid"], pa.int64()))
+
+    ds = ds.map_batches(_cast, batch_format="pyarrow")
+    out = ivf_topk(ds, queries, codebook, id_col=id_col, emb_col=emb_col,
+                   k=k, nprobe=nprobe, concurrency=concurrency, centroid_col="centroid")
+    return out, probed
+
+
 def ivf_topk(ds, queries: np.ndarray, codebook: np.ndarray, *, id_col="vec_id", emb_col="embedding",
              k=10, nprobe=4, concurrency=None, centroid_col: str | None = None):
     """ANN top-k probing only the nprobe nearest centroid partitions.

@@ -68,3 +68,50 @@ def test_ann_query_prep_never_reads_full_table():
     assert "sort_by(\"vec_id\").slice" not in src
     assert "iter_batches" in inspect.getsource(catalog._sample_embeddings)
     assert "read_table" not in inspect.getsource(catalog.q_ann_ivf_cosine)
+
+
+def test_ivf_partitioned_index_prunes_at_read(ray_session, tmp_path):
+    """Read-level IVF: the probe's read plan must touch ONLY the probed
+    centroid directories (unprobed partitions never leave storage), and
+    results must equal the in-memory IVF probe with the same params."""
+    import os
+
+    import ray.data as rd
+    from ray.data.datasource.partitioning import Partitioning, PathPartitionFilter
+
+    from gostatix_ray.stages.ann import (
+        ivf_topk,
+        ivf_topk_partitioned,
+        ivf_write_partitioned,
+        train_codebook,
+    )
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((2000, 16))
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(2000)],
+        override_num_blocks=4,
+    )
+    cb = train_codebook(emb[:256], 8)
+    out_dir = str(tmp_path / "ivf_index")
+    ivf_write_partitioned(ds, cb, out_dir)
+    n_centroid_dirs = len([d for d in os.listdir(out_dir) if d.startswith("centroid=")])
+    assert n_centroid_dirs == 8
+
+    q = emb[:3]
+    res, probed = ivf_topk_partitioned(out_dir, q, cb, k=5, nprobe=2)
+    assert len(probed) < 8  # pruning is real for this seed
+    # the same path-filtered read the probe uses must list only probed dirs
+    flt = PathPartitionFilter.of(
+        lambda kv: kv["centroid"] in {str(c) for c in probed}, style="hive"
+    )
+    pruned = rd.read_parquet(out_dir, partition_filter=flt, partitioning=Partitioning("hive"))
+    all_files = rd.read_parquet(out_dir, partitioning=Partitioning("hive")).input_files()
+    touched = pruned.input_files()
+    assert 0 < len(touched) < len(all_files)
+    assert all(any(f"centroid={c}/" in f for c in probed) for f in touched)
+
+    full = ivf_topk(ds, q, cb, k=5, nprobe=2).to_pandas()
+    a = res.to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    b = full.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert a.equals(b)

@@ -21,3 +21,20 @@ def test_entry_runs(ray_session):
     assert isinstance(out, pd.DataFrame)
     assert len(out) >= 1
     assert {"sketch", "kind", "rows", "headline_estimate"} <= set(out.columns)
+
+
+def test_hll_daily_active_users_within_bound(ray_session):
+    """The windowed grouped sketch (one HLL per derived day key) must
+    agree with its exact twin within the published HLL bound
+    (3x 1.04/sqrt(m) to keep the test deterministic-safe)."""
+    from gostatix_ray.pipelines import catalog
+
+    sf = "/root/testdata/sf0.001"
+    est = catalog.q_hll_daily_active_users(sf).set_index("day")["active_users_est"]
+    exact = catalog.q_events_daily_active_users(sf).to_pandas()
+    exact["day"] = exact["day"].astype(str).str.slice(0, 10)
+    exact = exact.set_index("day")["active_users"]
+    assert set(est.index) == set(exact.index)
+    bound = 3 * 1.04 / (1 << 12) ** 0.5
+    for day, e in exact.items():
+        assert abs(est[day] - e) <= max(2.0, bound * e), (day, est[day], e)
