@@ -480,6 +480,86 @@ def q_orders_by_customer_nation(sf_dir: str):
     )
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-shaped revenue rollup: lineitem (the BIG fact side)
+    ⨝ orders ⨝ customer ⨝ nation via chained broadcast hash joins —
+    every dim ships once via ray.put, the fact table never shuffles —
+    with MAP-SIDE integer-cents partials, then one tiny groupby.
+    revenue = extendedprice*(1-discount): the float64 product is IEEE-
+    deterministic cross-engine, then floor(x*100+0.5) cents."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = pq.read_table(_os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(_os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(_os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"])
+    j = broadcast_join(li, orders, key="l_orderkey", small_key="o_orderkey",
+                       columns=["o_custkey"], concurrency=_CONC)
+    j = broadcast_join(j, cust, key="o_custkey", small_key="c_custkey",
+                       columns=["c_nationkey"], concurrency=_CONC)
+    j = broadcast_join(j, nation, key="c_nationkey", small_key="n_nationkey",
+                       columns=["n_name"], concurrency=_CONC)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rev = batch["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        df = pd.DataFrame(
+            {
+                "n_name": batch["n_name"].to_numpy(zero_copy_only=False),
+                "cents": np.floor(rev * 100.0 + 0.5).astype(np.int64),
+            }
+        )
+        g = df.groupby("n_name", sort=False, as_index=False).agg(pn=("cents", "size"), pc_=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        j.map_batches(_partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("pn", alias_name="n_items"), Sum("pc_", alias_name="revenue_cents"))
+    )
+
+    def _ints(b: pa.Table) -> pa.Table:
+        for col in ("n_items", "revenue_cents"):
+            b = b.set_column(b.schema.get_field_index(col), col, pc.cast(b[col], pa.int64()))
+        return b
+
+    return agg.map_batches(_ints, batch_format="pyarrow")
+
+
+def q_embedding_similarity_join(sf_dir: str):
+    """Exact threshold similarity SELF-join with a bounded query side:
+    the first 100 vectors (predicate-pruned read) against the full
+    corpus, ids only.  The distributed side streams (per-batch matmul
+    vs the broadcast query matrix; no candidate-generation recall gap —
+    this is the exact baseline for the LSH path).  Threshold 0.4422
+    sits in a 3.8e-3 gap of every sf level's similarity distribution,
+    dwarfing cross-engine float noise."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 100)]).sort_by("vec_id")
+    q = np.stack(qt["embedding"].to_numpy(zero_copy_only=False))
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = threshold_search(ds, q, id_col="vec_id", emb_col="embedding",
+                           threshold=0.4422, concurrency=_CONC)
+
+    def _remap(batch: pa.Table) -> pa.Table:
+        qv = qids[batch["query_id"].to_numpy(zero_copy_only=False)]
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = qv != vid  # drop self-matches
+        return pa.table({"query_id": pa.array(qv[keep]), "vec_id": pa.array(vid[keep])})
+
+    return out.map_batches(_remap, batch_format="pyarrow")
+
+
 def q_lineitem_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped pricing summary with MAP-SIDE COMBINE: per-batch
     partial (flag, status) sums of integer-exact measures (quantities are
@@ -967,6 +1047,8 @@ QUERIES = {
     "simhash_dedup_pairs": q_simhash_dedup_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "orders_by_customer_nation": q_orders_by_customer_nation,
+    "revenue_by_nation": q_revenue_by_nation,
+    "embedding_similarity_join": q_embedding_similarity_join,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "lineitem_recent_pricing": q_lineitem_recent_pricing,
     "doc_token_stats": q_doc_token_stats,
@@ -1043,6 +1125,18 @@ ORACLE_SQL = {
         "CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+    ),
+    "revenue_by_nation": (
+        "SELECT n.n_name, count(*) AS n_items, "
+        "CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+    ),
+    "embedding_similarity_join": (
+        "SELECT a.vec_id AS query_id, b.vec_id FROM embeddings a CROSS JOIN embeddings b "
+        "WHERE a.vec_id < 100 AND a.vec_id != b.vec_id "
+        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4422"
     ),
     "lineitem_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, count(*) AS n, "
