@@ -503,26 +503,76 @@ class ShingleSet:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         sh, counts = _shingle_hashes(col, self.shingle)
-        n_docs = len(counts)
-        # per-doc unique+sort WITHOUT a per-doc loop: one global
-        # lexsort on (doc, value), adjacent-dedupe within doc, then the
-        # binary column is assembled straight from the offsets buffer
-        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-        order = np.lexsort((sh, doc_idx))
-        sv, dv = sh[order], doc_idx[order]
-        if sv.size:
-            keep = np.empty(sv.size, dtype=bool)
-            keep[0] = True
-            keep[1:] = (sv[1:] != sv[:-1]) | (dv[1:] != dv[:-1])
-            sv, dv = sv[keep], dv[keep]
-        uniq_counts = np.bincount(dv, minlength=n_docs)
-        byte_offsets = np.zeros(n_docs + 1, dtype=np.int32)
-        np.cumsum(uniq_counts * 8, out=byte_offsets[1:])
-        shset = pa.Array.from_buffers(
-            pa.binary(), n_docs,
-            [None, pa.py_buffer(byte_offsets.tobytes()), pa.py_buffer(sv.tobytes())],
+        return pa.table(
+            {self.id_col: batch[self.id_col], "shset": _shingle_set_column(sh, counts)}
         )
-        return pa.table({self.id_col: batch[self.id_col], "shset": shset})
+
+
+def _shingle_set_column(sh: np.ndarray, counts: np.ndarray) -> pa.Array:
+    """Per-doc sorted-unique shingle sets as one binary column WITHOUT a
+    per-doc loop: one global lexsort on (doc, value), adjacent-dedupe
+    within doc, binary column assembled straight from the offsets
+    buffer."""
+    n_docs = len(counts)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    order = np.lexsort((sh, doc_idx))
+    sv, dv = sh[order], doc_idx[order]
+    if sv.size:
+        keep = np.empty(sv.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (sv[1:] != sv[:-1]) | (dv[1:] != dv[:-1])
+        sv, dv = sv[keep], dv[keep]
+    uniq_counts = np.bincount(dv, minlength=n_docs)
+    byte_offsets = np.zeros(n_docs + 1, dtype=np.int32)
+    np.cumsum(uniq_counts * 8, out=byte_offsets[1:])
+    return pa.Array.from_buffers(
+        pa.binary(), n_docs,
+        [None, pa.py_buffer(byte_offsets.tobytes()), pa.py_buffer(sv.tobytes())],
+    )
+
+
+class SigAndShingleSet:
+    """One pass over the text: (id, sig, shset).  MinHash signatures and
+    exact shingle sets share the same `_shingle_hashes` tokenize+hash
+    work, so computing them together halves the corpus scans of the
+    verified near-dup pipeline."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int, shingle: int):
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.shingle = num_perm, shingle
+        self.a, self.b = _minhash_params(num_perm, SEED_MINHASH)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sh, counts = _shingle_hashes(col, self.shingle)
+        n_docs = len(counts)
+        # signatures from the shared shingle stream (same chunked
+        # reduceat as minhash_signatures_batch)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        sigs = np.empty((n_docs, self.num_perm), dtype=np.uint64)
+        target = max(1, (4 << 20) // self.num_perm)
+        start_doc = 0
+        with np.errstate(over="ignore"):
+            while start_doc < n_docs:
+                end_doc = start_doc
+                while end_doc < n_docs and (offsets[end_doc + 1] - offsets[start_doc]) < target:
+                    end_doc += 1
+                end_doc = max(end_doc, start_doc + 1)
+                seg = sh[offsets[start_doc] : offsets[end_doc]]
+                vals = (self.a[None, :] * seg[:, None] + self.b[None, :]) % _MERSENNE
+                local_off = (offsets[start_doc:end_doc] - offsets[start_doc]).astype(np.int64)
+                sigs[start_doc:end_doc] = np.minimum.reduceat(vals, local_off, axis=0)
+                start_doc = end_doc
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "sig": rows_to_binary(sigs),
+                "shset": _shingle_set_column(sh, counts),
+            }
+        )
 
 
 def near_dup_pairs_verified(
@@ -548,24 +598,26 @@ def near_dup_pairs_verified(
 
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
-    sigs = ds.map_batches(
-        MinHashSig(text_col, id_col, num_perm, shingle),
+    # ONE corpus pass computes signatures AND exact shingle sets (they
+    # share the tokenize+hash work); materialized because it feeds both
+    # the band explode and the verify join
+    feats = ds.map_batches(
+        SigAndShingleSet(text_col, id_col, num_perm, shingle),
         batch_format="pyarrow",
         concurrency=concurrency,
+    ).materialize()
+    exploded = feats.select_columns([id_col, "sig"]).map_batches(
+        _explode_bands(id_col, num_perm, bands), batch_format="pyarrow"
     )
-    exploded = sigs.map_batches(_explode_bands(id_col, num_perm, bands), batch_format="pyarrow")
     cand = _candidate_pairs_from_groups(
         exploded, id_col, ["band", "band_hash"], dedupe=False
     ).materialize()
     if cand.count() == 0:
         return cand
 
-    shsets = ds.map_batches(
-        ShingleSet(text_col, id_col, shingle),
-        batch_format="pyarrow", concurrency=concurrency,
-    )
     joined = join_pairs_with_features(
-        cand, shsets, id_col=id_col, feat_col="shset", feat_type=pa.binary()
+        cand, feats.select_columns([id_col, "shset"]),
+        id_col=id_col, feat_col="shset", feat_type=pa.binary()
     )
 
     def _verify(df: pd.DataFrame) -> pd.DataFrame:
