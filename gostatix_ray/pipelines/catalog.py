@@ -964,6 +964,35 @@ def q_ann_threshold_cosine(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def q_ann_ivf_partitioned(sf_dir: str):
+    """Read-level IVF: the embeddings table written ONCE as Hive-
+    partitioned parquet (one directory per centroid), probes served
+    from a path-filtered read touching only nprobe directories —
+    unprobed partitions never leave storage (the 100-TB ANN layout).
+    Same estimate semantics as ann_ivf_cosine (rows-only; recall<1 by
+    design)."""
+    import hashlib as _hashlib
+
+    from ..stages.ann import ivf_topk_partitioned, ivf_write_partitioned
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _queries_matrix(sf_dir, 3)
+    cb = train_codebook(_sample_embeddings(sf_dir, 256), n_centroids=16)
+    tag = _hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    index_dir = f"/tmp/gostatix_ray/ivf_index_{tag}"
+    if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ivf_write_partitioned(ds, cb, index_dir)
+        with open(os.path.join(index_dir, "_SUCCESS"), "w") as f:
+            f.write("")
+    out, _probed = ivf_topk_partitioned(index_dir, q, cb, k=10, nprobe=4, concurrency=_CONC)
+    df = out.to_pandas()
+    df["cosine"] = df["cosine"].round(5)
+    return df.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+
+
 def q_ann_ivf_cosine(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = _queries_matrix(sf_dir, 3)
@@ -1070,6 +1099,7 @@ QUERIES = {
     "ann_brute_cosine": q_ann_brute_cosine,
     "ann_threshold_cosine": q_ann_threshold_cosine,
     "ann_ivf_cosine": q_ann_ivf_cosine,
+    "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "transcript_flagship": q_transcript_flagship,
 }
 

@@ -192,7 +192,7 @@ def ivf_topk_partitioned(index_dir: str, queries: np.ndarray, codebook: np.ndarr
     probed_set = {str(c) for c in probed}
     # path-level pruning: unprobed centroid=<c>/ directories are filtered
     # OUT of the file listing before any byte is read
-    flt = PathPartitionFilter.of(lambda kv: kv["centroid"] in probed_set, style="hive")
+    flt = PathPartitionFilter.of(lambda kv: kv.get("centroid") in probed_set, style="hive")
     ds = rd.read_parquet(index_dir, partition_filter=flt, partitioning=Partitioning("hive"))
 
     def _cast(batch: pa.Table) -> pa.Table:
