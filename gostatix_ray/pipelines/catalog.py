@@ -692,10 +692,14 @@ def q_lang_doc_stats(sf_dir: str):
 def q_events_hourly_window(sf_dir: str):
     """Tumbling 1h window per user, with MAP-SIDE COMBINE: each batch
     pre-aggregates (user, hour) partials so the groupby shuffles partial
-    sums, not raw rows (ray_guide "Aggregation at scale").  Summation
+    sums, not raw rows (ray_guide "Aggregation at scale").  The final
+    reduce is a BUCKETED groupby (coarse int hash bucket + vectorized
+    pandas inside): Ray's sort-based Aggregate spent ~40 cpu-s sorting
+    ~600k tiny partial rows by (string, timestamp); hashing to 32
+    buckets and aggregating in-block halves the query.  Summation
     order differs from a row shuffle but stays deterministic; the
     4-decimal rounding absorbs float association noise vs the oracle."""
-    from ray.data.aggregate import Sum
+    from ..stages.dedup import bucketed_groupby
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
@@ -714,10 +718,14 @@ def q_events_hourly_window(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["user_id", "hour"])
-        .aggregate(Sum("pn", alias_name="n"), Sum("psum", alias_name="sum_value"))
+    def _final(df):
+        return df.groupby(["user_id", "hour"], sort=False, as_index=False).agg(
+            n=("pn", "sum"), sum_value=("psum", "sum")
+        )
+
+    agg = bucketed_groupby(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ["user_id", "hour"], _final, num_buckets=32,
     )
 
     def _round(batch: pa.Table) -> pa.Table:
@@ -819,8 +827,10 @@ def q_events_sliding_window(sf_dir: str):
     enumeration loop): each event emits its width/slide=2 covering
     aligned window starts, each batch pre-aggregates (user, window)
     partial counts, and one groupby sums partials.  A window row exists
-    iff it contains >=1 event (SQL-expressible; oracle-checked)."""
-    from ray.data.aggregate import Sum
+    iff it contains >=1 event (SQL-expressible; oracle-checked).  Final
+    reduce via bucketed groupby — same rationale as the hourly window
+    (Ray's sort Aggregate is pathological on many tiny partial rows)."""
+    from ..stages.dedup import bucketed_groupby
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     slide_s, k = 1800, 2  # width 3600 = 2 slides
@@ -841,10 +851,14 @@ def q_events_sliding_window(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"])
-        .aggregate(Sum("pn", alias_name="n"))
+    def _final(df):
+        return df.groupby(["user_id", "window_start"], sort=False, as_index=False).agg(
+            n=("pn", "sum")
+        )
+
+    agg = bucketed_groupby(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ["user_id", "window_start"], _final, num_buckets=32,
     )
 
     def _finish(b: pa.Table) -> pa.Table:
