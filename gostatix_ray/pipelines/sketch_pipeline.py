@@ -181,7 +181,11 @@ class SketchPipeline:
         if self.checkpoint_dir:
             merged = merge_partials(partials, fan_in=self.fan_in)
         else:
-            merged = merge_partials_streaming(partials)
+            # group-free request sets have a handful of final states:
+            # single-task final merge skips the fixed ~0.7s all-to-all
+            # Sort; any group_by request keeps the scale-general groupby
+            final = "single" if all(r.group_by is None for r in self.requests) else "groupby"
+            merged = merge_partials_streaming(partials, final=final)
         final = {}
         rows_by_key = {}
         with full_throttle():

@@ -205,7 +205,8 @@ def merge_partials(partials, *, fan_in: int = 64, tree_threshold: int = 4096):
     return ds.groupby(["sketch", "group_key"]).map_groups(_combine_table, batch_format="pyarrow")
 
 
-def merge_partials_streaming(partials, *, combine_batch: int = 512, levels: int = 2):
+def merge_partials_streaming(partials, *, combine_batch: int = 512, levels: int = 2,
+                             final: str = "groupby"):
     """Single streaming execution: build -> bundled combines -> one sort.
 
     Unlike :func:`merge_partials` this never materializes or counts the
@@ -223,6 +224,13 @@ def merge_partials_streaming(partials, *, combine_batch: int = 512, levels: int 
     while shuffling only the tiny combined rows.  ``combine_batch``
     also caps per-task memory at ~combine_batch x compressed-state-size
     (~50 MB at the default).
+
+    ``final="single"``: collapse the residue into ONE task
+    (``repartition(1)`` + combine) instead of the per-group sort —
+    Ray's all-to-all Sort costs ~0.7 s of fixed machinery even on a
+    dozen rows.  Only valid when the total final group count is small
+    (no ``group_by``, or few groups): the single task must hold every
+    group's state.  ``"groupby"`` remains the scale-general default.
     """
     ds = partials
     for _ in range(levels):
@@ -235,6 +243,8 @@ def merge_partials_streaming(partials, *, combine_batch: int = 512, levels: int 
         # the 8-cpu level, build cpu-time +35%).
         ds = ds.map_batches(_combine_table, batch_format="pyarrow",
                             batch_size=combine_batch, memory=256 * 1024 * 1024)
+    if final == "single":
+        return ds.repartition(1).map_batches(_combine_table, batch_format="pyarrow", batch_size=None)
     return ds.groupby(["sketch", "group_key"]).map_groups(_combine_table, batch_format="pyarrow")
 
 
