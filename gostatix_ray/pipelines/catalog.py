@@ -654,6 +654,162 @@ def q_lineitem_recent_pricing(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# relational: as-of join, range join, grouped ranking
+# ---------------------------------------------------------------------------
+
+def q_clicks_asof_purchase(sf_dir: str):
+    """As-of join (an operator Ray Data lacks natively): each click
+    event joined to the SAME user's most recent at-or-before purchase.
+
+    Both sides are hash-CO-PARTITIONED on user_id (one coarse-bucket
+    shuffle each — never a global sort), then matched with one
+    vectorized lexsort+cummax pass per bucket (stages/asof.py).  Ties
+    on (user, ts) break by max event_id so the answer is deterministic
+    for any partitioning.  SQL twin: DuckDB ASOF LEFT JOIN over the
+    same tie-deduplicated right side."""
+    from ..stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")).select(
+            ["event_id", "ts", "user_id"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _purchases(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["event_type"], "purchase"))
+        return pa.table(
+            {
+                "user_id": f["user_id"],
+                "ts": f["ts"],
+                "prev_event_id": f["event_id"],
+                "prev_value": f["value"],
+            }
+        )
+
+    purchases = ev.map_batches(_purchases, batch_format="pyarrow")
+    return asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        on="ts",
+        left_cols={"event_id": "event_id"},
+        right_cols={"prev_event_id": "prev_event_id", "prev_value": "prev_value"},
+        tiebreak="prev_event_id",
+    )
+
+
+_PRICE_BANDS = pa.table(
+    {
+        "band": ["B0", "B1", "B2", "B3"],
+        "lo": [0.0, 50_000.0, 150_000.0, 300_000.0],
+        "hi": [50_000.0, 150_000.0, 300_000.0, 1e9],
+    }
+)
+
+
+def q_orders_price_band(sf_dir: str):
+    """Range join: orders into a broadcast interval table (lo <= price
+    < hi; overlapping intervals would emit one row each — join, not
+    binning), then the integer-exact map-side-combine aggregate per
+    band.  The interval table ships once via ray.put
+    (stages/joins.py:interval_join)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import interval_join
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    joined = interval_join(ds, _PRICE_BANDS, value_col="o_totalprice", columns=["band"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "band": batch["band"].to_numpy(zero_copy_only=False),
+                "cents": np.floor(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("band", sort=False, as_index=False).agg(
+            pn=("cents", "size"), pc_=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Sum("pn", alias_name="n_orders"), Sum("pc_", alias_name="total_cents"))
+    )
+
+    def _ints(b: pa.Table) -> pa.Table:
+        for col in ("n_orders", "total_cents"):
+            b = b.set_column(b.schema.get_field_index(col), col, pc.cast(b[col], pa.int64()))
+        return b
+
+    return agg.map_batches(_ints, batch_format="pyarrow")
+
+
+def q_top_orders_per_customer(sf_dir: str):
+    """Grouped top-k (the window-function workload) with MAP-SIDE
+    PRUNING: every block keeps at most 2 rows per customer BEFORE the
+    shuffle (stages/rank.py), so the exchange carries O(k) rows per
+    (customer, block) instead of the whole orders table.  SQL twin:
+    row_number() OVER (PARTITION BY ... ORDER BY ...)."""
+    from ..stages.rank import grouped_topk
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_topk(
+        ds,
+        group_col="o_custkey",
+        order_col="o_totalprice",
+        tiebreak="o_orderkey",
+        k=2,
+        descending=True,
+        rank_col="rank",
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "o_orderkey": b["o_orderkey"],
+                "rank": pc.cast(b["rank"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_decontaminated_docs(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    8-gram with the benchmark subset (doc_id % 7 == 0), excluding a
+    benchmark doc's own grams.
+
+    The benchmark gram table is built distributed and broadcast once
+    (benchmarks stay small even at 100 TB corpus scale; the corpus
+    itself streams through one vectorized membership probe per batch —
+    stages/text_stats.py:Decontaminate)."""
+    import ray
+
+    from ..stages.text_stats import Decontaminate, benchmark_ngram_table
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _bench(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 7 == 0))
+
+    gram_table = benchmark_ngram_table(
+        docs.map_batches(_bench, batch_format="pyarrow"),
+        text_col="text",
+        id_col="doc_id",
+        n=8,
+    )
+    ref = ray.put(gram_table)
+    return docs.map_batches(Decontaminate(ref, n=8), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
 
@@ -1094,6 +1250,10 @@ QUERIES = {
     "embedding_similarity_join": q_embedding_similarity_join,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "lineitem_recent_pricing": q_lineitem_recent_pricing,
+    "clicks_asof_purchase": q_clicks_asof_purchase,
+    "orders_price_band": q_orders_price_band,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "decontaminated_docs": q_decontaminated_docs,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_scores": q_doc_quality_scores,
     "doc_langid": q_doc_langid,
@@ -1193,6 +1353,37 @@ ORACLE_SQL = {
         "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
         "CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents "
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01' GROUP BY l_returnflag"
+    ),
+    "clicks_asof_purchase": (
+        "WITH r AS (SELECT user_id, ts, event_id, value FROM ("
+        "SELECT user_id, ts, event_id, value, "
+        "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn "
+        "FROM events WHERE event_type = 'purchase') WHERE rn = 1) "
+        "SELECT a.event_id, r.event_id AS prev_event_id, r.value AS prev_value "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') a "
+        "ASOF LEFT JOIN r ON a.user_id = r.user_id AND a.ts >= r.ts"
+    ),
+    "orders_price_band": (
+        "WITH bands(band, lo, hi) AS (VALUES ('B0', 0.0, 50000.0), "
+        "('B1', 50000.0, 150000.0), ('B2', 150000.0, 300000.0), "
+        "('B3', 300000.0, 1000000000.0)) "
+        "SELECT band, count(*) AS n_orders, "
+        "CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents "
+        "FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band"
+    ),
+    "top_orders_per_customer": (
+        'SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS "rank" FROM ('
+        "SELECT o_custkey, o_orderkey, row_number() OVER ("
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn "
+        "FROM orders) WHERE rn <= 2"
+    ),
+    "decontaminated_docs": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "gr AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g "
+        "FROM toks, UNNEST(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)), "
+        "bench AS (SELECT doc_id, g FROM gr WHERE doc_id % 7 = 0) "
+        "SELECT d.doc_id FROM gr d JOIN bench b ON d.g = b.g AND d.doc_id <> b.doc_id "
+        "GROUP BY d.doc_id"
     ),
     "near_dup_pairs_verified": (
         "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "

@@ -67,3 +67,60 @@ def broadcast_join(ds, small: pa.Table, *, key: str, small_key: str,
         zero_copy_batch=True,
         **kwargs,
     )
+
+
+class _IntervalJoin:
+    """Task callable; interval table resolves lazily once per worker."""
+
+    def __init__(self, ref, value_col: str, lo_col: str, hi_col: str, columns: list[str]):
+        self._ref = ref
+        self._value_col, self._lo, self._hi = value_col, lo_col, hi_col
+        self._columns = columns
+        self._small = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._small is None:
+            import ray
+
+            self._small = ray.get(self._ref) if not isinstance(self._ref, pa.Table) else self._ref
+        small = self._small
+        import numpy as np
+
+        v = batch[self._value_col].to_numpy(zero_copy_only=False)
+        lo = small[self._lo].to_numpy(zero_copy_only=False)
+        hi = small[self._hi].to_numpy(zero_copy_only=False)
+        pieces = []
+        for i in range(small.num_rows):
+            rows = np.flatnonzero((v >= lo[i]) & (v < hi[i]))
+            sub = batch.take(pa.array(rows))
+            idx = pa.array(np.full(len(rows), i, dtype=np.int64))
+            for col in self._columns:
+                sub = sub.append_column(col, pc.take(small[col], idx))
+            pieces.append(sub)
+        return pa.concat_tables(pieces)
+
+
+def interval_join(ds, intervals: pa.Table, *, value_col: str,
+                  lo_col: str = "lo", hi_col: str = "hi",
+                  columns: list[str], concurrency=None):
+    """Range join of ds rows into a SMALL broadcast interval table:
+    emit (row × interval) for every interval with lo <= value < hi
+    (overlapping intervals emit one output row each — true join
+    semantics, not binning).
+
+    The interval table ships once (``ray.put``); each batch runs one
+    vectorized mask per interval — right for dozens-to-hundreds of
+    intervals (bands, SLA tiers, date ranges).  A large interval table
+    needs an interval tree / sorted-endpoint search instead; at that
+    point co-partition both sides on a coarse range key.
+    """
+    import ray
+
+    kwargs = {"concurrency": concurrency} if concurrency is not None else {}
+    ref = ray.put(intervals)
+    return ds.map_batches(
+        _IntervalJoin(ref, value_col, lo_col, hi_col, columns),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        **kwargs,
+    )

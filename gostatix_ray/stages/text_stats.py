@@ -197,3 +197,110 @@ class Fingerprint:
                 "rolling_fp": pa.array(hex64(roll)),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# decontamination: word-n-gram overlap against a benchmark set
+# ---------------------------------------------------------------------------
+
+def doc_ngrams(texts, n: int) -> tuple[pa.Array, np.ndarray]:
+    """All word n-grams of every text, fully vectorized.
+
+    Returns (grams, doc_index): ``grams[i]`` is an n-gram string of doc
+    ``doc_index[i]``.  A doc with fewer than n tokens contributes its
+    whole text as ONE gram (clamped-slice semantics, mirrors the SQL
+    twin ``t[i:i+n-1]``).  No per-row Python: one split, n shifted
+    slices of the flat token array, one element-wise join.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern(texts, pattern=" ")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    m = len(flat)
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    pieces_g, pieces_d = [], []
+    if m >= n:
+        parts = [flat.slice(i, m - n + 1) for i in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        valid = np.flatnonzero(doc_of[: m - n + 1] == doc_of[n - 1:])
+        pieces_g.append(grams.take(pa.array(valid)))
+        pieces_d.append(doc_of[valid])
+    short = np.flatnonzero((counts < n) & (counts > 0))
+    if len(short):
+        pieces_g.append(texts.take(pa.array(short)))
+        pieces_d.append(short)
+    if not pieces_g:
+        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+    return (
+        pa.concat_arrays([p.cast(pa.string()) for p in pieces_g]),
+        np.concatenate(pieces_d),
+    )
+
+
+def benchmark_ngram_table(bench_ds, *, text_col: str, id_col: str, n: int) -> pa.Table:
+    """Distinct (gram, min bench id, max bench id) over a benchmark
+    Dataset.  Distributed gram generation with per-block pre-aggregation;
+    only the deduplicated gram table reaches the driver — fine by
+    construction (benchmark suites are small even when the corpus is
+    100 TB; the corpus itself never comes back)."""
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        grams, doc_idx = doc_ngrams(batch[text_col], n)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
+        import pandas as pd
+
+        df = pd.DataFrame({"gram": grams.to_pandas(), "id": ids})
+        g = df.groupby("gram", sort=False, as_index=False).agg(
+            min_id=("id", "min"), max_id=("id", "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    import pandas as pd
+
+    parts = bench_ds.map_batches(_grams, batch_format="pyarrow").to_pandas()
+    final = parts.groupby("gram", sort=False, as_index=False).agg(
+        min_id=("min_id", "min"), max_id=("max_id", "max")
+    )
+    return pa.Table.from_pandas(final, preserve_index=False)
+
+
+class Decontaminate:
+    """Flag corpus docs sharing any word n-gram with a benchmark set.
+
+    The benchmark gram table broadcasts once (``ray.put``); each batch
+    runs ONE hashed set-membership probe (``pc.index_in``) over all its
+    grams, then a vectorized self-match exclusion: a doc is contaminated
+    iff some gram is held by a benchmark doc OTHER than itself (so
+    benchmark members aren't flagged by their own grams).  Emits the
+    (id) rows of contaminated docs — docs are one row each, so no
+    global dedup pass is needed.
+    """
+
+    def __init__(self, gram_table_ref, *, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 8):
+        self._ref = gram_table_ref
+        self.text_col, self.id_col, self.n = text_col, id_col, n
+        self._grams = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._grams is None:
+            import ray
+
+            t = ray.get(self._ref) if not isinstance(self._ref, pa.Table) else self._ref
+            self._grams = t["gram"].combine_chunks()
+            self._min = t["min_id"].to_numpy(zero_copy_only=False)
+            self._max = t["max_id"].to_numpy(zero_copy_only=False)
+        grams, doc_idx = doc_ngrams(batch[self.text_col], self.n)
+        pos = pc.index_in(grams, value_set=self._grams)
+        hit_rows = np.flatnonzero(pos.is_valid().to_numpy(zero_copy_only=False))
+        flag = np.zeros(batch.num_rows, dtype=bool)
+        if len(hit_rows):
+            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+            p = pos.take(pa.array(hit_rows)).to_numpy(zero_copy_only=False)
+            d = doc_idx[hit_rows]
+            other = (self._min[p] != ids[d]) | (self._max[p] != ids[d])
+            flag[np.unique(d[other])] = True
+        return batch.select([self.id_col]).filter(pa.array(flag))
