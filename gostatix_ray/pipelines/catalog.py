@@ -780,6 +780,45 @@ def q_top_orders_per_customer(sf_dir: str):
     )
 
 
+def q_order_priority_revenue(sf_dir: str):
+    """BIG ⨝ BIG shuffle hash join (stages/joins.py:hash_join): lineitem
+    ⨝ orders on orderkey with NO broadcast — both sides hash-co-partition
+    once, pre-projected (lineitem ships only (orderkey, rev_cents)), the
+    bucket match is one vectorized searchsorted expansion — then a small
+    groupby rolls revenue up by order priority.  Money as exact integer
+    cents -> hash-stable vs SQL."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev_cents": pa.array(rev)})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = hash_join(
+        li.map_batches(_cents, batch_format="pyarrow"),
+        orders,
+        key="l_orderkey",
+        right_key="o_orderkey",
+        left_cols={"rev_cents": "rev_cents"},
+        right_cols={"o_orderpriority": "o_orderpriority"},
+    )
+    agg = (
+        j.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("rev_cents", alias_name="revenue_cents"))
+    )
+    return agg.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("revenue_cents"), "revenue_cents",
+                               pc.cast(b["revenue_cents"], pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
 def q_decontaminated_docs(sf_dir: str):
     """Benchmark decontamination: flag corpus docs sharing any word
     8-gram with the benchmark subset (doc_id % 7 == 0), excluding a
@@ -1253,6 +1292,7 @@ QUERIES = {
     "clicks_asof_purchase": q_clicks_asof_purchase,
     "orders_price_band": q_orders_price_band,
     "top_orders_per_customer": q_top_orders_per_customer,
+    "order_priority_revenue": q_order_priority_revenue,
     "decontaminated_docs": q_decontaminated_docs,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality_scores": q_doc_quality_scores,
@@ -1329,6 +1369,12 @@ ORACLE_SQL = {
         "CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+    ),
+    "order_priority_revenue": (
+        "SELECT o.o_orderpriority, count(*) AS n_items, "
+        "CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderpriority"
     ),
     "revenue_by_nation": (
         "SELECT n.n_name, count(*) AS n_items, "

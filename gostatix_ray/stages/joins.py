@@ -1,17 +1,22 @@
-"""Broadcast hash join — the dimension-table join for sketch pipelines.
+"""Hash joins — broadcast (BIG ⨝ SMALL) and shuffle (BIG ⨝ BIG).
 
 The reference has no relational operators (SURVEY.md §2.6); the engine
 supplies them Ray-Data-natively.  ``broadcast_join`` handles the
 BIG ⨝ SMALL case without any shuffle: the small side is ``ray.put``
 once and every task attaches columns with Arrow kernels
-(``pc.index_in`` + ``pc.take``) — zero Python per row.  For BIG ⨝ BIG
-use a bloom semi-join (stages/membership.py) to prune, then co-partition
-with ``bucketed_groupby`` (stages/dedup.py) — documented pattern, not
-this function.
+(``pc.index_in`` + ``pc.take``) — zero Python per row.  ``hash_join``
+is the BIG ⨝ BIG case: both sides are hash-CO-PARTITIONED on the key
+with ONE coarse-bucket shuffle each (each table crosses the wire
+exactly once, pre-projected to the carried columns), and every bucket
+is matched with a vectorized searchsorted expansion — zero per-row
+Python, true multiplicity semantics (m×n rows for duplicate keys).
+Prune the big probe side with a bloom semi-join (stages/membership.py)
+first when the build side is selective.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -124,3 +129,145 @@ def interval_join(ds, intervals: pa.Table, *, value_col: str,
         zero_copy_batch=True,
         **kwargs,
     )
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    """ds.schema() as a pyarrow Schema.  Pandas-block datasets report a
+    PandasBlockSchema; map its numpy dtypes across (object -> string —
+    pass Arrow-backed data for binary payloads)."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(base.names, base.types):
+        try:
+            at = pa.from_numpy_dtype(typ)
+        except (pa.ArrowNotImplementedError, TypeError):
+            at = pa.string()
+        fields.append(pa.field(name, at))
+    return pa.schema(fields)
+
+
+class _HashJoinBucketMatch:
+    """pyarrow map_groups callable: equi-join one co-partitioned bucket.
+
+    Arrow in/out keeps every payload column its ORIGINAL type (the
+    tagged union carries typed nulls for the other side — same pattern
+    as stages/asof.py).  Matching is one factorize + one stable sort +
+    searchsorted range expansion: O(B log B) per bucket, no per-row
+    Python, exact m×n duplicate-key multiplicity.
+    """
+
+    def __init__(self, key, out_key, left_cols, right_cols, how):
+        self._key, self._out_key = key, out_key
+        self._left_cols = left_cols  # {src: out_name}
+        self._right_cols = right_cols  # {src: out_name}
+        self._how = how
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        side = table["__side"].to_numpy(zero_copy_only=False)
+        k = table[self._key].to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(k)
+        lidx = np.flatnonzero(side == 1)
+        ridx = np.flatnonzero(side == 0)
+        kl, kr = codes[lidx], codes[ridx]
+        order = np.argsort(kr, kind="stable")
+        kr_s = kr[order]
+        lo = np.searchsorted(kr_s, kl, side="left")
+        hi = np.searchsorted(kr_s, kl, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        rep = np.repeat(np.arange(len(kl), dtype=np.int64), counts)
+        starts = np.repeat(lo, counts)
+        csum = np.concatenate(([0], np.cumsum(counts)[:-1])) if len(counts) else np.empty(0, np.int64)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
+        left_rows = lidx[rep]
+        right_rows = ridx[order[starts + offs]] if total else np.empty(0, np.int64)
+        valid = None
+        if self._how == "left":
+            miss = np.flatnonzero(counts == 0)
+            if len(miss):
+                left_rows = np.concatenate((left_rows, lidx[miss]))
+                right_rows = np.concatenate((right_rows, np.zeros(len(miss), np.int64)))
+                valid = np.concatenate((np.ones(total, bool), np.zeros(len(miss), bool)))
+
+        out: dict = {self._out_key: table[self._key].take(pa.array(left_rows))}
+        for src, name in self._left_cols.items():
+            out[name] = table[src].take(pa.array(left_rows))
+        vmask = pa.array(valid) if valid is not None else None
+        for src, name in self._right_cols.items():
+            vals = table[src].take(pa.array(right_rows))
+            if vmask is not None:
+                if isinstance(vals, pa.ChunkedArray):
+                    vals = vals.combine_chunks()
+                vals = pc.if_else(vmask, vals, pa.scalar(None, type=vals.type))
+            out[name] = vals
+        return pa.table(out)
+
+
+def hash_join(
+    left,
+    right,
+    *,
+    key: str,
+    right_key: str | None = None,
+    left_cols: dict,
+    right_cols: dict,
+    how: str = "inner",
+    num_buckets: int = 64,
+):
+    """Distributed BIG ⨝ BIG equi-join (inner / left) of two Datasets.
+
+    ``left_cols`` / ``right_cols``: {source column -> output name};
+    output-name collisions are the caller's to avoid.  The join key is
+    emitted once under the LEFT name; a differently-named right key is
+    given via ``right_key`` and cast to the left key's type.  Keys must
+    be non-null.  Scale shape: each side shuffles once, pre-projected to
+    key + carried columns; skewed keys stay inside one vectorized bucket
+    call — raise ``num_buckets`` (or bloom-prune the probe side) for hot
+    keys.  Duplicate keys produce the full m×n cross product per key —
+    true join semantics, partition-independent output SET (row order
+    follows bucket scheduling).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    from ..hashing import hash128
+
+    rkey = right_key or key
+    left_cols, right_cols = dict(left_cols), dict(right_cols)
+    if key in left_cols or rkey in right_cols:
+        raise ValueError("hash_join: the key rides along automatically; do not list it")
+    nb = np.uint64(num_buckets)
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    key_type = lschema.field(key).type
+    payload: dict = {}
+    for src in left_cols:
+        payload[src] = lschema.field(src).type
+    for src in right_cols:
+        if src in payload:
+            raise ValueError(f"hash_join: column {src!r} carried from both sides; rename one")
+        payload[src] = rschema.field(src).type
+
+    def _tag(side_val: int, keep: list, src_key: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            kcol = batch[src_key]
+            if side_val == 0:
+                kcol = pc.cast(kcol, key_type)
+            h1, _ = hash128(pc.cast(kcol, pa.string()), 31)
+            ncols = {key: kcol, "__side": pa.array(np.full(n, side_val, dtype=np.int8))}
+            for src, typ in payload.items():
+                ncols[src] = batch[src] if src in keep else pa.nulls(n, type=typ)
+            ncols["__bucket"] = pa.array((h1 % nb).astype(np.int64))
+            return pa.Table.from_pydict(ncols)
+
+        return _fn
+
+    tagged = left.map_batches(
+        _tag(1, list(left_cols), key), batch_format="pyarrow"
+    ).union(right.map_batches(_tag(0, list(right_cols), rkey), batch_format="pyarrow"))
+    match = _HashJoinBucketMatch(key, key, left_cols, right_cols, how)
+    # plain-function wrapper: map_groups reads fn.__name__ for its label
+    return tagged.groupby("__bucket").map_groups(lambda t: match(t), batch_format="pyarrow")

@@ -202,3 +202,77 @@ def test_doc_ngrams_vectorized():
     # splits to [''] (1 token < 3) -> whole text, matching the SQL twin;
     # doc 3: one 3-gram.
     assert pairs == [(0, "a b c"), (0, "b c d"), (1, "x y"), (2, ""), (3, "p q r")]
+
+
+# ---------------------------------------------------------------------------
+# hash_join (BIG ⨝ BIG shuffle join)
+# ---------------------------------------------------------------------------
+
+def _hj_reference(ldf, rdf, *, how, right_key="k"):
+    m = ldf.merge(rdf.rename(columns={right_key: "k"}), on="k", how=how)
+    return m.sort_values(list(m.columns), kind="stable").reset_index(drop=True)
+
+
+def test_hash_join_inner_duplicates_and_blocks(ray_session):
+    from gostatix_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(7)
+    ldf = pd.DataFrame({"k": rng.integers(0, 50, 400), "lv": np.arange(400)})
+    rdf = pd.DataFrame({"rk": rng.integers(0, 60, 120), "rv": np.arange(120) * 10})
+    import ray.data as rd
+
+    left = rd.from_pandas(ldf).repartition(7)
+    right = rd.from_pandas(rdf).repartition(3)
+    out = hash_join(
+        left, right, key="k", right_key="rk",
+        left_cols={"lv": "lv"}, right_cols={"rv": "rv"}, num_buckets=16,
+    ).to_pandas()
+    got = out[["k", "lv", "rv"]].sort_values(["k", "lv", "rv"], kind="stable").reset_index(drop=True)
+    exp = _hj_reference(ldf, rdf.rename(columns={"rk": "k"}), how="inner")[["k", "lv", "rv"]]
+    exp = exp.sort_values(["k", "lv", "rv"], kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # duplicate keys must give the full m×n multiplicity — compare sizes
+    assert len(got) == len(exp) and len(got) > len(ldf) * 0  # non-trivial
+
+
+def test_hash_join_left_nulls_and_string_keys(ray_session):
+    from gostatix_ray.stages.joins import hash_join
+
+    import ray.data as rd
+
+    ldf = pd.DataFrame({"k": ["a", "b", "c", "c", "zz"], "lv": [1, 2, 3, 4, 5]})
+    rdf = pd.DataFrame({"k": ["a", "c", "c"], "rv": [10, 30, 31]})
+    out = hash_join(
+        rd.from_pandas(ldf).repartition(3),
+        rd.from_pandas(rdf).repartition(2),
+        key="k", left_cols={"lv": "lv"}, right_cols={"rv": "rv"},
+        how="left", num_buckets=8,
+    ).to_pandas()
+    got = out.sort_values(["k", "lv", "rv"], kind="stable", na_position="last").reset_index(drop=True)
+    exp = ldf.merge(rdf, on="k", how="left").sort_values(
+        ["k", "lv", "rv"], kind="stable", na_position="last"
+    ).reset_index(drop=True)
+    assert list(got["k"]) == list(exp["k"]) and list(got["lv"]) == list(exp["lv"])
+    assert got["rv"].isna().sum() == 2  # b and zz unmatched
+    assert list(got["rv"].dropna().astype(int)) == list(exp["rv"].dropna().astype(int))
+
+
+def test_hash_join_partition_independence(ray_session):
+    """Output SET is identical for any block layout of either side."""
+    from gostatix_ray.stages.joins import hash_join
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    ldf = pd.DataFrame({"k": rng.integers(0, 9, 100), "lv": np.arange(100)})
+    rdf = pd.DataFrame({"k": rng.integers(0, 9, 40), "rv": np.arange(40)})
+    outs = []
+    for lp, rp in [(1, 1), (5, 4), (13, 2)]:
+        out = hash_join(
+            rd.from_pandas(ldf).repartition(lp),
+            rd.from_pandas(rdf).repartition(rp),
+            key="k", left_cols={"lv": "lv"}, right_cols={"rv": "rv"}, num_buckets=4,
+        ).to_pandas().sort_values(["k", "lv", "rv"], kind="stable").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
+    pd.testing.assert_frame_equal(outs[0], outs[2], check_dtype=False)
