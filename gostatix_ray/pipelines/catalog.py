@@ -819,6 +819,73 @@ def q_order_priority_revenue(sf_dir: str):
     )
 
 
+def q_doc_hash_sample(sf_dir: str):
+    """Deterministic 10% corpus sample (stages/sample.py:hash_sample):
+    Knuth multiplicative hash on doc_id, pure per-batch filter — no
+    shuffle, no RNG state, retry/partitioning-independent, and exactly
+    reproducible in SQL (same integer arithmetic)."""
+    from ..stages.sample import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return hash_sample(ds, key_col="doc_id", fraction=0.10)
+
+
+def q_events_stratified_sample(sf_dir: str):
+    """Deterministic 5-per-stratum sample (stages/sample.py:
+    stratified_sample): k smallest event_id hashes per event_type, with
+    MAP-SIDE pruning (each block ships <=k rows per group) before one
+    coarse-bucket shuffle.  SQL twin: row_number() over the same
+    integer hash ordering."""
+    from ..stages.sample import stratified_sample
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id"])
+    out = stratified_sample(ds, group_col="event_type", key_col="event_id", k=5)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "event_id": b["event_id"],
+                "rank": pc.cast(b["rank"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_user_running_value(sf_dir: str):
+    """Per-user ordered window functions (stages/window_fns.py):
+    running spend (exact integer cents, ROWS UNBOUNDED PRECEDING) and
+    microsecond gap since the user's previous event — one coarse-bucket
+    shuffle on user_id, one vectorized lexsort+cumsum pass per bucket.
+    SQL twin: sum(...) OVER / lag(...) OVER the same frame order."""
+    from ..stages.window_fns import window_over
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    return window_over(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        part_col="user_id",
+        order_col="ts",
+        tiebreak="event_id",
+        sum_col="cents",
+        running_name="running_cents",
+        gap_name="gap_us",
+        gap_default=-1,
+        keep=["event_id", "user_id"],
+    )
+
+
 def q_decontaminated_docs(sf_dir: str):
     """Benchmark decontamination: flag corpus docs sharing any word
     8-gram with the benchmark subset (doc_id % 7 == 0), excluding a
@@ -851,6 +918,16 @@ def q_decontaminated_docs(sf_dir: str):
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
+
+def q_doc_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition signals (stages/text_stats.py:
+    RepetitionStats): duplicate-token fraction and top-token share,
+    exact ints + single-op float fractions (bit-stable vs SQL)."""
+    from ..stages.text_stats import RepetitionStats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(RepetitionStats(), batch_format="pyarrow")
+
 
 def q_doc_token_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1293,8 +1370,12 @@ QUERIES = {
     "orders_price_band": q_orders_price_band,
     "top_orders_per_customer": q_top_orders_per_customer,
     "order_priority_revenue": q_order_priority_revenue,
+    "doc_hash_sample": q_doc_hash_sample,
+    "events_stratified_sample": q_events_stratified_sample,
+    "user_running_value": q_user_running_value,
     "decontaminated_docs": q_decontaminated_docs,
     "doc_token_stats": q_doc_token_stats,
+    "doc_repetition_stats": q_doc_repetition_stats,
     "doc_quality_scores": q_doc_quality_scores,
     "doc_langid": q_doc_langid,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1375,6 +1456,24 @@ ORACLE_SQL = {
         "CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "GROUP BY o.o_orderpriority"
+    ),
+    "doc_hash_sample": (
+        # threshold literal = gostatix_ray.stages.sample.hash_threshold(0.10)
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729"
+    ),
+    "events_stratified_sample": (
+        "SELECT event_type, event_id, rank FROM ("
+        "SELECT event_type, event_id, CAST(row_number() OVER ("
+        "PARTITION BY event_type "
+        "ORDER BY (CAST(event_id AS HUGEINT) * 2654435761) % 4294967296, event_id"
+        ") AS BIGINT) AS rank FROM events) WHERE rank <= 5"
+    ),
+    "user_running_value": (
+        "SELECT event_id, user_id, "
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS running_cents, "
+        "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT) AS gap_us "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
     ),
     "revenue_by_nation": (
         "SELECT n.n_name, count(*) AS n_items, "
@@ -1540,6 +1639,16 @@ ORACLE_SQL = {
     "doc_token_stats": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
         "CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+    ),
+    "doc_repetition_stats": (
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_distinct, "
+        "CAST(max(c) AS BIGINT) AS max_token_count, "
+        "1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_token_frac, "
+        "CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_frac "
+        "FROM (SELECT doc_id, token, count(*) AS c FROM ("
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+        ") GROUP BY doc_id, token) GROUP BY doc_id"
     ),
     "lang_doc_stats": (
         "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "

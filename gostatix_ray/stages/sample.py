@@ -1,0 +1,97 @@
+"""Deterministic sampling — hash-fraction and stratified per-group
+sampling for training-data pipelines.
+
+Sampling at 100 TB must be (a) a pure per-batch filter — no shuffle, no
+RNG state, so reruns and task retries agree row-for-row — and (b)
+exactly checkable.  Both follow from a Knuth multiplicative hash over a
+non-negative integer key:
+
+    h(k) = (k * 2654435761) mod 2^32
+
+exact integer arithmetic every engine reproduces bit-identically
+(DuckDB twin: ``(CAST(k AS HUGEINT) * 2654435761) % 4294967296``), with
+well-mixed low bits for uniform selection.  ``hash_sample`` keeps rows
+with h(k) below fraction·2^32 — embarrassingly parallel, zero exchange.
+``stratified_sample`` keeps the k smallest-h rows PER GROUP (a
+deterministic "uniform k per stratum"): it rides stages/rank.py's
+grouped_topk, so every block pre-prunes to ≤k rows per group it sees
+before the single coarse-bucket shuffle — the exchange carries
+O(k · groups/block · blocks) rows, never the table.
+
+The reference engine has no sampling operators (SURVEY.md §2.6 — engine
+side); these are north-rule training-data extras.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+KNUTH = np.uint64(2654435761)
+MOD_BITS = 32
+_MOD = np.uint64(1) << np.uint64(MOD_BITS)
+
+HKEY_COL = "__hkey"
+
+
+def hash_threshold(fraction: float) -> int:
+    """The inclusive-exclusive cut: keep rows with h(k) < threshold.
+    Use this SAME integer literal in any SQL twin."""
+    return int(fraction * float(1 << MOD_BITS))
+
+
+def hashed_keys(arr: np.ndarray) -> np.ndarray:
+    """h(k) for a non-negative integer key array (uint64 wraparound is
+    exact and deterministic; negative keys would disagree with SQL's
+    HUGEINT arithmetic — rejected)."""
+    a = np.asarray(arr)
+    if a.dtype.kind == "i" and len(a) and a.min() < 0:
+        raise ValueError("hash_sample keys must be non-negative integers")
+    return (a.astype(np.uint64) * KNUTH) % _MOD
+
+
+def hash_sample(ds, *, key_col: str, fraction: float):
+    """Keep ~fraction of rows, chosen deterministically by key hash.
+
+    Pure per-batch filter: no shuffle, no state, retry-stable, and the
+    SAME rows are selected regardless of partitioning or cluster size.
+    Repeated keys are kept/dropped together (sampling is by key).
+    """
+    thresh = np.uint64(hash_threshold(fraction))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        h = hashed_keys(batch[key_col].to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(h < thresh))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def stratified_sample(ds, *, group_col: str, key_col: str, k: int,
+                      rank_col: str = "rank", num_buckets: int = 64):
+    """Deterministic k-per-group sample: the k smallest hash keys in
+    each group, ranked 1..k (ties broken by ``key_col`` ascending).
+
+    Map-side pruning via grouped_topk: each block ships at most k rows
+    per group it holds.  SQL twin: ``row_number() OVER (PARTITION BY g
+    ORDER BY (CAST(key AS HUGEINT)*2654435761)%4294967296, key) <= k``.
+    """
+    from .rank import grouped_topk
+
+    def _add_hkey(batch: pa.Table) -> pa.Table:
+        h = hashed_keys(batch[key_col].to_numpy(zero_copy_only=False))
+        return batch.append_column(HKEY_COL, pa.array(h.astype(np.int64)))
+
+    out = grouped_topk(
+        ds.map_batches(_add_hkey, batch_format="pyarrow"),
+        group_col=group_col,
+        order_col=HKEY_COL,
+        tiebreak=key_col,
+        k=k,
+        descending=False,
+        rank_col=rank_col,
+        num_buckets=num_buckets,
+    )
+    return out.map_batches(
+        lambda b: b.drop_columns([HKEY_COL]), batch_format="pyarrow"
+    )

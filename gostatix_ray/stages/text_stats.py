@@ -304,3 +304,63 @@ class Decontaminate:
             other = (self._min[p] != ids[d]) | (self._max[p] != ids[d])
             flag[np.unique(d[other])] = True
         return batch.select([self.id_col]).filter(pa.array(flag))
+
+
+class RepetitionStats:
+    """(id, text) -> per-doc token-repetition quality signals:
+    n_tokens, n_distinct, max_token_count, dup_token_frac
+    (1 - distinct/total), top_token_frac (most-common-token share).
+
+    The Gopher-style repetition filters ("fraction of duplicate
+    content") for pretraining corpora, computed exactly.  Fully
+    vectorized per batch: one Arrow split, one factorize over the
+    batch's flattened tokens, one lexsort, then bincount/reduceat per
+    doc — no per-row Python.  The fractions are single float64 ops over
+    exact integers, so any SQL engine reproduces them bit-identically.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = batch.num_rows
+        toks = _tokens(batch[self.text_col])
+        lens = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        codes, _ = pd.factorize(flat.to_pandas())
+        order = np.lexsort((codes, doc_idx))
+        d_s, c_s = doc_idx[order], codes[order]
+        total = len(d_s)
+        new_run = np.empty(total, dtype=bool)
+        if total:
+            new_run[0] = True
+            new_run[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_doc = d_s[run_starts]
+        run_len = np.diff(np.append(run_starts, total))
+        n_distinct = np.bincount(run_doc, minlength=n).astype(np.int64)
+        max_cnt = np.zeros(n, dtype=np.int64)
+        if len(run_starts):
+            doc_first = np.empty(len(run_doc), dtype=bool)
+            doc_first[0] = True
+            doc_first[1:] = run_doc[1:] != run_doc[:-1]
+            bounds = np.flatnonzero(doc_first)
+            max_cnt[run_doc[bounds]] = np.maximum.reduceat(run_len, bounds)
+        n_tok = lens.astype(np.int64)
+        denom = np.maximum(n_tok, 1).astype(np.float64)
+        dup_frac = 1.0 - n_distinct.astype(np.float64) / denom
+        top_frac = max_cnt.astype(np.float64) / denom
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_tokens": pa.array(n_tok),
+                "n_distinct": pa.array(n_distinct),
+                "max_token_count": pa.array(max_cnt),
+                "dup_token_frac": pa.array(dup_frac),
+                "top_token_frac": pa.array(top_frac),
+            }
+        )

@@ -1,0 +1,118 @@
+"""Per-partition window functions — lag deltas and running aggregates.
+
+Training-data and feature pipelines need ordered per-entity state (time
+since previous event, cumulative counts per user/conversation) that Ray
+Data has no native operator for.  The reference engine has none either
+(SURVEY.md §2.6 — engine side); this is a north-rule extra.
+
+Scale shape (same partitioning assumption as stages/asof.py and
+hash_join): rows hash-co-partition by the partition key with ONE
+coarse-bucket shuffle, then every window column is computed in one
+vectorized pass per bucket — lexsort by (part, order, tiebreak), group
+fences, a shifted diff for the lag, and group-rebased cumulative sums
+for the running aggregate.  A bucket with B rows costs O(B log B) with
+zero per-row Python; skewed partitions resolve inside one vectorized
+call.
+
+Running sums are restricted to INTEGER columns so results are exact and
+bit-identical to any SQL engine evaluating the same frame order
+(``ROWS UNBOUNDED PRECEDING``) — float running sums would depend on
+summation association.  Convert money to integer cents first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .asof import _as_sortable_i64
+
+
+class _WindowBucket:
+    """pyarrow map_groups callable: one co-partitioned bucket."""
+
+    def __init__(self, part_col, order_col, tiebreak, sum_col, running_name,
+                 gap_name, gap_default, keep):
+        self._part, self._order, self._tb = part_col, order_col, tiebreak
+        self._sum_col, self._running_name = sum_col, running_name
+        self._gap_name, self._gap_default = gap_name, gap_default
+        self._keep = keep
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = table.num_rows
+        p, _ = pd.factorize(table[self._part].to_numpy(zero_copy_only=False))
+        o = _as_sortable_i64(table[self._order].to_numpy(zero_copy_only=False))
+        t = table[self._tb].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, o, p))
+        ps = p[order]
+        idx = np.arange(n, dtype=np.int64)
+        newg = np.empty(n, dtype=bool)
+        if n:
+            newg[0] = True
+            newg[1:] = ps[1:] != ps[:-1]
+        out: dict = {}
+        for src in self._keep:
+            out[src] = table[src].take(pa.array(order))
+        if self._gap_name is not None:
+            ov = o[order].astype(np.int64)
+            gap = np.empty(n, dtype=np.int64)
+            if n:
+                gap[0] = self._gap_default
+                gap[1:] = ov[1:] - ov[:-1]
+                gap[newg] = self._gap_default
+            out[self._gap_name] = pa.array(gap)
+        if self._sum_col is not None:
+            v = table[self._sum_col].to_numpy(zero_copy_only=False)
+            if v.dtype.kind not in "iu":
+                raise TypeError(
+                    f"window_over running sum needs an integer column, got {v.dtype} "
+                    f"for {self._sum_col!r} (convert to integer cents/counts first)"
+                )
+            vs = v[order].astype(np.int64)
+            c = np.cumsum(vs)
+            gstart = np.maximum.accumulate(np.where(newg, idx, 0))
+            base = c[gstart] - vs[gstart]
+            out[self._running_name] = pa.array(c - base)
+        return pa.table(out)
+
+
+def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
+                sum_col: str | None = None, running_name: str = "running_sum",
+                gap_name: str | None = "gap", gap_default: int = -1,
+                keep: list | None = None, num_buckets: int = 64):
+    """Per-partition ordered window columns over a Dataset.
+
+    Emits, per row (ordered by ``order_col`` then ``tiebreak`` within
+    each ``part_col`` partition):
+
+    * ``gap_name``: this row's order value minus the previous row's
+      (int64 — timestamps diff in their storage unit, e.g. µs);
+      ``gap_default`` for each partition's first row (a sentinel, not
+      null, so cross-engine hashes stay unambiguous);
+    * ``running_name``: running sum of integer ``sum_col`` including
+      the current row (``ROWS UNBOUNDED PRECEDING`` semantics).
+
+    ``keep``: passthrough columns (default: part, tiebreak).  Output row
+    SET is partition-independent; row order follows bucket scheduling.
+    """
+    from ..hashing import hash128
+
+    import pyarrow.compute as pc
+
+    if keep is None:
+        keep = [part_col, tiebreak]
+    nb = np.uint64(num_buckets)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        h1, _ = hash128(pc.cast(batch[part_col], pa.string()), 31)
+        return batch.append_column("__bucket", pa.array((h1 % nb).astype(np.int64)))
+
+    fn = _WindowBucket(part_col, order_col, tiebreak, sum_col, running_name,
+                       gap_name, gap_default, keep)
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda t: fn(t), batch_format="pyarrow")
+    )

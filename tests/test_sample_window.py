@@ -1,0 +1,144 @@
+"""Deterministic sampling (stages/sample.py) and per-partition window
+functions (stages/window_fns.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gostatix_ray.stages.sample import (
+    hash_sample,
+    hash_threshold,
+    hashed_keys,
+    stratified_sample,
+)
+
+
+def _ds(df, parts=1):
+    import ray.data as rd
+
+    out = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    return out.repartition(parts) if parts > 1 else out
+
+
+def test_hash_sample_partition_independent(ray_session):
+    df = pd.DataFrame({"k": np.arange(10_000, dtype=np.int64), "v": np.arange(10_000)})
+    picks = []
+    for parts in (1, 7):
+        out = hash_sample(_ds(df, parts), key_col="k", fraction=0.1).to_pandas()
+        picks.append(set(out["k"]))
+    assert picks[0] == picks[1]
+    # matches the exact arithmetic definition
+    expect = set(np.flatnonzero(hashed_keys(df["k"].to_numpy()) < hash_threshold(0.1)))
+    assert picks[0] == expect
+    # and the rate is near the fraction (Knuth hash mixes well)
+    assert 0.08 < len(picks[0]) / len(df) < 0.12
+
+
+def test_hash_sample_rejects_negative_keys(ray_session):
+    df = pd.DataFrame({"k": np.array([-1, 2, 3], dtype=np.int64)})
+    with pytest.raises(Exception):
+        hash_sample(_ds(df), key_col="k", fraction=0.5).to_pandas()
+
+
+def test_stratified_sample_k_per_group_and_determinism(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 3_000),
+            "k": np.arange(3_000, dtype=np.int64),
+        }
+    )
+    outs = []
+    for parts in (1, 9):
+        out = (
+            stratified_sample(_ds(df, parts), group_col="g", key_col="k", k=4)
+            .to_pandas()
+            .sort_values(["g", "rank"], kind="stable")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
+    out = outs[0]
+    assert (out.groupby("g")["k"].count() == 4).all()
+    assert set(out["rank"]) == {1, 2, 3, 4}
+    # ranks follow the hash ordering within each group
+    for g, sub in out.groupby("g"):
+        h = hashed_keys(sub.sort_values("rank")["k"].to_numpy())
+        assert (np.diff(h.astype(np.int64)) >= 0).all()
+        expect = df[df["g"] == g]["k"].to_numpy()
+        hall = hashed_keys(expect)
+        best = expect[np.lexsort((expect, hall))][:4]
+        assert list(sub.sort_values("rank")["k"]) == list(best)
+
+
+# ---------------------------------------------------------------------------
+# window_over (per-partition lag / running sum)
+# ---------------------------------------------------------------------------
+
+def _window_reference(df):
+    out = df.sort_values(["g", "o", "id"], kind="stable").copy()
+    out["running"] = out.groupby("g")["v"].cumsum()
+    gap = out.groupby("g")["o"].diff()
+    out["gap"] = gap.fillna(-1).astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def test_window_over_matches_pandas_and_partitioning(ray_session):
+    from gostatix_ray.stages.window_fns import window_over
+
+    rng = np.random.default_rng(5)
+    n = 4_000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 37, n),
+            "o": rng.integers(0, 10_000, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(-50, 50, n).astype(np.int64),
+        }
+    )
+    exp = _window_reference(df)
+    for parts in (1, 11):
+        got = (
+            window_over(
+                _ds(df, parts),
+                part_col="g", order_col="o", tiebreak="id",
+                sum_col="v", running_name="running",
+                gap_name="gap", gap_default=-1,
+                keep=["g", "o", "id", "v"],
+                num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["g", "o", "id"], kind="stable")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["g", "o", "id", "v", "gap", "running"]],
+            exp[["g", "o", "id", "v", "gap", "running"]],
+            check_dtype=False,
+        )
+
+
+def test_window_over_rejects_float_sum(ray_session):
+    from gostatix_ray.stages.window_fns import window_over
+
+    df = pd.DataFrame({"g": [1, 1], "o": [1, 2], "id": [0, 1], "v": [0.5, 1.5]})
+    with pytest.raises(Exception):
+        window_over(
+            _ds(df), part_col="g", order_col="o", tiebreak="id", sum_col="v"
+        ).to_pandas()
+
+
+def test_window_over_timestamp_gap_units(ray_session):
+    from gostatix_ray.stages.window_fns import window_over
+
+    ts = pd.to_datetime(["2026-01-01 00:00:00", "2026-01-01 00:00:01", "2026-01-01 00:01:00"])
+    df = pd.DataFrame({"g": [1, 1, 1], "o": ts.astype("datetime64[us]"), "id": [0, 1, 2]})
+    got = (
+        window_over(_ds(df), part_col="g", order_col="o", tiebreak="id",
+                    gap_name="gap_us", keep=["id"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(got["gap_us"]) == [-1, 1_000_000, 59_000_000]

@@ -84,3 +84,35 @@ def test_bpe_count_matches_python_regex():
     got = out["n_bpe_tokens"].to_pylist()
     want = [len(py.findall(t)) for t in texts]
     assert got == want, (got, want)
+
+
+def test_repetition_stats_matches_bruteforce(ray_session):
+    from collections import Counter
+
+    import ray.data as rd
+
+    from gostatix_ray.stages.text_stats import RepetitionStats
+
+    texts = [
+        "a b c a b a",          # dup-heavy
+        "x",                     # single token
+        "q w e r t y",           # all distinct
+        "z z z z",               # one token repeated
+        "m n m n m n m n",
+    ]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(RepetitionStats(), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(texts):
+        c = Counter(t.split(" "))
+        n = sum(c.values())
+        assert out["n_tokens"][i] == n
+        assert out["n_distinct"][i] == len(c)
+        assert out["max_token_count"][i] == max(c.values())
+        assert out["dup_token_frac"][i] == 1.0 - len(c) / n
+        assert out["top_token_frac"][i] == max(c.values()) / n
