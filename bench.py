@@ -149,6 +149,8 @@ def run_bench() -> dict:
         timed("near_dup_pairs_verified", lambda: catalog.q_near_dup_pairs_verified(sf_dir), repeats=2)
         timed("ann_brute_cosine", lambda: catalog.q_ann_brute_cosine(sf_dir))
         timed("value_quantiles_tdigest", lambda: catalog.q_value_quantiles_tdigest(sf_dir))
+        timed("order_priority_revenue", lambda: catalog.q_order_priority_revenue(sf_dir).materialize())
+        timed("user_running_value", lambda: catalog.q_user_running_value(sf_dir).materialize())
 
     headline = queries["flagship_sketch_build"]
     out = {
