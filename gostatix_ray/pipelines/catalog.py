@@ -784,10 +784,12 @@ def q_order_priority_revenue(sf_dir: str):
     """BIG ⨝ BIG shuffle hash join (stages/joins.py:hash_join): lineitem
     ⨝ orders on orderkey with NO broadcast — both sides hash-co-partition
     once, pre-projected (lineitem ships only (orderkey, rev_cents)), the
-    bucket match is one vectorized searchsorted expansion — then a small
-    groupby rolls revenue up by order priority.  Money as exact integer
-    cents -> hash-stable vs SQL."""
-    from ray.data.aggregate import Count, Sum
+    bucket match is one vectorized searchsorted expansion — then MAP-SIDE
+    (priority, count, cents) partials shrink the final groupby's input
+    from |lineitem| joined rows to ~5 rows per bucket (Ray's sort
+    Aggregate is pathological on large inputs even with few groups).
+    Money as exact integer cents -> hash-stable vs SQL."""
+    from ray.data.aggregate import Sum
 
     from ..stages.joins import hash_join
 
@@ -808,15 +810,28 @@ def q_order_priority_revenue(sf_dir: str):
         left_cols={"rev_cents": "rev_cents"},
         right_cols={"o_orderpriority": "o_orderpriority"},
     )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderpriority": batch["o_orderpriority"].to_numpy(zero_copy_only=False),
+            "cents": batch["rev_cents"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("o_orderpriority", sort=False, as_index=False).agg(
+            pn=("cents", "size"), pc_=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     agg = (
-        j.groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_items"), Sum("rev_cents", alias_name="revenue_cents"))
+        j.map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("pn", alias_name="n_items"), Sum("pc_", alias_name="revenue_cents"))
     )
-    return agg.map_batches(
-        lambda b: b.set_column(b.schema.get_field_index("revenue_cents"), "revenue_cents",
-                               pc.cast(b["revenue_cents"], pa.int64())),
-        batch_format="pyarrow",
-    )
+
+    def _ints(b: pa.Table) -> pa.Table:
+        for col in ("n_items", "revenue_cents"):
+            b = b.set_column(b.schema.get_field_index(col), col, pc.cast(b[col], pa.int64()))
+        return b
+
+    return agg.map_batches(_ints, batch_format="pyarrow")
 
 
 def q_doc_hash_sample(sf_dir: str):
