@@ -834,6 +834,71 @@ def q_order_priority_revenue(sf_dir: str):
     return agg.map_batches(_ints, batch_format="pyarrow")
 
 
+def q_top_value_events(sf_dir: str):
+    """Global ORDER BY value DESC LIMIT 100 WITHOUT a global sort
+    (stages/rank.py:global_topn): every block prunes to its local
+    top-100 before the exchange, so the coalesce ships <= 100 x blocks
+    rows at any input size.  event_id tiebreak -> deterministic cut."""
+    from ..stages.rank import global_topn
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    out = global_topn(ds, order_col="value", tiebreak="event_id", n=100)
+    return out.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("rank"), "rank",
+                               pc.cast(b["rank"], pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
+def q_token_doc_frequency(sf_dir: str):
+    """Corpus vocabulary with document frequencies — the IDF / vocab
+    build over the documents table (stages/text_stats.py:
+    token_doc_frequency).  Map-side (token, partial-df) collapse, one
+    bucketed shuffle, then the global-top-N primitive picks the 200
+    most-common tokens with a deterministic (df DESC, token ASC) cut."""
+    from ..stages.rank import global_topn
+    from ..stages.text_stats import token_doc_frequency
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    dfreq = token_doc_frequency(ds, text_col="text", id_col="doc_id")
+    out = global_topn(dfreq, order_col="df", tiebreak="token", n=200, descending=True)
+    return out.map_batches(
+        lambda b: pa.table({
+            "token": b["token"],
+            "df": pc.cast(b["df"], pa.int64()),
+            "rank": pc.cast(b["rank"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_docs_above_quality_cutoff(sf_dir: str):
+    """Percentile-based corpus curation: keep documents whose heuristic
+    quality score is >= the corpus's exact 75th percentile.  Two
+    distributed passes over a materialized (doc_id, quality) projection
+    (16 B/row — the full text never re-scans): the exact-quantile
+    selection (stages/quantiles.py, histogram two-pass — no global
+    sort) yields ONE scalar cutoff, then a vectorized filter streams.
+    Score doubles are bit-identical to the SQL twin (same int-ratio
+    arithmetic as doc_quality_scores), so >= cutoff matches exactly."""
+    from ..stages.quantiles import exact_quantiles
+    from ..stages.text_stats import QualityScore
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scored = (
+        ds.map_batches(QualityScore("text", "doc_id"), batch_format="pyarrow",
+                       concurrency=_CONC)
+        .select_columns(["doc_id", "quality"])
+        .materialize()  # quantile pass + filter pass share one execution
+    )
+    cut = float(exact_quantiles(scored, "quality", [0.75])["value_exact"].iloc[0])
+
+    def _keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["quality"], pa.scalar(cut, pa.float64())))
+
+    return scored.map_batches(_keep, batch_format="pyarrow")
+
+
 def q_doc_hash_sample(sf_dir: str):
     """Deterministic 10% corpus sample (stages/sample.py:hash_sample):
     Knuth multiplicative hash on doc_id, pure per-batch filter — no
@@ -1385,6 +1450,9 @@ QUERIES = {
     "orders_price_band": q_orders_price_band,
     "top_orders_per_customer": q_top_orders_per_customer,
     "order_priority_revenue": q_order_priority_revenue,
+    "top_value_events": q_top_value_events,
+    "token_doc_frequency": q_token_doc_frequency,
+    "docs_above_quality_cutoff": q_docs_above_quality_cutoff,
     "doc_hash_sample": q_doc_hash_sample,
     "events_stratified_sample": q_events_stratified_sample,
     "user_running_value": q_user_running_value,
@@ -1471,6 +1539,31 @@ ORACLE_SQL = {
         "CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "GROUP BY o.o_orderpriority"
+    ),
+    "top_value_events": (
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(row_number() OVER (ORDER BY value DESC, event_id) AS BIGINT) AS rank "
+        "FROM events ORDER BY value DESC, event_id LIMIT 100"
+    ),
+    "token_doc_frequency": (
+        "WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token "
+        "FROM documents), "
+        "dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY token) "
+        "SELECT token, df, CAST(row_number() OVER (ORDER BY df DESC, token) AS BIGINT) AS rank "
+        "FROM dfreq ORDER BY df DESC, token LIMIT 200"
+    ),
+    "docs_above_quality_cutoff": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "flat AS (SELECT doc_id, unnest(t) AS tok FROM toks), "
+        "agg AS (SELECT doc_id, count(*) AS n_tok, "
+        "sum(CASE WHEN lower(tok) IN ('the','a','of','to','and','in','is','it','that','for') "
+        "THEN 1 ELSE 0 END) AS n_stop, count(DISTINCT tok) AS n_distinct "
+        "FROM flat GROUP BY doc_id), "
+        "q AS (SELECT doc_id, 0.4 * least(greatest(n_tok / 100.0, 0.0), 1.0) "
+        "+ 0.3 * (n_distinct * 1.0 / greatest(n_tok, 1)) "
+        "+ 0.3 * (1.0 - abs(n_stop * 1.0 / greatest(n_tok, 1) - 0.4)) AS quality FROM agg), "
+        "cut AS (SELECT quantile_disc(quality, 0.75) AS c FROM q) "
+        "SELECT q.doc_id, q.quality FROM q, cut WHERE q.quality >= cut.c"
     ),
     "doc_hash_sample": (
         # threshold literal = gostatix_ray.stages.sample.hash_threshold(0.10)

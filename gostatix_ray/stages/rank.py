@@ -71,3 +71,34 @@ def grouped_topk(ds, *, group_col: str, order_col: str, tiebreak: str,
 
     pruned = ds.map_batches(_prune, batch_format="pyarrow")
     return bucketed_groupby(pruned, [group_col], _final, num_buckets=num_buckets)
+
+
+def global_topn(ds, *, order_col: str, tiebreak: str, n: int,
+                descending: bool = True, rank_col: str = "rank"):
+    """Distributed ``ORDER BY order_col [DESC], tiebreak LIMIT n`` —
+    the global-top-N shape, WITHOUT a global sort.
+
+    Map side: every block keeps only its local top-n (one pandas stable
+    sort + head), so the exchange carries at most ``n × blocks`` rows
+    regardless of input size; final: coalesce to one block and rank the
+    ≤ n × blocks survivors.  ``tiebreak`` (ascending, any orderable
+    dtype — strings included) makes the cut deterministic for every
+    partitioning.  Adds a 1-based ``rank_col``.
+    """
+    import pandas as pd
+
+    asc = [not descending, True]
+    cols = [order_col, tiebreak]
+
+    def _prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(cols, ascending=asc, kind="stable").head(n)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(cols, ascending=asc, kind="stable").head(n)
+        out = out.reset_index(drop=True)
+        out[rank_col] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    pruned = ds.map_batches(_prune, batch_format="pandas")
+    # single final block: survivors are n×blocks rows — driver-free, one task
+    return pruned.repartition(1).map_batches(_final, batch_format="pandas", batch_size=None)

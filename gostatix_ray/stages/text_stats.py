@@ -364,3 +364,54 @@ class RepetitionStats:
                 "top_token_frac": pa.array(top_frac),
             }
         )
+
+
+def token_doc_frequency(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                        num_buckets: int = 64):
+    """Distributed vocabulary building: Dataset[token, df] where df is
+    the number of documents containing the token (document frequency —
+    the IDF denominator / corpus-vocab workload).
+
+    Scale shape: the map side collapses each block to its (token,
+    partial-df) counts — per-doc uniqueness via one factorize + lexsort
+    run-length pass (same mechanics as :class:`RepetitionStats`), so
+    the exchange carries ~vocab-per-block rows, never one row per token
+    occurrence.  The reduce is a bucketed groupby (a web-scale vocab is
+    millions of tiny groups — Ray's sort Aggregate is pathological
+    there, CLAUDE.md): one coarse shuffle, vectorized pandas sum per
+    bucket.
+    """
+    import pandas as pd
+
+    from .dedup import bucketed_groupby
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        toks = _tokens(batch[text_col])
+        lens = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        ser = flat.to_pandas()
+        codes, uniques = pd.factorize(ser)
+        order = np.lexsort((codes, doc_idx))
+        d_s, c_s = doc_idx[order], codes[order]
+        total = len(d_s)
+        new_run = np.empty(total, dtype=bool)
+        if total:
+            new_run[0] = True
+            new_run[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+        # one run per (doc, token): df_partial = runs per token code
+        run_codes = c_s[new_run]
+        df_part = np.bincount(run_codes, minlength=len(uniques)).astype(np.int64)
+        return pa.table({
+            "token": pa.array(np.asarray(uniques, dtype=object), pa.string()),
+            "df": pa.array(df_part),
+        })
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False, as_index=False)["df"].sum()
+        g["df"] = g["df"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    return bucketed_groupby(parts, ["token"], _sum, num_buckets=num_buckets)

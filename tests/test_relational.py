@@ -276,3 +276,47 @@ def test_hash_join_partition_independence(ray_session):
         outs.append(out)
     pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
     pd.testing.assert_frame_equal(outs[0], outs[2], check_dtype=False)
+
+
+def test_global_topn_deterministic_across_partitionings(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.rank import global_topn
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 50, size=300).astype(float)  # heavy ties
+    tbl = pa.table({"id": np.arange(300, dtype=np.int64), "v": vals})
+    expect = (
+        pd.DataFrame({"id": np.arange(300), "v": vals})
+        .sort_values(["v", "id"], ascending=[False, True], kind="stable")
+        .head(10)
+        .reset_index(drop=True)
+    )
+    for nblocks in (1, 4, 17):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        out = (
+            global_topn(ds, order_col="v", tiebreak="id", n=10)
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        assert list(out["id"]) == list(expect["id"])
+        assert list(out["v"]) == list(expect["v"])
+        assert list(out["rank"]) == list(range(1, 11))
+
+
+def test_global_topn_string_tiebreak_and_small_input(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.rank import global_topn
+
+    tbl = pa.table({"tok": ["b", "a", "c"], "df": [5, 5, 2]})
+    out = (
+        global_topn(rd.from_arrow(tbl), order_col="df", tiebreak="tok", n=10)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    # n larger than input: all rows, ties broken by token ascending
+    assert list(out["tok"]) == ["a", "b", "c"]
+    assert list(out["rank"]) == [1, 2, 3]

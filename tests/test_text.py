@@ -116,3 +116,27 @@ def test_repetition_stats_matches_bruteforce(ray_session):
         assert out["max_token_count"][i] == max(c.values())
         assert out["dup_token_frac"][i] == 1.0 - len(c) / n
         assert out["top_token_frac"][i] == max(c.values()) / n
+
+
+def test_token_doc_frequency_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.text_stats import token_doc_frequency
+
+    texts = [
+        "the cat sat",
+        "the the dog",       # 'the' twice in one doc counts once
+        "cat cat cat",
+        "fish",
+        "the fish swam home",
+    ]
+    expect: dict[str, int] = {}
+    for t in texts:
+        for tok in set(t.split(" ")):
+            expect[tok] = expect.get(tok, 0) + 1
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    for nblocks in (1, 3):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        out = token_doc_frequency(ds).to_pandas()
+        got = dict(zip(out["token"], out["df"]))
+        assert got == expect
