@@ -834,6 +834,31 @@ def q_order_priority_revenue(sf_dir: str):
     return agg.map_batches(_ints, batch_format="pyarrow")
 
 
+def q_customers_without_finished_orders(sf_dir: str):
+    """EXACT distributed anti-join (stages/joins.py:hash_join
+    how="anti") — the precise complement of the probabilistic
+    bloom_anti_join: both sides hash-co-partition once, the probe side
+    (orders WHERE status='F', predicate pushed into the parquet scan)
+    dedups its keys per block BEFORE the shuffle, unmatched customer
+    rows stream out.  TPC-H Q22's customers-with-no-orders shape."""
+    import ray.data as rd
+
+    from ..stages.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    finished = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=(pc.field("o_orderstatus") == "F"),
+    )
+    return hash_join(
+        cust, finished,
+        key="c_custkey", right_key="o_custkey",
+        left_cols={"c_acctbal": "c_acctbal"}, right_cols={},
+        how="anti",
+    )
+
+
 def q_top_value_events(sf_dir: str):
     """Global ORDER BY value DESC LIMIT 100 WITHOUT a global sort
     (stages/rank.py:global_topn): every block prunes to its local
@@ -1450,6 +1475,7 @@ QUERIES = {
     "orders_price_band": q_orders_price_band,
     "top_orders_per_customer": q_top_orders_per_customer,
     "order_priority_revenue": q_order_priority_revenue,
+    "customers_without_finished_orders": q_customers_without_finished_orders,
     "top_value_events": q_top_value_events,
     "token_doc_frequency": q_token_doc_frequency,
     "docs_above_quality_cutoff": q_docs_above_quality_cutoff,
@@ -1539,6 +1565,11 @@ ORACLE_SQL = {
         "CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "GROUP BY o.o_orderpriority"
+    ),
+    "customers_without_finished_orders": (
+        "SELECT c_custkey, c_acctbal FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')"
     ),
     "top_value_events": (
         "SELECT event_id, user_id, event_type, value, "

@@ -178,6 +178,14 @@ class _HashJoinBucketMatch:
         lo = np.searchsorted(kr_s, kl, side="left")
         hi = np.searchsorted(kr_s, kl, side="right")
         counts = hi - lo
+        if self._how in ("semi", "anti"):
+            # existence check only: emit matching (semi) / unmatched
+            # (anti) LEFT rows once each, no expansion, no right payload
+            keep = lidx[counts > 0] if self._how == "semi" else lidx[counts == 0]
+            out = {self._out_key: table[self._key].take(pa.array(keep))}
+            for src, name in self._left_cols.items():
+                out[name] = table[src].take(pa.array(keep))
+            return pa.table(out)
         total = int(counts.sum())
         rep = np.repeat(np.arange(len(kl), dtype=np.int64), counts)
         starts = np.repeat(lo, counts)
@@ -218,7 +226,8 @@ def hash_join(
     how: str = "inner",
     num_buckets: int = 64,
 ):
-    """Distributed BIG ⨝ BIG equi-join (inner / left) of two Datasets.
+    """Distributed BIG ⨝ BIG equi-join (inner / left / semi / anti) of
+    two Datasets.
 
     ``left_cols`` / ``right_cols``: {source column -> output name};
     output-name collisions are the caller's to avoid.  The join key is
@@ -231,8 +240,10 @@ def hash_join(
     true join semantics, partition-independent output SET (row order
     follows bucket scheduling).
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left, got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
+    if how in ("semi", "anti") and right_cols:
+        raise ValueError(f"how={how!r} emits left columns only; right_cols must be empty")
     from ..hashing import hash128
 
     rkey = right_key or key
@@ -252,10 +263,16 @@ def hash_join(
 
     def _tag(side_val: int, keep: list, src_key: str):
         def _fn(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
             kcol = batch[src_key]
             if side_val == 0:
                 kcol = pc.cast(kcol, key_type)
+                if how in ("semi", "anti"):
+                    # existence joins only need each probe key once per
+                    # block — dedup before the shuffle
+                    kcol = pc.unique(
+                        kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) else kcol
+                    )
+            n = len(kcol)
             h1, _ = hash128(pc.cast(kcol, pa.string()), 31)
             ncols = {key: kcol, "__side": pa.array(np.full(n, side_val, dtype=np.int8))}
             for src, typ in payload.items():

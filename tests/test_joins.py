@@ -30,3 +30,40 @@ def test_chained_joins(ray_session):
     ).to_pandas()
     assert len(out) == 30
     assert set(out["label"]) == {"x", "y", "z"}
+
+
+def test_hash_join_semi_anti(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.joins import hash_join
+
+    left = rd.from_items(
+        [{"k": i, "v": float(i)} for i in range(20)]
+    ).repartition(3)
+    # right has duplicate keys (semi/anti must not expand) across blocks
+    right = rd.from_items(
+        [{"rk": k} for k in [2, 2, 5, 5, 5, 7, 11, 13, 13, 17, 19]]
+    ).repartition(4)
+    semi = hash_join(left, right, key="k", right_key="rk",
+                     left_cols={"v": "v"}, right_cols={}, how="semi").to_pandas()
+    assert sorted(semi["k"]) == [2, 5, 7, 11, 13, 17, 19]
+    assert len(semi) == 7  # one output row per matching left row
+    anti = hash_join(left, right, key="k", right_key="rk",
+                     left_cols={"v": "v"}, right_cols={}, how="anti").to_pandas()
+    assert sorted(anti["k"]) == sorted(set(range(20)) - {2, 5, 7, 11, 13, 17, 19})
+    # left-side duplicates survive in semi output with multiplicity 1 each
+    left2 = rd.from_items([{"k": 5, "v": 1.0}, {"k": 5, "v": 2.0}, {"k": 6, "v": 3.0}])
+    semi2 = hash_join(left2, right, key="k", right_key="rk",
+                      left_cols={"v": "v"}, right_cols={}, how="semi").to_pandas()
+    assert sorted(semi2["v"]) == [1.0, 2.0]
+
+
+def test_hash_join_semi_rejects_right_cols(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from gostatix_ray.stages.joins import hash_join
+
+    ds = rd.from_items([{"k": 1}])
+    with pytest.raises(ValueError):
+        hash_join(ds, ds, key="k", left_cols={}, right_cols={"k": "x"}, how="anti")
