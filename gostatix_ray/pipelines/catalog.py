@@ -897,6 +897,41 @@ def q_token_doc_frequency(sf_dir: str):
     )
 
 
+def q_doc_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 characteristic terms by tf × inverse-df
+    (stages/text_stats.py:TfIdfTopTerms).  The vocab (top-200 document
+    frequencies, deterministic df DESC/token cut) is computed
+    distributed, then broadcasts ONCE via ray.put — docs are one row
+    each, so the scoring+ranking pass is a single shuffle-free
+    map_batches.  Linear inverse-df score (tf/df): exact float64
+    division, bit-identical to the SQL twin (ln-idf is not)."""
+    import ray
+
+    from ..stages.rank import global_topn
+    from ..stages.text_stats import TfIdfTopTerms, token_doc_frequency
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = global_topn(
+        token_doc_frequency(ds, text_col="text", id_col="doc_id"),
+        order_col="df", tiebreak="token", n=200,
+    ).select_columns(["token", "df"])
+    vocab_ref = ray.put(pa.Table.from_pandas(vocab.to_pandas(), preserve_index=False))
+    out = ds.map_batches(
+        TfIdfTopTerms(vocab_ref, text_col="text", id_col="doc_id", k=3),
+        batch_format="pyarrow", concurrency=_CONC,
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "token": b["token"],
+            "tf": pc.cast(b["tf"], pa.int64()),
+            "df": pc.cast(b["df"], pa.int64()),
+            "rank": pc.cast(b["rank"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_docs_above_quality_cutoff(sf_dir: str):
     """Percentile-based corpus curation: keep documents whose heuristic
     quality score is >= the corpus's exact 75th percentile.  Two
@@ -1478,6 +1513,7 @@ QUERIES = {
     "customers_without_finished_orders": q_customers_without_finished_orders,
     "top_value_events": q_top_value_events,
     "token_doc_frequency": q_token_doc_frequency,
+    "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "docs_above_quality_cutoff": q_docs_above_quality_cutoff,
     "doc_hash_sample": q_doc_hash_sample,
     "events_stratified_sample": q_events_stratified_sample,
@@ -1582,6 +1618,18 @@ ORACLE_SQL = {
         "dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY token) "
         "SELECT token, df, CAST(row_number() OVER (ORDER BY df DESC, token) AS BIGINT) AS rank "
         "FROM dfreq ORDER BY df DESC, token LIMIT 200"
+    ),
+    "doc_tfidf_top_terms": (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
+        "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), "
+        "dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+        "FROM tok GROUP BY token), "
+        "vocab AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 200), "
+        "scored AS (SELECT tf.doc_id, tf.token, tf.tf, v.df, tf.tf * (1.0 / v.df) AS score "
+        "FROM tf JOIN vocab v USING (token)), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM scored) "
+        "SELECT doc_id, token, tf, df, CAST(rn AS BIGINT) AS rank FROM ranked WHERE rn <= 3"
     ),
     "docs_above_quality_cutoff": (
         "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "

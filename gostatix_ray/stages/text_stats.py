@@ -415,3 +415,86 @@ def token_doc_frequency(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     parts = ds.map_batches(_partial, batch_format="pyarrow")
     return bucketed_groupby(parts, ["token"], _sum, num_buckets=num_buckets)
+
+
+class TfIdfTopTerms:
+    """Per-document top-k characteristic terms by tf × inverse-df.
+
+    The vocabulary (token, df) table broadcasts ONCE (``ray.put`` ref;
+    lazily ``ray.get`` once per worker — never re-shipped per batch).
+    Because a document is one row, the per-doc ranking is block-local:
+    the whole operator is a single shuffle-free ``map_batches``.
+
+    Score = tf * (1.0 / df) — the linear inverse-frequency tf-idf
+    variant: one exact float64 division, bit-identical in any engine
+    (ln()-based idf differs across libm implementations by ULPs and
+    breaks exact twinning).  Ties rank by token ascending.
+    """
+
+    def __init__(self, vocab_ref, *, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3):
+        self._ref = vocab_ref
+        self.text_col, self.id_col, self.k = text_col, id_col, k
+        self._vocab = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if self._vocab is None:
+            import ray
+
+            t = ray.get(self._ref) if not isinstance(self._ref, pa.Table) else self._ref
+            toks = np.asarray(t["token"].to_pylist(), dtype=object)
+            dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(toks)
+            self._vocab = (toks[order], dfs[order])
+        vtok, vdf = self._vocab
+        n = batch.num_rows
+        toks = _tokens(batch[self.text_col])
+        lens = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        codes, uniques = pd.factorize(flat.to_pandas())
+        order = np.lexsort((codes, doc_idx))
+        d_s, c_s = doc_idx[order], codes[order]
+        total = len(d_s)
+        new_run = np.empty(total, dtype=bool)
+        if total:
+            new_run[0] = True
+            new_run[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(new_run)
+        run_doc = d_s[starts]
+        run_code = c_s[starts]
+        tf = np.diff(np.append(starts, total)).astype(np.int64)
+        # vocab lookup: binary search of each run's token in the sorted vocab
+        utok = np.asarray(uniques, dtype=object)
+        run_tok = utok[run_code]
+        if len(vtok) == 0:
+            pos_c = np.zeros(len(run_tok), dtype=np.int64)
+            in_vocab = np.zeros(len(run_tok), dtype=bool)
+        else:
+            pos_c = np.clip(np.searchsorted(vtok, run_tok), 0, len(vtok) - 1)
+            in_vocab = vtok[pos_c] == run_tok
+        run_doc, run_tok, tf = run_doc[in_vocab], run_tok[in_vocab], tf[in_vocab]
+        dfv = vdf[pos_c[in_vocab]]
+        score = tf.astype(np.float64) * (1.0 / dfv.astype(np.float64))
+        # per-doc rank by (score desc, token asc): docs are block-local
+        rorder = np.lexsort((run_tok, -score, run_doc))
+        gd = run_doc[rorder]
+        m = len(gd)
+        idx = np.arange(m, dtype=np.int64)
+        newg = np.empty(m, dtype=bool)
+        if m:
+            newg[0] = True
+            newg[1:] = gd[1:] != gd[:-1]
+        gstart = np.maximum.accumulate(np.where(newg, idx, 0))
+        rank = idx - gstart
+        keep = rorder[rank < self.k]
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            self.id_col: pa.array(ids[run_doc[keep]]),
+            "token": pa.array(run_tok[keep].astype(object), pa.string()),
+            "tf": pa.array(tf[keep]),
+            "df": pa.array(dfv[keep]),
+            "rank": pa.array((rank[rank < self.k] + 1).astype(np.int64)),
+        })

@@ -140,3 +140,38 @@ def test_token_doc_frequency_matches_bruteforce(ray_session):
         out = token_doc_frequency(ds).to_pandas()
         got = dict(zip(out["token"], out["df"]))
         assert got == expect
+
+
+def test_tfidf_top_terms_matches_bruteforce(ray_session):
+    from collections import Counter
+
+    import ray.data as rd
+
+    from gostatix_ray.stages.text_stats import TfIdfTopTerms
+
+    texts = [
+        "apple apple banana the the the",
+        "banana cherry the",
+        "apple cherry cherry date",
+        "date date date the apple",
+    ]
+    df: dict[str, int] = {}
+    for t in texts:
+        for tok in set(t.split(" ")):
+            df[tok] = df.get(tok, 0) + 1
+    vocab = pa.table({"token": list(df), "df": [df[t] for t in df]})
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = (
+        rd.from_arrow(tbl).repartition(2)
+        .map_batches(TfIdfTopTerms(vocab, k=2), batch_format="pyarrow")
+        .to_pandas()
+    )
+    for i, t in enumerate(texts):
+        tf = Counter(t.split(" "))
+        scored = sorted(
+            ((tok, c * (1.0 / df[tok])) for tok, c in tf.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:2]
+        got = out[out["doc_id"] == i].sort_values("rank")
+        assert list(got["token"]) == [tok for tok, _ in scored], (i, scored, got)
+        assert list(got["rank"]) == [1, 2]
