@@ -1419,6 +1419,41 @@ def q_ann_ivf_partitioned(sf_dir: str):
     return df.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
 
 
+def q_embedding_kmeans(sf_dir: str):
+    """Full-corpus distributed spherical k-means (stages/ann.py:
+    kmeans_fit — per-block (cluster, count, sum) partials, tiny
+    deterministic driver reduce each Lloyd iteration) + one assignment
+    pass; returns per-cluster sizes.  The 2-column projection is
+    materialized once because the fit re-consumes it every iteration
+    (spill-and-reread beats re-tokenizing a 100-TB read per pass).
+    Iterative — no SQL twin; pytest covers recovery + determinism."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.ann import ivf_partition, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    codebook, _ = kmeans_fit(ds, emb_col="embedding", k=8, iters=4, concurrency=_CONC)
+    assigned = ivf_partition(ds, codebook, emb_col="embedding", concurrency=_CONC)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        c = batch["centroid"].to_numpy(zero_copy_only=False)
+        n = np.bincount(c, minlength=8)
+        present = np.flatnonzero(n)
+        return pa.table({"cluster": pa.array(present.astype(np.int64)),
+                         "pn": pa.array(n[present].astype(np.int64))})
+
+    agg = (
+        assigned.map_batches(_partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("pn", alias_name="n_vectors"))
+    )
+    return agg.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("n_vectors"), "n_vectors",
+                               pc.cast(b["n_vectors"], pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
 def q_ann_ivf_cosine(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = _queries_matrix(sf_dir, 3)
@@ -1538,6 +1573,7 @@ QUERIES = {
     "value_quantiles_kll": q_value_quantiles_kll,
     "ann_brute_cosine": q_ann_brute_cosine,
     "ann_threshold_cosine": q_ann_threshold_cosine,
+    "embedding_kmeans": q_embedding_kmeans,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "transcript_flagship": q_transcript_flagship,

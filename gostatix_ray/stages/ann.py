@@ -288,3 +288,101 @@ def ivf_topk(ds, queries: np.ndarray, codebook: np.ndarray, *, id_col="vec_id", 
         return df.head(k)
 
     return local.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
+
+# ---------------------------------------------------------------------------
+# distributed k-means (full-corpus Lloyd's — corpus clustering / codebook
+# training at scale; train_codebook above is the driver-side-sample variant)
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(ds, *, emb_col: str = "embedding", k: int = 8, iters: int = 5,
+               concurrency=None):
+    """Distributed spherical k-means over the FULL vector table.
+
+    Lloyd's iterations, each one streaming pass: centroids broadcast
+    once per iteration (``ray.put``), every block emits at most k
+    partial rows (cluster, count, sum-vector bytes, partial inertia),
+    and the k × blocks partials — k·dim doubles, tiny at any corpus
+    size — are reduced on the driver in a DETERMINISTIC order (sorted
+    by cluster, count, payload) so the fit is bit-reproducible for any
+    block scheduling.  Empty clusters keep their previous centroid.
+    Spherical (unit-normalized, cosine geometry) to match the ANN
+    stages; inertia = Σ (1 - cosine-to-nearest).
+
+    Pass a MATERIALIZED (or cheap-to-recompute projected) dataset:
+    every iteration re-consumes ``ds``.
+
+    Returns ``(codebook (k, dim) ndarray, inertia float)``.
+    """
+    import ray
+
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+
+    # deterministic init on a bounded STREAMING prefix (limit() pulls
+    # only leading blocks — never a full-table driver read):
+    # farthest-first traversal (k-means++-shaped, fully deterministic)
+    # — random init routinely lands two seeds in one tight cluster and
+    # Lloyd cannot escape that local minimum
+    boot = ds.limit(max(64 * k, 256)).to_pandas()
+    sample = _normalize(np.stack(boot[emb_col].to_numpy()).astype(np.float64))
+    mean_dir = _normalize(sample.mean(axis=0, keepdims=True))[0]
+    seeds = [int(np.argmin(sample @ mean_dir))]
+    best = sample @ sample[seeds[0]]
+    for _ in range(1, min(k, len(sample))):
+        nxt = int(np.argmin(best))
+        seeds.append(nxt)
+        best = np.maximum(best, sample @ sample[nxt])
+    cent = sample[seeds].copy()
+    for _ in range(3):  # local polish on the boot sample
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                cent[c] = sample[mask].mean(axis=0)
+        cent = _normalize(cent)
+    k_eff, dim = cent.shape
+
+    inertia = float("nan")
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        class _Partial:
+            def __init__(self):
+                self.cent = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self.cent is None:
+                    self.cent = ray.get(cref)
+                emb = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+                sims = emb @ self.cent.T
+                assign = np.argmax(sims, axis=1)
+                best = sims[np.arange(len(emb)), assign]
+                sums = np.zeros((len(self.cent), emb.shape[1]), dtype=np.float64)
+                np.add.at(sums, assign, emb)
+                counts = np.bincount(assign, minlength=len(self.cent)).astype(np.int64)
+                inert = np.zeros(len(self.cent), dtype=np.float64)
+                np.add.at(inert, assign, 1.0 - best)
+                present = np.flatnonzero(counts)
+                return pa.table({
+                    "cluster": pa.array(present.astype(np.int64)),
+                    "n": pa.array(counts[present]),
+                    "vecsum": pa.array([sums[c].tobytes() for c in present], pa.binary()),
+                    "inertia": pa.array(inert[present]),
+                })
+
+        parts = ds.map_batches(_Partial(), batch_format="pyarrow", concurrency=concurrency)
+        rows = parts.to_pandas()
+        # deterministic reduce order — independent of block arrival
+        rows = rows.sort_values(["cluster", "n", "vecsum"], kind="stable")
+        new_cent = cent.copy()
+        inertia = 0.0
+        for c, grp in rows.groupby("cluster", sort=True):
+            total = np.zeros(dim, dtype=np.float64)
+            for blob in grp["vecsum"]:
+                total += np.frombuffer(blob, dtype=np.float64)
+            n = int(grp["n"].sum())
+            if n:
+                new_cent[int(c)] = total / n
+            inertia += float(grp["inertia"].sum())
+        cent = _normalize(new_cent)
+    return cent, inertia

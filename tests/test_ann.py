@@ -1,6 +1,7 @@
 """Similarity search: brute-force exactness + IVF recall."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from gostatix_ray.stages.ann import brute_force_topk, ivf_topk, train_codebook
@@ -115,3 +116,55 @@ def test_ivf_partitioned_index_prunes_at_read(ray_session, tmp_path):
     a = res.to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
     b = full.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_kmeans_fit_recovers_separated_clusters(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.ann import ivf_partition, kmeans_fit
+
+    rng = np.random.default_rng(3)
+    # 3 well-separated direction clusters on the sphere, dim 16
+    centers = np.zeros((3, 16))
+    centers[0, 0] = 1.0
+    centers[1, 5] = 1.0
+    centers[2, 11] = 1.0
+    sizes = [120, 80, 100]
+    vecs, labels = [], []
+    for c, sz in enumerate(sizes):
+        pts = centers[c] + 0.05 * rng.standard_normal((sz, 16))
+        vecs.append(pts)
+        labels += [c] * sz
+    emb = np.concatenate(vecs)
+    perm = rng.permutation(len(emb))
+    tbl = pa.table({
+        "vec_id": np.arange(len(emb), dtype=np.int64),
+        "embedding": [emb[i].astype(np.float64) for i in perm],
+    })
+    ds = rd.from_arrow(tbl).repartition(4).materialize()
+    cb, inertia = kmeans_fit(ds, k=3, iters=5, concurrency=2)
+    assert cb.shape == (3, 16)
+    assert inertia < 10.0  # tight clusters -> tiny 1-cos residual
+    got = ivf_partition(ds, cb, concurrency=2).to_pandas()
+    # each fitted cluster is pure: one true center dominates
+    true = np.array(labels)[perm]
+    for c in range(3):
+        members = true[got.sort_values("vec_id").reset_index(drop=True)["centroid"] == c]
+        assert len(members) in sizes
+        assert (members == members[0]).all()
+
+
+def test_kmeans_fit_deterministic_same_partitioning(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.ann import kmeans_fit
+
+    rng = np.random.default_rng(9)
+    emb = rng.standard_normal((200, 8))
+    tbl = pa.table({"vec_id": np.arange(200, dtype=np.int64),
+                    "embedding": [e for e in emb]})
+    ds = rd.from_arrow(tbl).repartition(3).materialize()
+    cb1, i1 = kmeans_fit(ds, k=4, iters=3, concurrency=2)
+    cb2, i2 = kmeans_fit(ds, k=4, iters=3, concurrency=2)
+    assert np.array_equal(cb1, cb2)
+    assert i1 == i2
