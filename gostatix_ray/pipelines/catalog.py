@@ -834,6 +834,65 @@ def q_order_priority_revenue(sf_dir: str):
     return agg.map_batches(_ints, batch_format="pyarrow")
 
 
+def q_bucketed_priority_revenue(sf_dir: str):
+    """The SAME rollup as order_priority_revenue through the BUCKETED
+    STORAGE path (stages/bucketed.py): both tables are persisted once
+    as hash-bucketed parquet, then joined with ZERO shuffle — one task
+    per bucket reading only its own pair of bucket directories.  This
+    is the repeated-join strategy at 100 TB: the exchange is paid once
+    at layout time, never per query.  Same oracle SQL as the shuffle
+    path — two execution strategies, one answer."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.bucketed import colocated_join, write_bucketed
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev_cents": pa.array(rev)})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    tmp = tempfile.mkdtemp(prefix="gostatix_bucketed_")
+    try:
+        ldir = write_bucketed(li.map_batches(_cents, batch_format="pyarrow"),
+                              os.path.join(tmp, "lineitem"), key="l_orderkey",
+                              num_buckets=32)
+        rdir = write_bucketed(orders, os.path.join(tmp, "orders"),
+                              key="o_orderkey", num_buckets=32)
+        j = colocated_join(ldir, rdir, left_cols={"rev_cents": "rev_cents"},
+                           right_cols={"o_orderpriority": "o_orderpriority"})
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "o_orderpriority": batch["o_orderpriority"].to_numpy(zero_copy_only=False),
+                "cents": batch["rev_cents"].to_numpy(zero_copy_only=False),
+            })
+            g = df.groupby("o_orderpriority", sort=False, as_index=False).agg(
+                pn=("cents", "size"), pc_=("cents", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = (
+            j.map_batches(_partial, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("pn", alias_name="n_items"), Sum("pc_", alias_name="revenue_cents"))
+        )
+
+        def _ints(b: pa.Table) -> pa.Table:
+            for col in ("n_items", "revenue_cents"):
+                b = b.set_column(b.schema.get_field_index(col), col, pc.cast(b[col], pa.int64()))
+            return b
+
+        return agg.map_batches(_ints, batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_customers_without_finished_orders(sf_dir: str):
     """EXACT distributed anti-join (stages/joins.py:hash_join
     how="anti") — the precise complement of the probabilistic
@@ -1545,6 +1604,7 @@ QUERIES = {
     "orders_price_band": q_orders_price_band,
     "top_orders_per_customer": q_top_orders_per_customer,
     "order_priority_revenue": q_order_priority_revenue,
+    "bucketed_priority_revenue": q_bucketed_priority_revenue,
     "customers_without_finished_orders": q_customers_without_finished_orders,
     "top_value_events": q_top_value_events,
     "token_doc_frequency": q_token_doc_frequency,
@@ -1633,6 +1693,12 @@ ORACLE_SQL = {
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
     ),
     "order_priority_revenue": (
+        "SELECT o.o_orderpriority, count(*) AS n_items, "
+        "CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderpriority"
+    ),
+    "bucketed_priority_revenue": (
         "SELECT o.o_orderpriority, count(*) AS n_items, "
         "CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
