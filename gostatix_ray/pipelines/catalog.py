@@ -532,6 +532,55 @@ def q_revenue_by_nation(sf_dir: str):
     return agg.map_batches(_ints, batch_format="pyarrow")
 
 
+def q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation) via stages/rollup.py: the fact
+    table is scanned ONCE (chained broadcast dim joins + map-side
+    integer-cents partials), the partials materialize once, and all
+    three levels — (region, nation), (region), grand total — derive
+    from that same handle as tiny distributed groupbys.  Rolled-up
+    keys are the 'ALL' sentinel, matching the oracle's COALESCE."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join
+    from ..stages.rollup import rollup
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = pq.read_table(_os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(_os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(_os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(_os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"])
+    j = broadcast_join(li, orders, key="l_orderkey", small_key="o_orderkey",
+                       columns=["o_custkey"], concurrency=_CONC)
+    j = broadcast_join(j, cust, key="o_custkey", small_key="c_custkey",
+                       columns=["c_nationkey"], concurrency=_CONC)
+    j = broadcast_join(j, nation, key="c_nationkey", small_key="n_nationkey",
+                       columns=["n_name", "n_regionkey"], concurrency=_CONC)
+    j = broadcast_join(j, region, key="n_regionkey", small_key="r_regionkey",
+                       columns=["r_name"], concurrency=_CONC)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rev = batch["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        df = pd.DataFrame(
+            {
+                "r_name": batch["r_name"].to_numpy(zero_copy_only=False),
+                "n_name": batch["n_name"].to_numpy(zero_copy_only=False),
+                "cents": np.floor(rev * 100.0 + 0.5).astype(np.int64),
+            }
+        )
+        g = df.groupby(["r_name", "n_name"], sort=False, as_index=False).agg(
+            pn=("cents", "size"), pc_=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = j.map_batches(_partial, batch_format="pyarrow")
+    return rollup(partials, keys=["r_name", "n_name"],
+                  value_cols={"pn": "n_items", "pc_": "revenue_cents"})
+
+
 def q_embedding_similarity_join(sf_dir: str):
     """Exact threshold similarity SELF-join with a bounded query side:
     the first 100 vectors (predicate-pruned read) against the full
@@ -915,6 +964,50 @@ def q_customers_without_finished_orders(sf_dir: str):
         key="c_custkey", right_key="o_custkey",
         left_cols={"c_acctbal": "c_acctbal"}, right_cols={},
         how="anti",
+    )
+
+
+def q_event_users_customers_outer(sf_dir: str):
+    """Distributed FULL OUTER equi-join (stages/joins.py:hash_join
+    how="outer"): per-user event counts x a customer subset
+    (c_custkey >= 100), so BOTH sides contribute unmatched rows —
+    active users outside the subset survive with null c_acctbal,
+    event-less customers with null n_events.  The key column is always
+    populated (taken from whichever side the row exists on), matching
+    the oracle's COALESCE(e.user_id, c.c_custkey)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["user_id"].combine_chunks()
+                             if isinstance(batch["user_id"], pa.ChunkedArray)
+                             else batch["user_id"])
+        return pa.table({"user_id": vc.field("values"),
+                         "pn": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("pn", alias_name="n_events"))
+    )
+
+    def _n64(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("n_events")
+        return b.set_column(i, "n_events", pc.cast(b["n_events"], pa.int64()))
+
+    counts = counts.map_batches(_n64, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).filter(
+        expr="c_custkey >= 100"
+    )
+    return hash_join(
+        counts, cust,
+        key="user_id", right_key="c_custkey",
+        left_cols={"n_events": "n_events"},
+        right_cols={"c_acctbal": "c_acctbal"},
+        how="outer",
     )
 
 
@@ -1597,6 +1690,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "orders_by_customer_nation": q_orders_by_customer_nation,
     "revenue_by_nation": q_revenue_by_nation,
+    "revenue_rollup": q_revenue_rollup,
     "embedding_similarity_join": q_embedding_similarity_join,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "lineitem_recent_pricing": q_lineitem_recent_pricing,
@@ -1606,6 +1700,7 @@ QUERIES = {
     "order_priority_revenue": q_order_priority_revenue,
     "bucketed_priority_revenue": q_bucketed_priority_revenue,
     "customers_without_finished_orders": q_customers_without_finished_orders,
+    "event_users_customers_outer": q_event_users_customers_outer,
     "top_value_events": q_top_value_events,
     "token_doc_frequency": q_token_doc_frequency,
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
@@ -1704,6 +1799,13 @@ ORACLE_SQL = {
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "GROUP BY o.o_orderpriority"
     ),
+    "event_users_customers_outer": (
+        "SELECT COALESCE(e.user_id, c.c_custkey) AS user_id, "
+        "e.n_events, c.c_acctbal "
+        "FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) e "
+        "FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer "
+        "WHERE c_custkey >= 100) c ON e.user_id = c.c_custkey"
+    ),
     "customers_without_finished_orders": (
         "SELECT c_custkey, c_acctbal FROM customer c "
         "WHERE NOT EXISTS (SELECT 1 FROM orders o "
@@ -1770,6 +1872,17 @@ ORACLE_SQL = {
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+    ),
+    "revenue_rollup": (
+        "SELECT COALESCE(r.r_name, 'ALL') AS r_name, "
+        "COALESCE(n.n_name, 'ALL') AS n_name, "
+        "CAST(count(*) AS BIGINT) AS n_items, "
+        "CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY ROLLUP(r.r_name, n.n_name)"
     ),
     "embedding_similarity_join": (
         "SELECT a.vec_id AS query_id, b.vec_id FROM embeddings a CROSS JOIN embeddings b "

@@ -178,6 +178,14 @@ class _HashJoinBucketMatch:
         lo = np.searchsorted(kr_s, kl, side="left")
         hi = np.searchsorted(kr_s, kl, side="right")
         counts = hi - lo
+        if self._how == "outer":
+            # right rows whose key never appears on the left (the
+            # symmetric complement of the left-miss rows below)
+            order_l = np.argsort(kl, kind="stable")
+            kl_s = kl[order_l]
+            rlo = np.searchsorted(kl_s, kr, side="left")
+            rhi = np.searchsorted(kl_s, kr, side="right")
+            right_only = ridx[rhi == rlo]
         if self._how in ("semi", "anti"):
             # existence check only: emit matching (semi) / unmatched
             # (anti) LEFT rows once each, no expansion, no right payload
@@ -193,25 +201,38 @@ class _HashJoinBucketMatch:
         offs = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
         left_rows = lidx[rep]
         right_rows = ridx[order[starts + offs]] if total else np.empty(0, np.int64)
-        valid = None
-        if self._how == "left":
+        rvalid = lvalid = None
+        if self._how in ("left", "outer"):
             miss = np.flatnonzero(counts == 0)
             if len(miss):
                 left_rows = np.concatenate((left_rows, lidx[miss]))
                 right_rows = np.concatenate((right_rows, np.zeros(len(miss), np.int64)))
-                valid = np.concatenate((np.ones(total, bool), np.zeros(len(miss), bool)))
+                rvalid = np.concatenate((np.ones(total, bool), np.zeros(len(miss), bool)))
+        if self._how == "outer" and len(right_only):
+            # right-only segment: key + right payload from the right
+            # row, left payload typed-null — mirrors the left-miss rows
+            n_prev = len(left_rows)
+            key_rows = np.concatenate((left_rows, right_only))
+            right_rows = np.concatenate((right_rows, right_only))
+            left_rows = np.concatenate((left_rows, np.zeros(len(right_only), np.int64)))
+            lvalid = np.concatenate((np.ones(n_prev, bool), np.zeros(len(right_only), bool)))
+            if rvalid is not None:
+                rvalid = np.concatenate((rvalid, np.ones(len(right_only), bool)))
+        else:
+            key_rows = left_rows
 
-        out: dict = {self._out_key: table[self._key].take(pa.array(left_rows))}
+        def _masked(vals, valid):
+            if valid is None:
+                return vals
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            return pc.if_else(pa.array(valid), vals, pa.scalar(None, type=vals.type))
+
+        out: dict = {self._out_key: table[self._key].take(pa.array(key_rows))}
         for src, name in self._left_cols.items():
-            out[name] = table[src].take(pa.array(left_rows))
-        vmask = pa.array(valid) if valid is not None else None
+            out[name] = _masked(table[src].take(pa.array(left_rows)), lvalid)
         for src, name in self._right_cols.items():
-            vals = table[src].take(pa.array(right_rows))
-            if vmask is not None:
-                if isinstance(vals, pa.ChunkedArray):
-                    vals = vals.combine_chunks()
-                vals = pc.if_else(vmask, vals, pa.scalar(None, type=vals.type))
-            out[name] = vals
+            out[name] = _masked(table[src].take(pa.array(right_rows)), rvalid)
         return pa.table(out)
 
 
@@ -226,8 +247,11 @@ def hash_join(
     how: str = "inner",
     num_buckets: int = 64,
 ):
-    """Distributed BIG ⨝ BIG equi-join (inner / left / semi / anti) of
-    two Datasets.
+    """Distributed BIG ⨝ BIG equi-join (inner / left / outer / semi /
+    anti) of two Datasets.  ``outer`` is FULL OUTER: unmatched rows of
+    BOTH sides survive with typed-null payload from the missing side
+    (the key column is always populated — it exists on whichever side
+    the row came from).
 
     ``left_cols`` / ``right_cols``: {source column -> output name};
     output-name collisions are the caller's to avoid.  The join key is
@@ -240,8 +264,8 @@ def hash_join(
     true join semantics, partition-independent output SET (row order
     follows bucket scheduling).
     """
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|outer|semi|anti, got {how!r}")
     if how in ("semi", "anti") and right_cols:
         raise ValueError(f"how={how!r} emits left columns only; right_cols must be empty")
     from ..hashing import hash128

@@ -67,3 +67,36 @@ def test_hash_join_semi_rejects_right_cols(ray_session):
     ds = rd.from_items([{"k": 1}])
     with pytest.raises(ValueError):
         hash_join(ds, ds, key="k", left_cols={}, right_cols={"k": "x"}, how="anti")
+
+
+def test_hash_join_full_outer(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from gostatix_ray.stages.joins import hash_join
+
+    # left keys 0..9 (5,5 duplicated), right keys 5..14 (7 duplicated):
+    # matched m*n expansion, left-only 0..4, right-only 10..14
+    left = rd.from_items(
+        [{"k": i, "v": float(i)} for i in range(10)] + [{"k": 5, "v": 55.0}]
+    ).repartition(3)
+    right = rd.from_items(
+        [{"rk": k, "w": k * 10} for k in range(5, 15)] + [{"rk": 7, "w": 700}]
+    ).repartition(4)
+    out = hash_join(left, right, key="k", right_key="rk",
+                    left_cols={"v": "v"}, right_cols={"w": "w"},
+                    how="outer").to_pandas().sort_values(["k", "v", "w"])
+    # duckdb twin
+    import duckdb
+
+    exp = duckdb.sql(
+        "SELECT COALESCE(l.k, r.rk) AS k, l.v, r.w FROM "
+        "(VALUES " + ",".join(f"({i}, {float(i)})" for i in range(10)) + ",(5, 55.0)) l(k, v) "
+        "FULL OUTER JOIN (VALUES " + ",".join(f"({k}, {k*10})" for k in range(5, 15)) + ",(7, 700)) r(rk, w) "
+        "ON l.k = r.rk"
+    ).df().sort_values(["k", "v", "w"])
+    assert len(out) == len(exp)
+    for col in ("k", "v", "w"):
+        a = out[col].to_numpy(dtype=float, na_value=np.nan)
+        b = exp[col].to_numpy(dtype=float, na_value=np.nan)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), col
