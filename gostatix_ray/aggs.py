@@ -48,7 +48,7 @@ def sketch_agg(kind: str, spec: Any, on: str, *, alias_name: str | None = None, 
         else:  # pandas
             col = pa.array(block[on])
             w = block[weight].to_numpy() if weight else None
-        if kind in ("tdigest", "kll"):
+        if kind in ("tdigest", "kll", "moments"):
             kernel.update(state, col.to_numpy(zero_copy_only=False).astype(np.float64), w)
         elif w is not None and kind in ("cms", "topk"):
             kernel.update(state, col, w)

@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..kernels import bloom, cms, hll, kll, tdigest, topk
+from ..kernels import bloom, cms, hll, kll, moments, tdigest, topk
 from ..stages.ann import brute_force_topk, ivf_topk, threshold_search, train_codebook
 from ..stages.build import SketchRequest, build_partials, tokens_of
 from ..stages.dedup import (
@@ -1383,6 +1383,39 @@ def q_value_quantiles_by_type_tdigest(sf_dir: str):
     return pd.DataFrame({"event_type": [r[0] for r in rows], "median_value": [round(r[1], 6) for r in rows]})
 
 
+def q_value_stats_by_type(sf_dir: str):
+    """Grouped MOMENTS SKETCH: per-event_type count/sum/mean/variance.
+
+    One mergeable state per group (kernels/moments.py — exact integer
+    power sums, the only quantile-adjacent sketch with BYTE-STABLE
+    merges), finalized into scalar statistics.  Unlike tdigest/kll this
+    is fully oracle-checkable: the sums are exact ints and the derived
+    mean/variance use one fixed float64 evaluation order that any SQL
+    engine reproduces bit-for-bit on the same integers.
+    """
+    ds = _read(sf_dir, "events", ["value", "event_type"])
+    partials = build_partials(
+        ds,
+        [SketchRequest("val_moments", "moments",
+                       moments.MomentsSpec(k=4, scale=100),
+                       on="value", group_by="event_type")],
+        concurrency=_CONC,
+    )
+    final = collect_final(merge_partials_streaming(partials))
+    rows = []
+    for (_, gk), blob in sorted(final.items()):
+        st = moments.from_bytes(blob)
+        rows.append((gk, st.n, st.sums[0],
+                     moments.mean_scaled(st), moments.variance_scaled(st)))
+    return pd.DataFrame({
+        "event_type": [r[0] for r in rows],
+        "n": np.array([r[1] for r in rows], dtype=np.int64),
+        "sum_cents": np.array([r[2] for r in rows], dtype=np.int64),
+        "mean_cents": [r[3] for r in rows],
+        "var_cents": [r[4] for r in rows],
+    })
+
+
 def q_events_sliding_window(sf_dir: str):
     """Sliding window: per-user event counts over 1h windows sliding 30min.
 
@@ -1721,6 +1754,7 @@ QUERIES = {
     "hll_users_by_type": q_hll_users_by_type,
     "hll_daily_active_users": q_hll_daily_active_users,
     "value_quantiles_by_type_tdigest": q_value_quantiles_by_type_tdigest,
+    "value_stats_by_type": q_value_stats_by_type,
     "value_quantiles_exact": q_value_quantiles_exact,
     "value_quantiles_by_type_exact": q_value_quantiles_by_type_exact,
     "ann_topk_ids": q_ann_topk_ids,
@@ -2069,6 +2103,17 @@ ORACLE_SQL = {
         "SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' "
         "AS window_start FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) offs"
         ") GROUP BY user_id, window_start"
+    ),
+    "value_stats_by_type": (
+        "WITH c AS (SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents "
+        "FROM events), "
+        "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(cents) AS BIGINT) AS sum_cents, "
+        "CAST(sum(cents * cents) AS BIGINT) AS sumsq FROM c GROUP BY event_type) "
+        "SELECT event_type, n, sum_cents, "
+        "CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents, "
+        "(CAST(sumsq AS DOUBLE) - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) "
+        "/ CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_cents FROM a"
     ),
     "value_quantiles_exact": (  # quantile_disc requires constant q -> UNION
         " UNION ALL ".join(

@@ -6,7 +6,7 @@ merge(a, b), to_bytes(state), from_bytes(blob), equals(a, b).
 
 from __future__ import annotations
 
-from .kernels import bloom, cms, cuckoo, hll, kll, tdigest, topk
+from .kernels import bloom, cms, cuckoo, hll, kll, moments, tdigest, topk
 
 KERNELS = {
     "bloom": bloom,
@@ -16,13 +16,15 @@ KERNELS = {
     "cuckoo": cuckoo,
     "tdigest": tdigest,
     "kll": kll,
+    "moments": moments,
 }
 
 #: kinds whose merge is associative AND byte-stable (bit-identical final
 #: state for any partition order).  tdigest / kll merges preserve error
 #: bounds but not bytes; cuckoo has no merge at all (partitioned filter).
-BYTE_STABLE = {"bloom", "hll", "cms", "topk"}
-MERGEABLE = {"bloom", "hll", "cms", "topk", "tdigest", "kll"}
+#: moments is byte-stable because its power sums are exact Python ints.
+BYTE_STABLE = {"bloom", "hll", "cms", "topk", "moments"}
+MERGEABLE = {"bloom", "hll", "cms", "topk", "tdigest", "kll", "moments"}
 
 
 def kernel_for(kind: str):
