@@ -235,6 +235,69 @@ def q_cuckoo_signup_users_semijoin(sf_dir: str):
     return kept.groupby("event_type").aggregate(Count(alias_name="n"))
 
 
+def _users_of_type(sf_dir: str, event_type: str):
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return ev.map_batches(
+        lambda b, et=event_type: b.filter(pc.equal(b["event_type"], et)),
+        batch_format="pyarrow",
+    )
+
+
+def q_click_and_signup_users(sf_dir: str):
+    """Exact distributed INTERSECT: users with both click and signup events.
+
+    stages/setops.py — map-side distinct + side bits, one coarse-bucket
+    shuffle.  Exact twin of the HLL inclusion-exclusion estimate
+    (q_hll_users_intersection)."""
+    from ..stages.setops import key_set_op
+
+    return key_set_op(_users_of_type(sf_dir, "click"),
+                      _users_of_type(sf_dir, "signup"),
+                      key="user_id", op="intersect")
+
+
+def q_click_days_without_purchase(sf_dir: str):
+    """Exact distributed EXCEPT on a composite key: (user, day) pairs that
+    clicked but made no purchase that day (every user does every event
+    type at this scale, so the single-key EXCEPT is degenerate)."""
+    from ..stages.setops import key_set_op
+
+    def _with_day(et):
+        def fn(b: pa.Table, et=et) -> pa.Table:
+            f = b.filter(pc.equal(b["event_type"], et))
+            return f.append_column("day", pc.strftime(f["ts"], "%Y-%m-%d"))
+
+        ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        return ev.map_batches(fn, batch_format="pyarrow")
+
+    return key_set_op(_with_day("click"), _with_day("purchase"),
+                      key=["user_id", "day"], op="except")
+
+
+def q_hll_users_intersection(sf_dir: str):
+    """HLL set algebra: |A∩B| by inclusion-exclusion over mergeable states.
+
+    The union cardinality needs NO extra pass: hll.merge(click, signup)
+    IS the union sketch (register max — hyperloglog.go:79-87 semantics).
+    Estimate-valued (rows-only check); exact twin: q_click_and_signup_users.
+    """
+    spec = hll.HLLSpec(m=1 << 14)
+    states = {}
+    for et in ("click", "signup"):
+        states[et] = _one_state(
+            _users_of_type(sf_dir, et),
+            SketchRequest(f"{et}_users", "hll", spec,
+                          on=lambda b: pc.cast(b["user_id"], pa.string())),
+        )
+    est_a = float(hll.count(states["click"]))
+    est_b = float(hll.count(states["signup"]))
+    est_union = float(hll.count(hll.merge(states["click"], states["signup"])))
+    return pd.DataFrame({
+        "set_expr": ["click", "signup", "union", "intersection"],
+        "users_est": [est_a, est_b, est_union, est_a + est_b - est_union],
+    })
+
+
 def q_bloom_anti_join_open_orders(sf_dir: str):
     """Anti-join through a negated bloom filter: lineitem rows whose order
     is NOT in status 'F', counted per returnflag.
@@ -1712,6 +1775,9 @@ QUERIES = {
     "cuckoo_signup_users_semijoin": q_cuckoo_signup_users_semijoin,
     "lineitem_orders_bloom_semijoin": q_lineitem_orders_bloom_semijoin,
     "bloom_anti_join_open_orders": q_bloom_anti_join_open_orders,
+    "click_and_signup_users": q_click_and_signup_users,
+    "click_days_without_purchase": q_click_days_without_purchase,
+    "hll_users_intersection": q_hll_users_intersection,
     "distinct_users_by_type_exact": q_distinct_users_by_type_exact,
     "user_sessions": q_user_sessions,
     "doc_dedup_exact": q_doc_dedup_exact,
@@ -1808,6 +1874,15 @@ ORACLE_SQL = {
     ),
     "distinct_users_by_type_exact": (
         "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+    ),
+    "click_and_signup_users": (
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "INTERSECT SELECT user_id FROM events WHERE event_type = 'signup'"
+    ),
+    "click_days_without_purchase": (
+        "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events "
+        "WHERE event_type = 'click' EXCEPT SELECT user_id, "
+        "strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'purchase'"
     ),
     "user_sessions": (
         "SELECT user_id, CAST(1 + sum(is_gap) AS BIGINT) AS n_sessions FROM ("
