@@ -1446,6 +1446,27 @@ def q_value_quantiles_by_type_tdigest(sf_dir: str):
     return pd.DataFrame({"event_type": [r[0] for r in rows], "median_value": [round(r[1], 6) for r in rows]})
 
 
+def q_events_daily_type_pivot(sf_dir: str):
+    """Distributed PIVOT: one row per day, count + cents columns per
+    event type (stages/pivot.py — map-side wide partials, one tiny
+    bucketed reduce; exact int64 everywhere)."""
+    from ..stages.pivot import pivot_table
+
+    def _prep(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], "%Y-%m-%d")
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(b["value"], 100.0), 0.5)), pa.int64())
+        return pa.table({"day": day, "event_type": b["event_type"], "cents": cents})
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        _prep, batch_format="pyarrow"
+    )
+    return pivot_table(
+        ds, index="day", columns="event_type",
+        values=["click", "view", "signup", "purchase", "error"],
+        sum_col="cents", count_prefix="n_", sum_prefix="cents_",
+    )
+
+
 def q_value_stats_by_type(sf_dir: str):
     """Grouped MOMENTS SKETCH: per-event_type count/sum/mean/variance.
 
@@ -1821,6 +1842,7 @@ QUERIES = {
     "hll_daily_active_users": q_hll_daily_active_users,
     "value_quantiles_by_type_tdigest": q_value_quantiles_by_type_tdigest,
     "value_stats_by_type": q_value_stats_by_type,
+    "events_daily_type_pivot": q_events_daily_type_pivot,
     "value_quantiles_exact": q_value_quantiles_exact,
     "value_quantiles_by_type_exact": q_value_quantiles_by_type_exact,
     "ann_topk_ids": q_ann_topk_ids,
@@ -2178,6 +2200,16 @@ ORACLE_SQL = {
         "SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' "
         "AS window_start FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) offs"
         ") GROUP BY user_id, window_start"
+    ),
+    "events_daily_type_pivot": (
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        + ", ".join(
+            f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}, "
+            f"CAST(COALESCE(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) "
+            f"FILTER (event_type = '{t}'), 0) AS BIGINT) AS cents_{t}"
+            for t in ("click", "view", "signup", "purchase", "error")
+        )
+        + " FROM events GROUP BY day"
     ),
     "value_stats_by_type": (
         "WITH c AS (SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents "

@@ -1,0 +1,58 @@
+"""Distributed PIVOT (stages/pivot.py) vs pandas pivot_table."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gostatix_ray.stages.pivot import pivot_table
+
+
+@pytest.fixture(scope="module")
+def long_df():
+    rng = np.random.default_rng(5)
+    return pd.DataFrame(
+        {
+            "grp": rng.choice([f"g{i}" for i in range(40)], 8000),
+            "cat": rng.choice(["a", "b", "c", "d"], 8000),
+            "amt": rng.integers(0, 1000, 8000).astype(np.int64),
+        }
+    )
+
+
+def test_pivot_counts_and_sums(ray_session, long_df):
+    import ray.data as rd
+
+    out = pivot_table(
+        rd.from_pandas(long_df).repartition(9),
+        index="grp", columns="cat", values=["a", "b", "c"], sum_col="amt",
+    ).to_pandas().sort_values("grp").reset_index(drop=True)
+    want_cnt = long_df.pivot_table(index="grp", columns="cat", values="amt",
+                                   aggfunc="count", fill_value=0)
+    want_sum = long_df.pivot_table(index="grp", columns="cat", values="amt",
+                                   aggfunc="sum", fill_value=0)
+    for v in ("a", "b", "c"):
+        assert (out.set_index("grp")[f"n_{v}"] == want_cnt[v]).all()
+        assert (out.set_index("grp")[f"sum_{v}"] == want_sum[v]).all()
+    # category 'd' excluded by the IN-list
+    assert "n_d" not in out.columns
+
+
+def test_pivot_partition_independent(ray_session, long_df):
+    import ray.data as rd
+
+    outs = []
+    for parts in (1, 13):
+        o = pivot_table(rd.from_pandas(long_df).repartition(parts),
+                        index="grp", columns="cat", values=["a", "d"]) \
+            .to_pandas().sort_values("grp").reset_index(drop=True)
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_pivot_rejects_float_sum(ray_session, long_df):
+    import ray.data as rd
+
+    df = long_df.assign(amt=long_df["amt"].astype(float))
+    with pytest.raises(Exception):
+        pivot_table(rd.from_pandas(df), index="grp", columns="cat",
+                    values=["a"], sum_col="amt").to_pandas()
