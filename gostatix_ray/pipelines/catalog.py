@@ -1207,6 +1207,26 @@ def q_events_stratified_sample(sf_dir: str):
     )
 
 
+def q_user_event_ranks(sf_dir: str):
+    """ROW_NUMBER + DENSE_RANK per user (stages/window_fns.py seq /
+    dense-rank columns): event sequence number ordered by (ts, event_id)
+    and dense rank over the timestamp.  10k rows, bit-exact vs the
+    OVER-clause twins."""
+    from ..stages.window_fns import window_over
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return window_over(
+        ds,
+        part_col="user_id",
+        order_col="ts",
+        tiebreak="event_id",
+        gap_name=None,
+        seq_name="seq",
+        dense_rank_name="ts_rank",
+        keep=["event_id", "user_id"],
+    )
+
+
 def q_user_running_value(sf_dir: str):
     """Per-user ordered window functions (stages/window_fns.py):
     running spend (exact integer cents, ROWS UNBOUNDED PRECEDING) and
@@ -1828,6 +1848,7 @@ QUERIES = {
     "doc_hash_sample": q_doc_hash_sample,
     "events_stratified_sample": q_events_stratified_sample,
     "user_running_value": q_user_running_value,
+    "user_event_ranks": q_user_event_ranks,
     "decontaminated_docs": q_decontaminated_docs,
     "doc_token_stats": q_doc_token_stats,
     "doc_repetition_stats": q_doc_repetition_stats,
@@ -1990,6 +2011,12 @@ ORACLE_SQL = {
         "PARTITION BY event_type "
         "ORDER BY (CAST(event_id AS HUGEINT) * 2654435761) % 4294967296, event_id"
         ") AS BIGINT) AS rank FROM events) WHERE rank <= 5"
+    ),
+    "user_event_ranks": (
+        "SELECT event_id, user_id, "
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq, "
+        "CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS ts_rank "
+        "FROM events"
     ),
     "user_running_value": (
         "SELECT event_id, user_id, "

@@ -32,11 +32,12 @@ class _WindowBucket:
     """pyarrow map_groups callable: one co-partitioned bucket."""
 
     def __init__(self, part_col, order_col, tiebreak, sum_col, running_name,
-                 gap_name, gap_default, keep):
+                 gap_name, gap_default, keep, seq_name=None, dense_rank_name=None):
         self._part, self._order, self._tb = part_col, order_col, tiebreak
         self._sum_col, self._running_name = sum_col, running_name
         self._gap_name, self._gap_default = gap_name, gap_default
         self._keep = keep
+        self._seq_name, self._dense_rank_name = seq_name, dense_rank_name
 
     def __call__(self, table: pa.Table) -> pa.Table:
         import pandas as pd
@@ -55,6 +56,19 @@ class _WindowBucket:
         out: dict = {}
         for src in self._keep:
             out[src] = table[src].take(pa.array(order))
+        if self._seq_name is not None or self._dense_rank_name is not None:
+            gstart = np.maximum.accumulate(np.where(newg, idx, 0))
+            if self._seq_name is not None:
+                # ROW_NUMBER(): 1-based position within the partition
+                out[self._seq_name] = pa.array(idx - gstart + 1)
+            if self._dense_rank_name is not None:
+                # DENSE_RANK() on the order column within the partition
+                ov = o[order]
+                newval = newg.copy()
+                if n > 1:
+                    newval[1:] |= ov[1:] != ov[:-1]
+                d = np.cumsum(newval.astype(np.int64))
+                out[self._dense_rank_name] = pa.array(d - d[gstart] + 1)
         if self._gap_name is not None:
             ov = o[order].astype(np.int64)
             gap = np.empty(n, dtype=np.int64)
@@ -81,6 +95,7 @@ class _WindowBucket:
 def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
                 sum_col: str | None = None, running_name: str = "running_sum",
                 gap_name: str | None = "gap", gap_default: int = -1,
+                seq_name: str | None = None, dense_rank_name: str | None = None,
                 keep: list | None = None, num_buckets: int = 64):
     """Per-partition ordered window columns over a Dataset.
 
@@ -110,7 +125,7 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
         return batch.append_column("__bucket", pa.array((h1 % nb).astype(np.int64)))
 
     fn = _WindowBucket(part_col, order_col, tiebreak, sum_col, running_name,
-                       gap_name, gap_default, keep)
+                       gap_name, gap_default, keep, seq_name, dense_rank_name)
     return (
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("__bucket")

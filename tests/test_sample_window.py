@@ -142,3 +142,30 @@ def test_window_over_timestamp_gap_units(ray_session):
         .reset_index(drop=True)
     )
     assert list(got["gap_us"]) == [-1, 1_000_000, 59_000_000]
+
+
+def test_window_over_seq_and_dense_rank(ray_session):
+    from gostatix_ray.stages.window_fns import window_over
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 20, 2000),
+            "o": rng.integers(0, 50, 2000),  # duplicate order values => rank ties
+            "id": np.arange(2000),
+        }
+    )
+    got = (
+        window_over(_ds(df).repartition(7), part_col="g", order_col="o",
+                    tiebreak="id", gap_name=None, seq_name="seq",
+                    dense_rank_name="drank", keep=["g", "id"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    srt = df.sort_values(["g", "o", "id"])
+    exp_seq = srt.groupby("g").cumcount() + 1
+    exp_dr = srt.groupby("g")["o"].rank(method="dense").astype(int)
+    exp = srt.assign(seq=exp_seq, drank=exp_dr).sort_values("id").reset_index(drop=True)
+    assert list(got["seq"]) == list(exp["seq"])
+    assert list(got["drank"]) == list(exp["drank"])
