@@ -1207,6 +1207,43 @@ def q_events_stratified_sample(sf_dir: str):
     )
 
 
+def q_salted_event_spend_join(sf_dir: str):
+    """Sketch-guided SKEW-SALTED hash join: Top-K heavy hitters over the
+    probe key feed hash_join(hot_keys=..., n_salts=...) so each hot
+    key's m×n work spreads over 4 buckets (stages/joins.py).  At this
+    scale every user is 'hot' (150 users, ~0.7% of rows each) — the
+    point is exactness under full salting: output hash-matches the
+    plain-join SQL twin."""
+    from ..stages.dedup import bucketed_groupby
+    from ..stages.joins import detect_hot_keys, hash_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(b["value"], 100.0), 0.5)), pa.int64())
+        return pa.table({"user_id": b["user_id"], "cents": cents})
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False, as_index=False)["cents"].sum()
+        return g.rename(columns={"cents": "total_cents"}).astype({"total_cents": np.int64})
+
+    totals = bucketed_groupby(
+        ev.map_batches(_cents, batch_format="pyarrow"), ["user_id"], _sum, num_buckets=16
+    )
+    hot = detect_hot_keys(_read(sf_dir, "events", ["user_id"]), "user_id",
+                          k=256, min_frac=0.002)
+    return hash_join(
+        _read(sf_dir, "events", ["event_id", "user_id"]),
+        totals,
+        key="user_id",
+        left_cols={"event_id": "event_id"},
+        right_cols={"total_cents": "total_cents"},
+        how="inner",
+        hot_keys=hot,
+        n_salts=4,
+    )
+
+
 def q_user_event_ranks(sf_dir: str):
     """ROW_NUMBER + DENSE_RANK per user (stages/window_fns.py seq /
     dense-rank columns): event sequence number ordered by (ts, event_id)
@@ -1849,6 +1886,7 @@ QUERIES = {
     "events_stratified_sample": q_events_stratified_sample,
     "user_running_value": q_user_running_value,
     "user_event_ranks": q_user_event_ranks,
+    "salted_event_spend_join": q_salted_event_spend_join,
     "decontaminated_docs": q_decontaminated_docs,
     "doc_token_stats": q_doc_token_stats,
     "doc_repetition_stats": q_doc_repetition_stats,
@@ -2011,6 +2049,11 @@ ORACLE_SQL = {
         "PARTITION BY event_type "
         "ORDER BY (CAST(event_id AS HUGEINT) * 2654435761) % 4294967296, event_id"
         ") AS BIGINT) AS rank FROM events) WHERE rank <= 5"
+    ),
+    "salted_event_spend_join": (
+        "SELECT e.event_id, e.user_id, u.total_cents FROM events e JOIN "
+        "(SELECT user_id, CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS total_cents FROM events GROUP BY user_id) u ON e.user_id = u.user_id"
     ),
     "user_event_ranks": (
         "SELECT event_id, user_id, "

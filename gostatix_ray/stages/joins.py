@@ -236,6 +236,34 @@ class _HashJoinBucketMatch:
         return pa.table(out)
 
 
+def detect_hot_keys(ds, key: str, *, k: int = 32, min_frac: float = 0.01) -> list:
+    """Heavy-hitter keys of ``ds[key]`` via the Top-K sketch (one map-side
+    partial per block, one tiny merge — the shuffle moves sketch states,
+    never keys).  Returns keys whose estimated frequency exceeds
+    ``min_frac`` of the rows: the candidates worth salting in
+    :func:`hash_join`.  CMS overestimate-only semantics make this
+    conservative — a false positive merely salts a cold key (harmless)."""
+    import pyarrow.compute as pc
+
+    from ..kernels import topk as topk_kernel
+    from .build import SketchRequest, build_partials
+    from .merge import collect_final, merge_partials_streaming
+
+    req = SketchRequest(
+        "hot", "topk", topk_kernel.TopKSpec(k=k, error_rate=0.0005, accuracy=0.01),
+        on=lambda b, c=key: pc.cast(b[c], pa.string()),
+    )
+    partials = build_partials(ds, [req], concurrency=2)
+    merged = merge_partials_streaming(partials)
+    final = collect_final(merged)
+    state = topk_kernel.from_bytes(final[("hot", "")])
+    total = max(int(state.cms.all_sum), 1)
+    return [elem for elem, cnt in topk_kernel.values(state) if cnt / total >= min_frac]
+
+
+_SALT_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 def hash_join(
     left,
     right,
@@ -246,6 +274,8 @@ def hash_join(
     right_cols: dict,
     how: str = "inner",
     num_buckets: int = 64,
+    hot_keys=None,
+    n_salts: int = 8,
 ):
     """Distributed BIG ⨝ BIG equi-join (inner / left / outer / semi /
     anti) of two Datasets.  ``outer`` is FULL OUTER: unmatched rows of
@@ -263,11 +293,26 @@ def hash_join(
     keys.  Duplicate keys produce the full m×n cross product per key —
     true join semantics, partition-independent output SET (row order
     follows bucket scheduling).
+
+    ``hot_keys`` + ``n_salts``: SKETCH-GUIDED SKEW MITIGATION.  Pass the
+    output of :func:`detect_hot_keys` (Top-K heavy hitters, string form)
+    and each hot key's work spreads across ``n_salts`` buckets: hot
+    BUILD rows replicate once per salt (bounded ×n_salts on the hot
+    subset only), hot PROBE rows scatter round-robin, and the bucket
+    hash mixes the salt.  Join output is identical to the unsalted path
+    (each probe row still sees the full match set via the replicas);
+    not supported for ``outer``.
     """
     if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"how must be inner|left|outer|semi|anti, got {how!r}")
     if how in ("semi", "anti") and right_cols:
         raise ValueError(f"how={how!r} emits left columns only; right_cols must be empty")
+    if hot_keys and how == "outer":
+        raise ValueError("salted hash_join does not support outer (right-only rows "
+                         "would emit once per salt); use inner/left/semi/anti")
+    if hot_keys and n_salts < 2:
+        raise ValueError("n_salts must be >= 2 when hot_keys are given")
+    hot_arr = pa.array([str(h) for h in hot_keys], pa.string()) if hot_keys else None
     from ..hashing import hash128
 
     rkey = right_key or key
@@ -288,6 +333,7 @@ def hash_join(
     def _tag(side_val: int, keep: list, src_key: str):
         def _fn(batch: pa.Table) -> pa.Table:
             kcol = batch[src_key]
+            take_idx = None  # build-side replication indices (salted hot keys)
             if side_val == 0:
                 kcol = pc.cast(kcol, key_type)
                 if how in ("semi", "anti"):
@@ -297,11 +343,36 @@ def hash_join(
                         kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) else kcol
                     )
             n = len(kcol)
-            h1, _ = hash128(pc.cast(kcol, pa.string()), 31)
+            kstr = pc.cast(kcol, pa.string())
+            salts = None
+            if hot_arr is not None and len(hot_arr):
+                hot_mask = pc.is_in(kstr, value_set=hot_arr).to_numpy(zero_copy_only=False)
+                if side_val == 0:
+                    # replicate each hot BUILD row once per salt so every
+                    # (hot key, salt) bucket holds the full match set
+                    counts = np.where(hot_mask, n_salts, 1).astype(np.int64)
+                    take_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+                    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                    salts = (np.arange(len(take_idx), dtype=np.int64)
+                             - np.repeat(starts, counts)).astype(np.uint64)
+                    kcol = kcol.take(pa.array(take_idx))
+                    kstr = kstr.take(pa.array(take_idx))
+                    n = len(kcol)
+                else:
+                    # spread hot PROBE rows across the salts round-robin
+                    salts = np.where(hot_mask,
+                                     np.arange(n, dtype=np.int64) % n_salts,
+                                     0).astype(np.uint64)
+            h1, _ = hash128(kstr, 31)
+            bucket_h = h1 if salts is None else h1 + salts * _SALT_MIX
             ncols = {key: kcol, "__side": pa.array(np.full(n, side_val, dtype=np.int8))}
             for src, typ in payload.items():
-                ncols[src] = batch[src] if src in keep else pa.nulls(n, type=typ)
-            ncols["__bucket"] = pa.array((h1 % nb).astype(np.int64))
+                if src in keep:
+                    col = batch[src]
+                    ncols[src] = col.take(pa.array(take_idx)) if take_idx is not None else col
+                else:
+                    ncols[src] = pa.nulls(n, type=typ)
+            ncols["__bucket"] = pa.array((bucket_h % nb).astype(np.int64))
             return pa.Table.from_pydict(ncols)
 
         return _fn

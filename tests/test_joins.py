@@ -100,3 +100,59 @@ def test_hash_join_full_outer(ray_session):
         a = out[col].to_numpy(dtype=float, na_value=np.nan)
         b = exp[col].to_numpy(dtype=float, na_value=np.nan)
         assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), col
+
+
+def test_salted_hash_join_matches_unsalted(ray_session):
+    """Skew salting must not change the join output SET (dup keys incl.)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gostatix_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(13)
+    # zipf-ish probe: key 0 is ~half the rows; build side has dup keys
+    keys = np.where(rng.random(4000) < 0.5, 0, rng.integers(1, 50, 4000))
+    left = rd.from_pandas(pd.DataFrame({"k": keys, "x": np.arange(4000)})).repartition(5)
+    build = pd.DataFrame({"k": [0, 0, 1, 2, 3, 60], "y": [10, 20, 30, 40, 50, 99]})
+    right = rd.from_pandas(build).repartition(3)
+
+    for how in ("inner", "left", "semi", "anti"):
+        salted = hash_join(left, right, key="k", left_cols={"x": "x"},
+                           right_cols={"y": "y"} if how in ("inner", "left") else {},
+                           how=how, hot_keys=["0", "1"], n_salts=4).to_pandas()
+        plain = hash_join(left, right, key="k", left_cols={"x": "x"},
+                          right_cols={"y": "y"} if how in ("inner", "left") else {},
+                          how=how).to_pandas()
+        cols = [c for c in ("k", "x", "y") if c in salted.columns]
+        s = salted[cols].fillna(-1)
+        p = plain[cols].fillna(-1)
+        assert sorted(map(tuple, s.itertuples(index=False))) == \
+               sorted(map(tuple, p.itertuples(index=False))), how
+
+
+def test_salted_hash_join_rejects_outer(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from gostatix_ray.stages.joins import hash_join
+
+    ds = rd.from_items([{"k": 1, "v": 2}])
+    with pytest.raises(ValueError):
+        hash_join(ds, ds, key="k", left_cols={}, right_cols={"v": "v2"},
+                  how="outer", hot_keys=["1"])
+
+
+def test_detect_hot_keys(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gostatix_ray.stages.joins import detect_hot_keys
+
+    rng = np.random.default_rng(4)
+    keys = np.concatenate([np.full(5000, 7), rng.integers(100, 5000, 5000)])
+    ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(6)
+    hot = detect_hot_keys(ds, "k", k=16, min_frac=0.05)
+    assert "7" in hot
+    assert len(hot) <= 16
