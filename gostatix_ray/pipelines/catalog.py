@@ -1503,6 +1503,21 @@ def q_value_quantiles_by_type_tdigest(sf_dir: str):
     return pd.DataFrame({"event_type": [r[0] for r in rows], "median_value": [round(r[1], 6) for r in rows]})
 
 
+_SCRUB_RE = r"\b(the|a|of|to|and|in|is|it|that|for)\b"
+
+
+def q_doc_scrubbed(sf_dir: str):
+    """Regex scrubbing (stages/text_stats.RegexScrub): mask a pattern in
+    every document plus a per-doc match count — the PII-redaction shape
+    (the synthetic corpus has no emails/phones, so the masked class here
+    is the stopword list; the machinery is byte-identical).  RE2 on both
+    sides => exact SQL twin."""
+    from ..stages.text_stats import RegexScrub
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(RegexScrub(_SCRUB_RE), batch_format="pyarrow")
+
+
 def q_events_daily_type_pivot(sf_dir: str):
     """Distributed PIVOT: one row per day, count + cents columns per
     event type (stages/pivot.py — map-side wide partials, one tiny
@@ -1893,6 +1908,7 @@ QUERIES = {
     "doc_quality_scores": q_doc_quality_scores,
     "doc_langid": q_doc_langid,
     "doc_fingerprints": q_doc_fingerprints,
+    "doc_scrubbed": q_doc_scrubbed,
     "lang_doc_stats": q_lang_doc_stats,
     "events_hourly_window": q_events_hourly_window,
     "events_daily_active_users": q_events_daily_active_users,
@@ -2270,6 +2286,12 @@ ORACLE_SQL = {
         "SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' "
         "AS window_start FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) offs"
         ") GROUP BY user_id, window_start"
+    ),
+    "doc_scrubbed": (
+        "SELECT doc_id, "
+        f"regexp_replace(text, '{_SCRUB_RE}', '[MASK]', 'g') AS text, "
+        f"CAST(len(regexp_extract_all(text, '{_SCRUB_RE}')) AS BIGINT) AS n_masked "
+        "FROM documents"
     ),
     "events_daily_type_pivot": (
         "SELECT strftime(ts, '%Y-%m-%d') AS day, "

@@ -175,3 +175,25 @@ def test_tfidf_top_terms_matches_bruteforce(ray_session):
         got = out[out["doc_id"] == i].sort_values("rank")
         assert list(got["token"]) == [tok for tok, _ in scored], (i, scored, got)
         assert list(got["rank"]) == [1, 2]
+
+
+def test_regex_scrub_masks_pii_shapes(ray_session):
+    import pyarrow as pa
+
+    from gostatix_ray.stages.text_stats import RegexScrub
+
+    scrub = RegexScrub(r"[\w.]+@[\w.]+|\+?\d[\d -]{7,}\d", mask="<PII>")
+    batch = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail me at jo.doe@example.com or call +1 555 123 4567 now",
+                "no sensitive content here",
+                "two mails: a@b.co c@d.org",
+            ],
+        }
+    )
+    out = scrub(batch)
+    assert out["text"][0].as_py() == "mail me at <PII> or call <PII> now"
+    assert out["n_masked"].to_pylist() == [2, 0, 2]
+    assert out["text"][1].as_py() == "no sensitive content here"
