@@ -1503,6 +1503,71 @@ def q_value_quantiles_by_type_tdigest(sf_dir: str):
     return pd.DataFrame({"event_type": [r[0] for r in rows], "median_value": [round(r[1], 6) for r in rows]})
 
 
+def _lang_docs(sf_dir: str, lang: str):
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    return ds.map_batches(
+        lambda b, lg=lang: b.filter(pc.equal(b["lang"], lg)), batch_format="pyarrow"
+    )
+
+
+def q_lang_token_inner_product_exact(sf_dir: str):
+    """Exact Σ_t f_en(t)·f_de(t): the inner product of two corpora's token
+    frequency vectors (cross-corpus vocabulary overlap-weighted mass).
+    One slim (token, side-count) shuffle; each bucket holds complete
+    token groups so it emits a PARTIAL dot product and one tiny global
+    sum finishes — the full frequency vectors never materialize
+    anywhere.  Exact twin of the CMS estimate (q_cms_lang_inner_product,
+    count_min_sketch.go:95-124 query family)."""
+    from ..stages.dedup import bucketed_groupby
+
+    def _counts(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(batch["text"], " ")
+            flat = pc.list_flatten(toks)
+            vc = flat.value_counts()
+            cnt = vc.field("counts").cast(pa.int64())
+            zero = pa.array(np.zeros(len(vc), dtype=np.int64))
+            return pa.table({
+                "token": vc.field("values"),
+                "c_en": cnt if side == 0 else zero,
+                "c_de": cnt if side == 1 else zero,
+            })
+        return fn
+
+    tagged = _lang_docs(sf_dir, "en").map_batches(_counts(0), batch_format="pyarrow").union(
+        _lang_docs(sf_dir, "de").map_batches(_counts(1), batch_format="pyarrow")
+    )
+
+    def _dot(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)[["c_en", "c_de"]].sum()
+        return pd.DataFrame({"partial": [int((g["c_en"] * g["c_de"]).sum())]})
+
+    parts = bucketed_groupby(tagged, ["token"], _dot, num_buckets=16)
+    total = int(parts.sum("partial"))
+    return pd.DataFrame({"inner_product": np.array([total], dtype=np.int64)})
+
+
+def q_cms_lang_inner_product(sf_dir: str):
+    """CMS inner-product estimate between the en and de token-frequency
+    sketches (kernels/cms.py inner_product — overestimate-only, error
+    ≤ ε·N_en·N_de w.p. 1-δ).  Estimate-valued (rows-only); exact twin:
+    q_lang_token_inner_product_exact."""
+    spec = cms.CMSSpec.from_error_rate(0.0001, 0.01)
+    states = {
+        lang: _one_state(
+            _lang_docs(sf_dir, lang),
+            SketchRequest(f"tok_{lang}", "cms", spec, on=tokens_of("text")),
+        )
+        for lang in ("en", "de")
+    }
+    est = cms.inner_product(states["en"], states["de"])
+    return pd.DataFrame({
+        "inner_product_est": np.array([est], dtype=np.int64),
+        "n_tokens_en": np.array([int(states["en"].all_sum)], dtype=np.int64),
+        "n_tokens_de": np.array([int(states["de"].all_sum)], dtype=np.int64),
+    })
+
+
 _SCRUB_RE = r"\b(the|a|of|to|and|in|is|it|that|for)\b"
 
 
@@ -1909,6 +1974,8 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_fingerprints": q_doc_fingerprints,
     "doc_scrubbed": q_doc_scrubbed,
+    "lang_token_inner_product_exact": q_lang_token_inner_product_exact,
+    "cms_lang_inner_product": q_cms_lang_inner_product,
     "lang_doc_stats": q_lang_doc_stats,
     "events_hourly_window": q_events_hourly_window,
     "events_daily_active_users": q_events_daily_active_users,
@@ -2286,6 +2353,14 @@ ORACLE_SQL = {
         "SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' "
         "AS window_start FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) offs"
         ") GROUP BY user_id, window_start"
+    ),
+    "lang_token_inner_product_exact": (
+        "WITH en AS (SELECT token, count(*) AS c FROM (SELECT unnest(string_split(text, ' ')) "
+        "AS token FROM documents WHERE lang = 'en') GROUP BY token), "
+        "de AS (SELECT token, count(*) AS c FROM (SELECT unnest(string_split(text, ' ')) "
+        "AS token FROM documents WHERE lang = 'de') GROUP BY token) "
+        "SELECT CAST(COALESCE(sum(en.c * de.c), 0) AS BIGINT) AS inner_product "
+        "FROM en JOIN de USING (token)"
     ),
     "doc_scrubbed": (
         "SELECT doc_id, "

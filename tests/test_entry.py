@@ -38,3 +38,18 @@ def test_hll_daily_active_users_within_bound(ray_session):
     bound = 3 * 1.04 / (1 << 12) ** 0.5
     for day, e in exact.items():
         assert abs(est[day] - e) <= max(2.0, bound * e), (day, est[day], e)
+
+
+def test_cms_inner_product_bounds(ray_session):
+    """Overestimate-only + Cormode-Muthukrishnan error bound vs the exact
+    inner-product twin."""
+    from gostatix_ray.pipelines import catalog
+
+    sf = "/root/testdata/sf0.001"
+    exact = int(catalog.q_lang_token_inner_product_exact(sf)["inner_product"].iloc[0])
+    est_df = catalog.q_cms_lang_inner_product(sf)
+    est = int(est_df["inner_product_est"].iloc[0])
+    na = int(est_df["n_tokens_en"].iloc[0])
+    nb = int(est_df["n_tokens_de"].iloc[0])
+    assert est >= exact  # CMS never underestimates
+    assert est <= exact + 3 * 0.0001 * na * nb  # 3x the eps*Na*Nb bound
