@@ -1604,6 +1604,31 @@ def q_events_daily_type_pivot(sf_dir: str):
     )
 
 
+def q_value_histogram(sf_dir: str):
+    """Exact fixed-width histogram of event values: 20 bins over [0, 500)
+    with per-bin count + cents mass (stages/histogram.py — batches
+    collapse to ≤20 partial rows before the shuffle)."""
+    from ..stages.histogram import fixed_width_histogram
+
+    def _cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(b["value"], 100.0), 0.5)), pa.int64())
+        return pa.table({"value": b["value"], "cents": cents})
+
+    ds = _read(sf_dir, "events", ["value"]).map_batches(_cents, batch_format="pyarrow")
+    return fixed_width_histogram(ds, col="value", lo=0.0, hi=500.0, n_bins=20,
+                                 sum_col="cents")
+
+
+def q_user_top_event_type(sf_dir: str):
+    """Per-user MODE of event_type with deterministic tie-break
+    (max count, then lexicographically smallest type) — exact twin via a
+    row_number() window."""
+    from ..stages.histogram import grouped_mode
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_mode(ds, group_col="user_id", value_col="event_type")
+
+
 def q_value_stats_by_type(sf_dir: str):
     """Grouped MOMENTS SKETCH: per-event_type count/sum/mean/variance.
 
@@ -1985,6 +2010,8 @@ QUERIES = {
     "value_quantiles_by_type_tdigest": q_value_quantiles_by_type_tdigest,
     "value_stats_by_type": q_value_stats_by_type,
     "events_daily_type_pivot": q_events_daily_type_pivot,
+    "value_histogram": q_value_histogram,
+    "user_top_event_type": q_user_top_event_type,
     "value_quantiles_exact": q_value_quantiles_exact,
     "value_quantiles_by_type_exact": q_value_quantiles_by_type_exact,
     "ann_topk_ids": q_ann_topk_ids,
@@ -2367,6 +2394,18 @@ ORACLE_SQL = {
         f"regexp_replace(text, '{_SCRUB_RE}', '[MASK]', 'g') AS text, "
         f"CAST(len(regexp_extract_all(text, '{_SCRUB_RE}')) AS BIGINT) AS n_masked "
         "FROM documents"
+    ),
+    "value_histogram": (
+        "SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents "
+        "FROM events WHERE value >= 0 AND value < 500 GROUP BY bin"
+    ),
+    "user_top_event_type": (
+        "SELECT user_id, event_type, n FROM ("
+        "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn "
+        "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
     ),
     "events_daily_type_pivot": (
         "SELECT strftime(ts, '%Y-%m-%d') AS day, "

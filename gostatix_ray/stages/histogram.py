@@ -1,0 +1,98 @@
+"""Fixed-width histogram and grouped mode — map-side-combined frequency
+reduces.
+
+Both are one-pass operators whose shuffle moves only tiny pre-aggregated
+partials (the classic combiner shape this engine uses everywhere —
+SURVEY.md §4.2): a batch of B rows collapses to ≤ n_bins (histogram) or
+≤ distinct (group, value) pairs (mode) partial rows before anything
+crosses the wire.  No reference counterpart (SURVEY.md §2.6 engine
+side); the exact histogram complements the engine's approximate
+distributions (t-digest / KLL / moments) the way the exact set ops
+complement Bloom/HLL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import bucketed_groupby
+
+
+def fixed_width_histogram(ds, *, col: str, lo: float, hi: float, n_bins: int,
+                          sum_col: str | None = None, num_buckets: int = 4):
+    """Histogram of ``col`` over ``[lo, hi)`` in ``n_bins`` equal bins.
+
+    Emits one row per non-empty bin: ``bin`` (0-based), ``n`` (count),
+    and ``sum_{sum_col}`` when given (integer column — convert money to
+    cents first).  Rows outside [lo, hi) are dropped (SQL-twin: WHERE
+    filter).  Binning is ``floor((x - lo) / width)`` in float64 — the
+    exact expression a SQL engine evaluates, so bin assignment is
+    bit-identical cross-engine.
+    """
+    width = (hi - lo) / n_bins
+    sum_name = f"sum_{sum_col}" if sum_col else None
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = (x >= lo) & (x < hi)
+        bins = np.floor((x[keep] - lo) / width).astype(np.int64)
+        out = {"bin": np.arange(n_bins, dtype=np.int64),
+               "n": np.bincount(bins, minlength=n_bins).astype(np.int64)}
+        if sum_col:
+            sv = batch[sum_col].to_numpy(zero_copy_only=False)
+            if sv.dtype.kind not in "iu":
+                raise TypeError(f"histogram sum_col needs an integer column, got {sv.dtype}")
+            out[sum_name] = np.bincount(
+                bins, weights=sv[keep].astype(np.float64), minlength=n_bins
+            ).astype(np.int64)
+        t = pa.table(out)
+        return t.filter(pa.array(out["n"] > 0))
+
+    metric = ["n"] + ([sum_name] if sum_col else [])
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin", sort=False, as_index=False)[metric].sum()
+        for c in metric:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return bucketed_groupby(ds.map_batches(_partial, batch_format="pyarrow"),
+                            ["bin"], _reduce, num_buckets=num_buckets)
+
+
+def grouped_mode(ds, *, group_col: str, value_col: str, num_buckets: int = 32):
+    """Per-group MODE with deterministic tie-break (max count, then min
+    value) — SQL-twinnable unlike engine-defined ``mode()``.
+
+    Map-side: each batch collapses to its distinct (group, value) pair
+    counts (two factorizes + one bincount).  One bucket shuffle on the
+    GROUP key (complete groups per bucket), then a vectorized
+    sort-and-take-first per bucket.  Emits (group, value, n) per group.
+    """
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        gc, gu = pd.factorize(g)
+        vc, vu = pd.factorize(v)
+        pair = gc.astype(np.int64) * len(vu) + vc
+        # unique-with-counts, not a dense bincount: the (group x value)
+        # cross space can vastly exceed the batch size
+        upair, cnt = np.unique(pair, return_counts=True)
+        return pa.table({
+            group_col: pa.array(gu[upair // len(vu)]),
+            value_col: pa.array(vu[upair % len(vu)]),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df.groupby([group_col, value_col], sort=False, as_index=False)["n"].sum()
+               .sort_values([group_col, "n", value_col],
+                            ascending=[True, False, True], kind="stable"))
+        out = s.drop_duplicates(subset=[group_col], keep="first").reset_index(drop=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return bucketed_groupby(ds.map_batches(_partial, batch_format="pyarrow"),
+                            [group_col], _reduce, num_buckets=num_buckets)

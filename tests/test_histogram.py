@@ -1,0 +1,76 @@
+"""Fixed-width histogram and grouped mode (stages/histogram.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gostatix_ray.stages.histogram import fixed_width_histogram, grouped_mode
+
+
+def _ds(df, parts=6):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parts)
+
+
+def test_histogram_matches_numpy(ray_session):
+    rng = np.random.default_rng(2)
+    v = rng.uniform(-10, 110, 20_000)  # includes out-of-range rows
+    amt = rng.integers(0, 100, 20_000).astype(np.int64)
+    df = pd.DataFrame({"v": v, "amt": amt})
+    got = (
+        fixed_width_histogram(_ds(df), col="v", lo=0.0, hi=100.0, n_bins=10,
+                              sum_col="amt")
+        .to_pandas().sort_values("bin").reset_index(drop=True)
+    )
+    keep = (v >= 0) & (v < 100)
+    bins = np.floor(v[keep] / 10.0).astype(int)
+    want_n = np.bincount(bins, minlength=10)
+    want_s = np.bincount(bins, weights=amt[keep], minlength=10).astype(np.int64)
+    assert list(got["bin"]) == list(range(10))
+    assert list(got["n"]) == list(want_n)
+    assert list(got["sum_amt"]) == list(want_s)
+
+
+def test_histogram_partition_independent(ray_session):
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({"v": rng.uniform(0, 50, 5000)})
+    outs = [
+        fixed_width_histogram(_ds(df, p), col="v", lo=0.0, hi=50.0, n_bins=5)
+        .to_pandas().sort_values("bin").reset_index(drop=True)
+        for p in (1, 11)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_grouped_mode_with_ties(ray_session):
+    # group 1: b wins on count; group 2: tie between a and c -> a (min value)
+    df = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 2, 2, 2, 2, 3],
+            "v": ["a", "b", "b", "c", "a", "a", "c", "z"],
+        }
+    )
+    got = grouped_mode(_ds(df, 3), group_col="g", value_col="v") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    assert list(map(tuple, got.itertuples(index=False))) == [
+        (1, "b", 2), (2, "a", 2), (3, "z", 1)
+    ]
+
+
+def test_grouped_mode_matches_pandas(ray_session):
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 200, 30_000),
+            "v": rng.choice([f"v{i}" for i in range(30)], 30_000),
+        }
+    )
+    got = grouped_mode(_ds(df), group_col="g", value_col="v") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    cnt = df.groupby(["g", "v"]).size().reset_index(name="n")
+    cnt = cnt.sort_values(["g", "n", "v"], ascending=[True, False, True], kind="stable")
+    want = cnt.drop_duplicates("g").reset_index(drop=True)
+    assert list(got["g"]) == list(want["g"])
+    assert list(got["v"]) == list(want["v"])
+    assert list(got["n"]) == list(want["n"])
