@@ -129,12 +129,13 @@ def run_bench() -> dict:
         )
         return pipe.run(ds)
 
-    # headline takes min-of-2: the shared host shows 1.5x hypervisor-steal
-    # swings on identical configs (BASELINE.md), and the shipped number
-    # should measure pipeline capability, not that noise; secondaries stay
-    # single-shot to keep the bench short
+    # headline takes min-of-3: the shared host shows up-to-2x
+    # hypervisor-steal swings on identical configs (BASELINE.md; an A/B
+    # this round measured the SAME code at 6.4s and 12.2s minutes apart),
+    # and the shipped number should measure pipeline capability, not that
+    # noise; cheap secondaries stay single-shot to keep the bench short
     res = timed("flagship_sketch_build", flagship,
-                repeats=int(os.environ.get("GRAFT_HEADLINE_REPEATS", "2")))
+                repeats=int(os.environ.get("GRAFT_HEADLINE_REPEATS", "3")))
     assert ("distinct_convs", "") in res
 
     # --- secondary pipelines over the testdata tables -----------------------
@@ -144,9 +145,10 @@ def run_bench() -> dict:
         catalog._CONC = conc
         timed("hll_distinct_users", lambda: catalog.q_hll_distinct_users(sf_dir))
         timed("events_hourly_window", lambda: catalog.q_events_hourly_window(sf_dir).materialize())
-        # the two LSH pipelines swing the most with host steal: min-of-2
-        timed("minhash_dedup_pairs", lambda: catalog.q_minhash_dedup_pairs(sf_dir), repeats=2)
-        timed("near_dup_pairs_verified", lambda: catalog.q_near_dup_pairs_verified(sf_dir), repeats=2)
+        # the two LSH pipelines swing the most with host steal: min-of-3
+        lsh_rep = int(os.environ.get("GRAFT_LSH_REPEATS", "3"))
+        timed("minhash_dedup_pairs", lambda: catalog.q_minhash_dedup_pairs(sf_dir), repeats=lsh_rep)
+        timed("near_dup_pairs_verified", lambda: catalog.q_near_dup_pairs_verified(sf_dir), repeats=lsh_rep)
         timed("ann_brute_cosine", lambda: catalog.q_ann_brute_cosine(sf_dir))
         timed("value_quantiles_tdigest", lambda: catalog.q_value_quantiles_tdigest(sf_dir))
         timed("order_priority_revenue", lambda: catalog.q_order_priority_revenue(sf_dir).materialize())

@@ -1604,6 +1604,17 @@ def q_events_daily_type_pivot(sf_dir: str):
     )
 
 
+def q_props_field_stats(sf_dir: str):
+    """Semi-structured extraction (stages/semistruct.py): the integer
+    'k' field of the JSON props string, grouped n/sum/min/max per event
+    type — vectorized RE2, no per-row json.loads, JSON never shuffles."""
+    from ..stages.semistruct import json_int_field_stats
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    return json_int_field_stats(ds, json_col="props", field="k",
+                                group_col="event_type")
+
+
 def q_value_histogram(sf_dir: str):
     """Exact fixed-width histogram of event values: 20 bins over [0, 500)
     with per-bin count + cents mass (stages/histogram.py — batches
@@ -2011,6 +2022,7 @@ QUERIES = {
     "value_stats_by_type": q_value_stats_by_type,
     "events_daily_type_pivot": q_events_daily_type_pivot,
     "value_histogram": q_value_histogram,
+    "props_field_stats": q_props_field_stats,
     "user_top_event_type": q_user_top_event_type,
     "value_quantiles_exact": q_value_quantiles_exact,
     "value_quantiles_by_type_exact": q_value_quantiles_by_type_exact,
@@ -2394,6 +2406,13 @@ ORACLE_SQL = {
         f"regexp_replace(text, '{_SCRUB_RE}', '[MASK]', 'g') AS text, "
         f"CAST(len(regexp_extract_all(text, '{_SCRUB_RE}')) AS BIGINT) AS n_masked "
         "FROM documents"
+    ),
+    "props_field_stats": (
+        "SELECT event_type, CAST(count(k) AS BIGINT) AS n_k, "
+        "CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k, "
+        "CAST(max(k) AS BIGINT) AS max_k FROM (SELECT event_type, "
+        "CAST(NULLIF(regexp_extract(props, '\"k\"\\s*:\\s*(-?\\d+)', 1), '') AS BIGINT) AS k "
+        "FROM events) GROUP BY event_type"
     ),
     "value_histogram": (
         "SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, "
