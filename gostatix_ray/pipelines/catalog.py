@@ -1459,6 +1459,45 @@ def q_hll_users_by_type(sf_dir: str):
     return pd.DataFrame({"event_type": [r[0] for r in rows], "n_users_est": [r[1] for r in rows]})
 
 
+def q_topk_daily_event_types(sf_dir: str):
+    """Windowed grouped TOP-K sketch: one Top-K state per derived DAY key
+    (heavy hitters per tumbling window — the grouped form of
+    top_k.go:95-134).  At this scale the CMS counts are collision-free,
+    so the sketch ranking hash-matches the exact SQL ranking — a grouped
+    sketch query that is ORACLE-CHECKED, not rows-only."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _day(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"), format="%Y-%m-%d")
+        return pa.table({"event_type": batch["event_type"], "day": day})
+
+    partials = build_partials(
+        ds.map_batches(_day, batch_format="pyarrow"),
+        [
+            SketchRequest(
+                "daily_topk", "topk",
+                topk.TopKSpec(k=2, error_rate=0.0001, accuracy=0.01),
+                on="event_type", group_by="day",
+            )
+        ],
+        concurrency=_CONC,
+    )
+    final = collect_final(merge_partials_streaming(partials))
+    days, ranks, types, cnts = [], [], [], []
+    for (_, gk), blob in sorted(final.items()):
+        for r, (elem, cnt) in enumerate(topk.values(topk.from_bytes(blob)), start=1):
+            days.append(gk)
+            ranks.append(r)
+            types.append(elem)
+            cnts.append(cnt)
+    return pd.DataFrame({
+        "day": days,
+        "rank": np.array(ranks, dtype=np.int64),
+        "event_type": types,
+        "cnt": np.array(cnts, dtype=np.int64),
+    })
+
+
 def q_hll_daily_active_users(sf_dir: str):
     """Windowed grouped sketch: one HLL per DAY over a DERIVED tumbling-
     window group key (round-2 verdict "what's missing" #2) — distinct
@@ -1638,6 +1677,42 @@ def q_user_top_event_type(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
     return grouped_mode(ds, group_col="user_id", value_col="event_type")
+
+
+_RANK_XS = (50.0, 100.0, 250.0, 400.0)
+
+
+def q_value_rank_exact(sf_dir: str):
+    """Exact CDF at fixed thresholds: fraction of event values <= x.
+    One partial-count row per batch, one tiny sum — the float division
+    of exact int counts is bit-identical cross-engine."""
+    def _partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        out = {"n": np.array([len(v)], dtype=np.int64)}
+        for i, x in enumerate(_RANK_XS):
+            out[f"c{i}"] = np.array([int((v <= x).sum())], dtype=np.int64)
+        return pa.table(out)
+
+    parts = _read(sf_dir, "events", ["value"]).map_batches(_partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    row = parts.aggregate(Sum("n"), *[Sum(f"c{i}") for i in range(len(_RANK_XS))])
+    n = float(row["sum(n)"])
+    return pd.DataFrame({
+        "x": list(_RANK_XS),
+        "rank_frac": [float(row[f"sum(c{i})"]) / n for i in range(len(_RANK_XS))],
+    })
+
+
+def q_value_rank_kll(sf_dir: str):
+    """KLL normalized-rank estimates at the same thresholds
+    (kernels/kll.py rank — the inverse-quantile API).  Estimate-valued
+    (rows-only); exact twin: q_value_rank_exact; rank-error bound
+    asserted in tests."""
+    ds = _read(sf_dir, "events", ["value"])
+    state = _one_state(ds, SketchRequest("val_kll_rank", "kll", kll.KLLSpec(k=200), on="value"))
+    est = kll.rank(state, list(_RANK_XS))
+    return pd.DataFrame({"x": list(_RANK_XS), "rank_est": [float(e) for e in est]})
 
 
 def q_value_stats_by_type(sf_dir: str):
@@ -2018,7 +2093,10 @@ QUERIES = {
     "events_sliding_window": q_events_sliding_window,
     "hll_users_by_type": q_hll_users_by_type,
     "hll_daily_active_users": q_hll_daily_active_users,
+    "topk_daily_event_types": q_topk_daily_event_types,
     "value_quantiles_by_type_tdigest": q_value_quantiles_by_type_tdigest,
+    "value_rank_exact": q_value_rank_exact,
+    "value_rank_kll": q_value_rank_kll,
     "value_stats_by_type": q_value_stats_by_type,
     "events_daily_type_pivot": q_events_daily_type_pivot,
     "value_histogram": q_value_histogram,
@@ -2407,6 +2485,14 @@ ORACLE_SQL = {
         f"CAST(len(regexp_extract_all(text, '{_SCRUB_RE}')) AS BIGINT) AS n_masked "
         "FROM documents"
     ),
+    "topk_daily_event_types": (
+        "SELECT day, rank, event_type, cnt FROM ("
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, "
+        "CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(row_number() OVER (PARTITION BY strftime(ts, '%Y-%m-%d') "
+        "ORDER BY count(*) DESC, event_type) AS BIGINT) AS rank "
+        "FROM events GROUP BY day, event_type) WHERE rank <= 2"
+    ),
     "props_field_stats": (
         "SELECT event_type, CAST(count(k) AS BIGINT) AS n_k, "
         "CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k, "
@@ -2435,6 +2521,11 @@ ORACLE_SQL = {
             for t in ("click", "view", "signup", "purchase", "error")
         )
         + " FROM events GROUP BY day"
+    ),
+    "value_rank_exact": " UNION ALL ".join(
+        f"SELECT {x} AS x, CAST((SELECT count(*) FROM events WHERE value <= {x}) AS DOUBLE)"
+        " / CAST((SELECT count(*) FROM events) AS DOUBLE) AS rank_frac"
+        for x in (50.0, 100.0, 250.0, 400.0)
     ),
     "value_stats_by_type": (
         "WITH c AS (SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents "

@@ -53,3 +53,14 @@ def test_cms_inner_product_bounds(ray_session):
     nb = int(est_df["n_tokens_de"].iloc[0])
     assert est >= exact  # CMS never underestimates
     assert est <= exact + 3 * 0.0001 * na * nb  # 3x the eps*Na*Nb bound
+
+
+def test_kll_rank_within_bound(ray_session):
+    """KLL normalized rank vs the exact CDF twin: rank error O(1/k)."""
+    from gostatix_ray.pipelines import catalog
+
+    sf = "/root/testdata/sf0.001"
+    exact = catalog.q_value_rank_exact(sf).set_index("x")["rank_frac"]
+    est = catalog.q_value_rank_kll(sf).set_index("x")["rank_est"]
+    for x in exact.index:
+        assert abs(est[x] - exact[x]) < 0.05, (x, est[x], exact[x])
