@@ -370,6 +370,46 @@ def q_distinct_users_by_type_exact(sf_dir: str):
     return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
+def q_user_session_stats(sf_dir: str):
+    """Two-level sessionized aggregate: sessionize (30-min gap rule),
+    then per-user session stats — session count, total in-session span
+    (µs, sum over sessions of last-first), and the longest session's
+    event count.  Same one-bucket-shuffle shape as q_user_sessions; the
+    second level is a vectorized segment reduce over session ids, never
+    a per-session Python loop.  SQL twin: nested window sessionization.
+    """
+    from ..stages.dedup import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(df)
+        starts = np.ones(n, dtype=bool)
+        if n > 1:
+            same_user = uid[1:] == uid[:-1]
+            small_gap = (ts[1:] - ts[:-1]) <= 1_800_000_000
+            starts[1:] = ~(same_user & small_gap)
+        s_start = np.flatnonzero(starts)
+        s_end = np.append(s_start[1:], n) - 1
+        span = ts[s_end] - ts[s_start]       # per-session duration (µs)
+        size = s_end - s_start + 1           # per-session event count
+        s_user = uid[s_start]
+        out = (
+            pd.DataFrame({"user_id": s_user, "span": span, "size": size})
+            .groupby("user_id", as_index=False, sort=False)
+            .agg(n_sessions=("span", "count"), total_span_us=("span", "sum"),
+                 max_session_events=("size", "max"))
+        )
+        for c in ("n_sessions", "total_span_us", "max_session_events"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return bucketed_groupby(ds, ["user_id"], _stats, num_buckets=32)
+
+
 def q_user_sessions(sf_dir: str):
     """Sessionization: per-user session count with a 30-minute gap rule.
 
@@ -2049,6 +2089,7 @@ QUERIES = {
     "hll_users_intersection": q_hll_users_intersection,
     "distinct_users_by_type_exact": q_distinct_users_by_type_exact,
     "user_sessions": q_user_sessions,
+    "user_session_stats": q_user_session_stats,
     "doc_dedup_exact": q_doc_dedup_exact,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "near_dup_pairs_verified": q_near_dup_pairs_verified,
@@ -2164,6 +2205,18 @@ ORACLE_SQL = {
         "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events "
         "WHERE event_type = 'click' EXCEPT SELECT user_id, "
         "strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'purchase'"
+    ),
+    "user_session_stats": (
+        "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR "
+        "ts - lag(ts) OVER w > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS is_start "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, sum(is_start) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g), "
+        "agg AS (SELECT user_id, sid, count(*) AS n_ev, "
+        "epoch_us(max(ts)) - epoch_us(min(ts)) AS span FROM s GROUP BY user_id, sid) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions, "
+        "CAST(sum(span) AS BIGINT) AS total_span_us, "
+        "CAST(max(n_ev) AS BIGINT) AS max_session_events FROM agg GROUP BY user_id"
     ),
     "user_sessions": (
         "SELECT user_id, CAST(1 + sum(is_gap) AS BIGINT) AS n_sessions FROM ("
