@@ -1855,6 +1855,27 @@ def q_value_quantiles_exact(sf_dir: str):
     return exact_quantiles(ds, "value", _QS)
 
 
+def q_events_value_winsorized(sf_dir: str):
+    """Winsorization: clip event values to the EXACT [p01, p99] of the
+    column (stages/quantiles.py two-histogram-pass selection gives the
+    cutoffs as actual column elements), then a streamed per-batch clip —
+    the standard outlier-capping step of a feature/curation pipeline.
+    Cutoffs are quantile_disc-identical so the clipped cents hash-match
+    SQL."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    cuts = exact_quantiles(ds, "value", [0.01, 0.99])
+    lo, hi = float(cuts["value_exact"].iloc[0]), float(cuts["value_exact"].iloc[1])
+
+    def _clip(b: pa.Table) -> pa.Table:
+        clipped = pc.min_element_wise(pc.max_element_wise(b["value"], lo), hi)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(clipped, 100.0), 0.5)), pa.int64())
+        return pa.table({"event_id": b["event_id"], "clipped_cents": cents})
+
+    return ds.map_batches(_clip, batch_format="pyarrow")
+
+
 def q_value_quantiles_by_type_exact(sf_dir: str):
     """Exact per-event_type quantiles (grouped two-histogram-pass
     selection; bit-identical to per-group quantile_disc)."""
@@ -2144,6 +2165,7 @@ QUERIES = {
     "props_field_stats": q_props_field_stats,
     "user_top_event_type": q_user_top_event_type,
     "value_quantiles_exact": q_value_quantiles_exact,
+    "events_value_winsorized": q_events_value_winsorized,
     "value_quantiles_by_type_exact": q_value_quantiles_by_type_exact,
     "ann_topk_ids": q_ann_topk_ids,
     "value_quantiles_tdigest": q_value_quantiles_tdigest,
@@ -2590,6 +2612,12 @@ ORACLE_SQL = {
         "CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents, "
         "(CAST(sumsq AS DOUBLE) - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) "
         "/ CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_cents FROM a"
+    ),
+    "events_value_winsorized": (
+        "WITH cut AS (SELECT quantile_disc(value, 0.01) AS lo, "
+        "quantile_disc(value, 0.99) AS hi FROM events) "
+        "SELECT e.event_id, CAST(floor(least(greatest(e.value, cut.lo), cut.hi) "
+        "* 100.0 + 0.5) AS BIGINT) AS clipped_cents FROM events e, cut"
     ),
     "value_quantiles_exact": (  # quantile_disc requires constant q -> UNION
         " UNION ALL ".join(
