@@ -80,6 +80,11 @@ def finalize_row(result: SketchResult) -> dict:
     elif result.kind == "cuckoo":
         row["estimate"] = float(st.length)
         row["detail"] = f"positive_rate={st.spec.positive_rate():.2e}"
+    elif result.kind == "moments":
+        from ..kernels import moments
+
+        row["estimate"] = moments.mean(st)
+        row["detail"] = f"var={moments.variance(st):.6g} n={st.n}"
     return row
 
 
@@ -128,6 +133,56 @@ def write_results(results: dict, out_dir: str) -> str:
             shutil.rmtree(sdir)
         os.rename(tmp, sdir)
     return out_dir
+
+
+def read_results(out_dir: str) -> dict[tuple[str, str], SketchResult]:
+    """Load a write_results() directory back into deserialized states —
+    the other half of the persistence contract (the reference's Redis
+    FromKey role, *_redis.go attach-by-key, re-expressed as parquet)."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..registry import kernel_for
+
+    out: dict[tuple[str, str], SketchResult] = {}
+    for f in sorted(_glob.glob(os.path.join(out_dir, "sketch=*", "estimates.parquet"))):
+        for row in pq.read_table(f).to_pylist():
+            kernel = kernel_for(row["kind"])
+            out[(row["sketch"], row["group_key"])] = SketchResult(
+                name=row["sketch"], kind=row["kind"], group_key=row["group_key"],
+                state=kernel.from_bytes(row["state"]), rows=row["rows"],
+            )
+    return out
+
+
+def merge_results(a: dict, b: dict) -> dict[tuple[str, str], SketchResult]:
+    """INCREMENTAL CORPUS UPDATE: combine two result sets state-by-state.
+
+    Yesterday's persisted sketches + today's delta build = the sketches
+    of the union corpus, without re-reading yesterday's data — merge
+    associativity (registry.MERGEABLE; byte-stable for BYTE_STABLE
+    kinds) is exactly what makes this sound.  Keys present on one side
+    pass through (a new group appearing in the delta just appears)."""
+    from ..registry import MERGEABLE, kernel_for
+
+    out = dict(a)
+    for key, res in b.items():
+        if key not in out:
+            out[key] = res
+            continue
+        prev = out[key]
+        if prev.kind != res.kind:
+            raise ValueError(f"kind mismatch for {key}: {prev.kind} vs {res.kind}")
+        if prev.kind not in MERGEABLE:
+            raise ValueError(f"kind {prev.kind!r} has no merge (partitioned-only)")
+        kernel = kernel_for(prev.kind)
+        out[key] = SketchResult(
+            name=prev.name, kind=prev.kind, group_key=prev.group_key,
+            state=kernel.merge(prev.state, res.state), rows=prev.rows + res.rows,
+        )
+    return out
 
 
 class SketchPipeline:
