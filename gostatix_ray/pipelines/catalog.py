@@ -1662,6 +1662,69 @@ def q_doc_scrubbed(sf_dir: str):
     return ds.map_batches(RegexScrub(_SCRUB_RE), batch_format="pyarrow")
 
 
+def _fake_media(sf_dir: str):
+    """Deterministic media table synthesized from documents: payload =
+    utf-8 text bytes, dims/duration derived from n_chars (no external
+    data — the multimodal columns contract of the brief)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def _to_media(b: pa.Table) -> pa.Table:
+        n = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "media_id": pc.cast(b["doc_id"], pa.int64()),
+            "payload": pc.cast(b["text"], pa.large_binary()),
+            "mime": pa.array(["image/fake"] * b.num_rows),
+            "width": pa.array((n % 640 + 16).astype(np.int32)),
+            "height": pa.array((n % 480 + 16).astype(np.int32)),
+            "n_frames": pa.array(n % 300 + 1),
+            "duration_ms": pa.array((n % 30 + 1) * 1000),
+        })
+
+    return ds.map_batches(_to_media, batch_format="pyarrow")
+
+
+def q_multimodal_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing (stages/multimodal.py FrameSample):
+    every-30th-frame explode over the synthesized media table.  The
+    codec is stubbed but the EXPLODE LAYOUT is real and exactly
+    SQL-expressible — an oracle-checked multimodal row."""
+    from ..stages.multimodal import FrameSample
+
+    def _cast(b: pa.Table) -> pa.Table:
+        return b.set_column(b.schema.get_field_index("frame_idx"), "frame_idx",
+                            pc.cast(b["frame_idx"], pa.int64()))
+
+    return (
+        _fake_media(sf_dir)
+        .map_batches(FrameSample(every_n=30), batch_format="pyarrow")
+        .map_batches(_cast, batch_format="pyarrow")
+    )
+
+
+def q_multimodal_image_features(sf_dir: str):
+    """Image decode actor-pool plumbing (stages/multimodal.py
+    decode_images): small-batch large_binary pipeline -> per-media
+    feature vectors.  Features are the deterministic stub (hash-derived;
+    rows-only check) — the schema, pool shape and batch sizing are what
+    this row certifies."""
+    from ..stages.multimodal import decode_images
+
+    feats = decode_images(_fake_media(sf_dir), feature_dim=8, batch_size=128,
+                          concurrency=2)
+
+    def _norm(b: pa.Table) -> pa.Table:
+        m = np.asarray(b["features"].to_pylist(), dtype=np.float32)
+        norm = np.sqrt((m * m).sum(axis=1)) if m.size else np.zeros(0, np.float32)
+        return pa.table({
+            "media_id": b["media_id"],
+            "width": b["width"],
+            "height": b["height"],
+            "feat_norm": pa.array(norm.astype(np.float64)),
+        })
+
+    return feats.map_batches(_norm, batch_format="pyarrow")
+
+
 def q_events_daily_type_pivot(sf_dir: str):
     """Distributed PIVOT: one row per day, count + cents columns per
     event type (stages/pivot.py — map-side wide partials, one tiny
@@ -2161,6 +2224,8 @@ QUERIES = {
     "value_rank_kll": q_value_rank_kll,
     "value_stats_by_type": q_value_stats_by_type,
     "events_daily_type_pivot": q_events_daily_type_pivot,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_image_features": q_multimodal_image_features,
     "value_histogram": q_value_histogram,
     "props_field_stats": q_props_field_stats,
     "user_top_event_type": q_user_top_event_type,
@@ -2567,6 +2632,11 @@ ORACLE_SQL = {
         "CAST(row_number() OVER (PARTITION BY strftime(ts, '%Y-%m-%d') "
         "ORDER BY count(*) DESC, event_type) AS BIGINT) AS rank "
         "FROM events GROUP BY day, event_type) WHERE rank <= 2"
+    ),
+    "multimodal_frame_sample": (
+        "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+        "CAST(unnest(range(0, (n_chars % 300) + 1, 30)) AS BIGINT) AS frame_idx "
+        "FROM documents"
     ),
     "props_field_stats": (
         "SELECT event_type, CAST(count(k) AS BIGINT) AS n_k, "
