@@ -2105,6 +2105,25 @@ def q_ann_ivf_cosine(sf_dir: str):
     return df.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
 
 
+def q_ann_pq_cosine(sf_dir: str):
+    """Product-quantized ANN (stages/ann.py pq_*): 8-byte codes instead
+    of 512-byte vectors (the compressed-domain scan that makes 100 TB of
+    embeddings fit in worker RAM), ADC lookup-table scoring, local top-k
+    + tiny global reduce.  Approximate (rows-only); recall vs the exact
+    scan is bound-tested in tests/test_ann.py."""
+    from ..stages.ann import pq_encode, pq_topk, pq_train
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _queries_matrix(sf_dir, 3)
+    books = pq_train(_sample_embeddings(sf_dir, 512), m_subspaces=16, n_codes=256)
+    codes = pq_encode(ds, books, id_col="vec_id", emb_col="embedding", concurrency=_CONC)
+    out = pq_topk(codes, q, books, id_col="vec_id", k=10, concurrency=_CONC)
+    df = out.to_pandas()
+    df["pq_cosine"] = df["pq_cosine"].round(5)
+    return df.sort_values(["query_id", "pq_cosine", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # flagship transcript pipeline (rows-only; oracles live in tests/)
 # ---------------------------------------------------------------------------
@@ -2239,6 +2258,7 @@ QUERIES = {
     "ann_threshold_cosine": q_ann_threshold_cosine,
     "embedding_kmeans": q_embedding_kmeans,
     "ann_ivf_cosine": q_ann_ivf_cosine,
+    "ann_pq_cosine": q_ann_pq_cosine,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "transcript_flagship": q_transcript_flagship,
 }

@@ -386,3 +386,156 @@ def kmeans_fit(ds, *, emb_col: str = "embedding", k: int = 8, iters: int = 5,
             inertia += float(grp["inertia"].sum())
         cent = _normalize(new_cent)
     return cent, inertia
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN scale path
+# ---------------------------------------------------------------------------
+
+def pq_train(sample: np.ndarray, *, m_subspaces: int = 8, n_codes: int = 256,
+             iters: int = 12, seed: int = 11) -> np.ndarray:
+    """Train PQ codebooks (Jégou, Douze, Schmid, "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011) on a driver-side sample.
+
+    Vectors are unit-normalized (cosine geometry, matching every other
+    ANN stage here), split into ``m_subspaces`` contiguous subvectors,
+    and each subspace gets an independent L2 k-means codebook.  Returns
+    ``(m, n_codes, dim/m)`` float64.  Deterministic: seeded init,
+    fixed iteration count, ties broken by argmin order.
+    """
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    n, dim = sample.shape
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    dsub = dim // m_subspaces
+    if n_codes > 256:
+        raise ValueError("n_codes must be <= 256 (one byte per subspace code)")
+    n_codes = min(n_codes, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_subspaces, n_codes, dsub), dtype=np.float64)
+    for mi in range(m_subspaces):
+        sub = sample[:, mi * dsub:(mi + 1) * dsub]
+        cent = sub[rng.choice(n, size=n_codes, replace=False)].copy()
+        for _ in range(iters):
+            d = -2.0 * (sub @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+            assign = np.argmin(d, axis=1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[mi] = cent
+    return books
+
+
+class _PQEncode:
+    """Task callable: unit-normalize, quantize each subvector to its
+    nearest codebook entry.  Codebooks resolve once per worker."""
+
+    def __init__(self, books_ref, id_col: str, emb_col: str):
+        self._ref, self._books = books_ref, None
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._books is None:
+            import ray
+
+            self._books = ray.get(self._ref) if not isinstance(self._ref, np.ndarray) else self._ref
+        books = self._books
+        m, n_codes, dsub = books.shape
+        emb = _normalize(np.stack(batch[self.emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+        codes = np.empty((len(emb), m), dtype=np.uint8)
+        for mi in range(m):
+            sub = emb[:, mi * dsub:(mi + 1) * dsub]
+            d = -2.0 * (sub @ books[mi].T) + (books[mi] * books[mi]).sum(axis=1)[None, :]
+            codes[:, mi] = np.argmin(d, axis=1)
+        from .dedup import rows_to_binary
+
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "pq_code": rows_to_binary(codes),
+        })
+
+
+def pq_encode(ds, codebooks: np.ndarray, *, id_col="vec_id", emb_col="embedding",
+              concurrency=None):
+    """Dataset[id, embedding] -> Dataset[id, pq_code] (m bytes per vector
+    for 256-entry codebooks — a 32x compression of float64x64 that is
+    what makes 100 TB of embeddings searchable from worker RAM)."""
+    import ray
+
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    bref = ray.put(np.asarray(codebooks, dtype=np.float64))
+    return ds.map_batches(_PQEncode(bref, id_col, emb_col),
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
+class _PQScore:
+    """ADC (asymmetric distance computation): per-query lookup tables
+    q_sub @ codebook_m.T, then approx cosine = sum_m LUT[m, code_m] —
+    one uint8 gather + sum per vector, no float reconstruction."""
+
+    def __init__(self, qref, books_ref, id_col: str, k: int):
+        self._qref, self._bref = qref, books_ref
+        self._luts = None
+        self.id_col, self.k = id_col, k
+
+    def _tables(self):
+        if self._luts is None:
+            import ray
+
+            q = _normalize(np.asarray(ray.get(self._qref), dtype=np.float64))
+            books = ray.get(self._bref)
+            m, n_codes, dsub = books.shape
+            luts = np.empty((len(q), m, n_codes), dtype=np.float64)
+            for mi in range(m):
+                luts[:, mi, :] = q[:, mi * dsub:(mi + 1) * dsub] @ books[mi].T
+            self._luts = luts
+        return self._luts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import binary_to_rows
+
+        luts = self._tables()
+        m = luts.shape[1]
+        codes = binary_to_rows(batch["pq_code"].to_numpy(zero_copy_only=False), m, np.uint8)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        nq = luts.shape[0]
+        rows_q, rows_v, rows_s = [], [], []
+        midx = np.arange(m)
+        for qi in range(nq):
+            scores = luts[qi][midx[None, :], codes].sum(axis=1)
+            k = min(self.k, len(scores))
+            top = np.argpartition(-scores, k - 1)[:k]
+            rows_q.extend([qi] * k)
+            rows_v.extend(ids[top])
+            rows_s.extend(scores[top])
+        return pa.table({
+            "query_id": pa.array(rows_q, pa.int64()),
+            self.id_col: pa.array(rows_v),
+            "pq_cosine": pa.array(rows_s, pa.float64()),
+        })
+
+
+def pq_topk(codes_ds, queries: np.ndarray, codebooks: np.ndarray, *,
+            id_col="vec_id", k=10, concurrency=None):
+    """Approximate cosine top-k in the COMPRESSED domain: per-block ADC
+    scan + local top-k, one tiny per-query global reduce.  Same output
+    shape as brute_force_topk with a ``pq_cosine`` score column; recall
+    vs the exact scan is bound-tested in tests/test_ann.py."""
+    import ray
+
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    bref = ray.put(np.asarray(codebooks, dtype=np.float64))
+    local = codes_ds.map_batches(
+        _PQScore(qref, bref, id_col, k),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+    def _global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["pq_cosine", id_col], ascending=[False, True], kind="stable")
+        return df.head(k)
+
+    return local.groupby("query_id").map_groups(_global_topk, batch_format="pandas")

@@ -1,6 +1,7 @@
 """Similarity search: brute-force exactness + IVF recall."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -168,3 +169,82 @@ def test_kmeans_fit_deterministic_same_partitioning(ray_session):
     cb2, i2 = kmeans_fit(ds, k=4, iters=3, concurrency=2)
     assert np.array_equal(cb1, cb2)
     assert i1 == i2
+
+
+def test_pq_lossless_when_vectors_are_centroids(ray_session):
+    """If every subvector is a codebook entry, ADC scores == exact cosine
+    and PQ top-k == brute-force top-k."""
+    import ray.data as rd
+
+    from gostatix_ray.stages.ann import (
+        _normalize, brute_force_topk, pq_encode, pq_topk, pq_train,
+    )
+
+    rng = np.random.default_rng(3)
+    # vectors built from 4 possible UNIT subvectors per subspace: every
+    # row norm is exactly sqrt(m), so normalization rescales all rows
+    # identically and each subspace still has only 4 distinct values —
+    # a 64-entry codebook represents them exactly
+    m, dsub = 4, 8
+    basis = _normalize(rng.normal(size=(m * 4, dsub))).reshape(m, 4, dsub)
+    picks = rng.integers(0, 4, size=(300, m))
+    vecs = np.concatenate([basis[mi, picks[:, mi]] for mi in range(m)], axis=1)
+    vecs = _normalize(vecs)
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(vecs)})
+    ds = rd.from_pandas(df).repartition(4)
+    books = pq_train(vecs, m_subspaces=m, n_codes=64, iters=20)
+    q = vecs[:3]
+    codes = pq_encode(ds, books, concurrency=2)
+    got = pq_topk(codes, q, books, k=5, concurrency=2).to_pandas()
+    want = brute_force_topk(ds, q, k=5, concurrency=2).to_pandas()
+    for qi in range(3):
+        g = got[got["query_id"] == qi].sort_values("pq_cosine", ascending=False)
+        w = want[want["query_id"] == qi].sort_values("cosine", ascending=False)
+        assert set(g["vec_id"]) == set(w["vec_id"]), qi
+        np.testing.assert_allclose(np.sort(g["pq_cosine"]), np.sort(w["cosine"]), atol=1e-7)
+
+
+def test_pq_recall_on_real_embeddings(ray_session):
+    """Recall@10 of the compressed-domain scan vs the exact scan."""
+    import ray.data as rd
+
+    from gostatix_ray.stages.ann import brute_force_topk, pq_encode, pq_topk, pq_train
+
+    import pyarrow.parquet as pq_mod
+
+    t = pq_mod.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    ds = rd.from_arrow(t).repartition(4)
+    books = pq_train(vecs, m_subspaces=16, n_codes=256)
+    q = vecs[:3]
+    codes = pq_encode(ds, books, concurrency=2)
+    approx = pq_topk(codes, q, books, k=10, concurrency=2).to_pandas()
+    exact = brute_force_topk(ds, q, k=10, concurrency=2).to_pandas()
+    recalls = []
+    for qi in range(3):
+        a = set(approx.loc[approx["query_id"] == qi, "vec_id"])
+        e = set(exact.loc[exact["query_id"] == qi, "vec_id"])
+        recalls.append(len(a & e) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls  # m=16 x 256 codes, small corpus
+
+
+def test_pq_encode_deterministic(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.ann import pq_encode, pq_train
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(200, 32))
+    df = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(vecs.astype(np.float32))})
+    books = pq_train(vecs, m_subspaces=4, n_codes=32)
+    outs = []
+    for parts in (2, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        o = pq_encode(ds, books, concurrency=2).to_pandas().sort_values("vec_id")
+        outs.append(list(o["pq_code"]))
+    assert outs[0] == outs[1]
+    with pytest.raises(ValueError):
+        pq_train(vecs, m_subspaces=5, n_codes=16)  # 32 % 5 != 0
+    with pytest.raises(ValueError):
+        pq_train(vecs, m_subspaces=4, n_codes=512)  # > one byte
