@@ -2124,6 +2124,26 @@ def q_ann_pq_cosine(sf_dir: str):
                           ascending=[True, False, True]).reset_index(drop=True)
 
 
+def q_ann_ivfpq_cosine(sf_dir: str):
+    """IVF + PQ composed (stages/ann.py ivfpq_topk — the IVFADC shape):
+    coarse centroid routing prunes to nprobe partitions, then the
+    compressed-domain ADC scan ranks one byte per subspace.  Approximate
+    (rows-only); recall bound-tested in tests/test_ann.py."""
+    from ..stages.ann import ivfpq_topk, pq_train
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = _queries_matrix(sf_dir, 3)
+    sample = _sample_embeddings(sf_dir, 512)
+    cb = train_codebook(sample[:256], n_centroids=16)
+    books = pq_train(sample, m_subspaces=16, n_codes=256)
+    out = ivfpq_topk(ds, q, cb, books, id_col="vec_id", emb_col="embedding",
+                     k=10, nprobe=4, concurrency=_CONC)
+    df = out.to_pandas()
+    df["pq_cosine"] = df["pq_cosine"].round(5)
+    return df.sort_values(["query_id", "pq_cosine", "vec_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # flagship transcript pipeline (rows-only; oracles live in tests/)
 # ---------------------------------------------------------------------------
@@ -2259,6 +2279,7 @@ QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
     "ann_ivf_cosine": q_ann_ivf_cosine,
     "ann_pq_cosine": q_ann_pq_cosine,
+    "ann_ivfpq_cosine": q_ann_ivfpq_cosine,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "transcript_flagship": q_transcript_flagship,
 }

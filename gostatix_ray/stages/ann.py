@@ -539,3 +539,45 @@ def pq_topk(codes_ds, queries: np.ndarray, codebooks: np.ndarray, *,
         return df.head(k)
 
     return local.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
+
+
+def ivfpq_topk(ds, queries: np.ndarray, codebook: np.ndarray, pq_books: np.ndarray, *,
+               id_col="vec_id", emb_col="embedding", k=10, nprobe=2, concurrency=None):
+    """IVF + PQ composed (the IVFADC shape of Jégou et al. 2011, without
+    residual encoding): the coarse codebook routes each vector to a
+    centroid partition; only the ``nprobe`` partitions nearest to any
+    query are PQ-ENCODED and ADC-scanned — unprobed vectors are dropped
+    by a cheap batch filter before any encoding work, and the scan reads
+    one byte per subspace instead of the float vector.  At storage scale
+    pair this with ivf_write_partitioned so unprobed partitions never
+    leave disk (see test_ivf_partitioned_index_prunes_at_read)."""
+    import ray
+
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    cent = np.asarray(codebook, dtype=np.float64)
+    sims = q @ cent.T
+    probe = set()
+    for qi in range(len(q)):
+        probe.update(np.argsort(-sims[qi])[:nprobe].tolist())
+    probed = sorted(int(c) for c in probe)
+    cref = ray.put(cent)
+    probe_arr = np.array(probed, dtype=np.int64)
+
+    class _Gate:
+        def __init__(self):
+            self.cent = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.cent is None:
+                self.cent = ray.get(cref)
+            emb = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+            assign = np.argmax(emb @ self.cent.T, axis=1)
+            return batch.filter(pa.array(np.isin(assign, probe_arr)))
+
+    gated = ds.map_batches(_Gate(), batch_format="pyarrow", concurrency=concurrency)
+    codes = pq_encode(gated, pq_books, id_col=id_col, emb_col=emb_col,
+                      concurrency=concurrency)
+    return pq_topk(codes, queries, pq_books, id_col=id_col, k=k,
+                   concurrency=concurrency)

@@ -248,3 +248,29 @@ def test_pq_encode_deterministic(ray_session):
         pq_train(vecs, m_subspaces=5, n_codes=16)  # 32 % 5 != 0
     with pytest.raises(ValueError):
         pq_train(vecs, m_subspaces=4, n_codes=512)  # > one byte
+
+
+def test_ivfpq_recall(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.ann import (
+        brute_force_topk, ivfpq_topk, pq_train, train_codebook,
+    )
+
+    import pyarrow.parquet as pq_mod
+
+    t = pq_mod.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    ds = rd.from_arrow(t).repartition(4)
+    cb = train_codebook(vecs[:256], n_centroids=8)
+    books = pq_train(vecs, m_subspaces=16, n_codes=256)
+    q = vecs[:3]
+    approx = ivfpq_topk(ds, q, cb, books, k=10, nprobe=4, concurrency=2).to_pandas()
+    exact = brute_force_topk(ds, q, k=10, concurrency=2).to_pandas()
+    recalls = []
+    for qi in range(3):
+        a = set(approx.loc[approx["query_id"] == qi, "vec_id"])
+        e = set(exact.loc[exact["query_id"] == qi, "vec_id"])
+        recalls.append(len(a & e) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls  # coarse routing loss + PQ loss
