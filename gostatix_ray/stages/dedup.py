@@ -680,7 +680,29 @@ def exact_jaccard_pairs(table: pa.Table, pairs: pd.DataFrame, text_col="text", i
 # connected components (duplicate clusters)
 # ---------------------------------------------------------------------------
 
-def duplicate_clusters(pairs, *, max_rounds: int | None = None, num_buckets: int = 64):
+def _cc_single_task(batch: pa.Table) -> pa.Table:
+    """Whole-graph connected components inside ONE Ray task: vectorized
+    min-label propagation with path halving — converges in O(log n)
+    in-memory sweeps, no per-sweep cluster barrier."""
+    a_ids = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b_ids = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, codes = np.unique(np.concatenate([a_ids, b_ids]), return_inverse=True)
+    a, b = codes[: len(a_ids)], codes[len(a_ids):]
+    lab = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        edge_min = np.minimum(lab[a], lab[b])
+        new = lab.copy()
+        np.minimum.at(new, a, edge_min)
+        np.minimum.at(new, b, edge_min)
+        new = new[new]  # path halving
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return pa.table({"doc_id": pa.array(uniq), "cluster_id": pa.array(uniq[lab])})
+
+
+def duplicate_clusters(pairs, *, max_rounds: int | None = None, num_buckets: int = 64,
+                       small_graph_edges: int = 2_000_000):
     """Connected components over candidate near-dup pairs: Dataset[id_a,
     id_b] -> Dataset[doc_id, cluster_id] (cluster_id = min member id).
 
@@ -702,8 +724,24 @@ def duplicate_clusters(pairs, *, max_rounds: int | None = None, num_buckets: int
     from ray.data.aggregate import Min
 
     edges = pairs.select_columns(["id_a", "id_b"]).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_items([])
+    if n_edges <= small_graph_edges:
+        # post-LSH pair graphs are usually FAR smaller than the corpus
+        # (that is the point of LSH); below the threshold (~32 MB of edge
+        # ids) the whole graph fits one task, where an in-memory
+        # path-halving sweep converges with ONE cluster barrier instead
+        # of 2 shuffles + a materialize PER ROUND.  Still a Ray task —
+        # never a driver collect; the iterative path below remains the
+        # arbitrarily-large-graph route.
+        return edges.repartition(1).map_batches(
+            _cc_single_task, batch_size=None, batch_format="pyarrow"
+        )
+    # auto-tune the bucket fan-out to the edge count: 64 buckets on a
+    # few-hundred-edge graph costs 64 map_groups tasks per round of pure
+    # scheduling overhead; ~50k edges per bucket-task is the sweet spot
+    num_buckets = min(num_buckets, max(4, -(-n_edges // 50_000)))
 
     def _sym(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].combine_chunks() if isinstance(batch["id_a"], pa.ChunkedArray) else batch["id_a"]

@@ -67,3 +67,25 @@ def key_set_op(ds_a, ds_b, *, key, op: str, num_buckets: int = 64):
         return df.iloc[first_idx[keep]][keys].reset_index(drop=True)
 
     return bucketed_groupby(tagged, keys, _reduce, num_buckets=num_buckets)
+
+
+def distinct_count(ds, keys, *, num_buckets: int = 32) -> int:
+    """Exact COUNT(DISTINCT keys) without Ray's sort-based groupby
+    (pathological on many tiny groups — CLAUDE.md): per-batch distinct
+    rows map-side, one coarse-bucket shuffle, per-bucket vectorized
+    unique count, one tiny scalar sum."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        return batch.select(keys).group_by(keys).aggregate([])
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        comb = None
+        for c in keys:
+            codes, uniq = pd.factorize(df[c])
+            comb = codes.astype(np.int64) if comb is None else comb * len(uniq) + codes
+        return pd.DataFrame({"n": np.array([len(np.unique(comb))], dtype=np.int64)})
+
+    parts = bucketed_groupby(ds.map_batches(_distinct, batch_format="pyarrow"),
+                             keys, _count, num_buckets=num_buckets)
+    return int(parts.sum("n"))

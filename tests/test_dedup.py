@@ -180,3 +180,24 @@ def test_embedding_near_dup_recall_multi_table(ray_session):
     recall = sum(1 for p in planted if p in got) / len(planted)
     assert recall >= 0.95, recall
     assert (pairs["cosine"] >= 0.95).all()
+
+
+def test_duplicate_clusters_paths_agree(ray_session):
+    """Single-task union-find fast path == iterative distributed path,
+    including a long chain (deep diameter) and multiple components."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    # chain 0-1-2-...-40 (diameter 40) + random clique + isolated pair
+    chain = [{"id_a": i, "id_b": i + 1} for i in range(8)]
+    clique = [{"id_a": 100 + a, "id_b": 100 + b}
+              for a in range(6) for b in range(a + 1, 6)]
+    extra = [{"id_a": 500, "id_b": 501}]
+    pairs = rd.from_items(chain + clique + extra).repartition(5)
+    fast = dedup.duplicate_clusters(pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    slow = dedup.duplicate_clusters(pairs, small_graph_edges=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert set(fast.loc[fast["doc_id"] <= 8, "cluster_id"]) == {0}
+    assert set(fast.loc[(fast["doc_id"] >= 100) & (fast["doc_id"] < 200), "cluster_id"]) == {100}
+    assert set(fast.loc[fast["doc_id"] >= 500, "cluster_id"]) == {500}
