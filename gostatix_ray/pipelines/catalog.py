@@ -518,10 +518,17 @@ def q_doc_dup_clusters(sf_dir: str):
 
 def q_embedding_near_dup(sf_dir: str):
     # the synthetic embeddings have no true near-dups (max pair cosine ~0.51);
-    # 0.45 exercises the LSH-bucket + exact-check path with a small result
+    # 0.45 exercises the LSH-bucket + exact-check path with a small result.
+    # nbits grows with the table (metadata row count, no data read): fixed
+    # nbits=4 means 2^4 buckets whose occupancy — and the pair-join bytes —
+    # grow QUADRATICALLY with corpus size (16x the work at 10x the rows).
+    import pyarrow.parquet as pqm
+
+    n_rows = pqm.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    nbits = max(4, int(np.ceil(np.log2(max(2, n_rows / 128)))))
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     pairs = embedding_near_dup_pairs(ds, emb_col="embedding", id_col="vec_id", dim=64,
-                                     threshold=0.45, nbits=4, n_tables=2, concurrency=_CONC)
+                                     threshold=0.45, nbits=nbits, n_tables=2, concurrency=_CONC)
     df = pairs.to_pandas()
     if df.empty:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),

@@ -128,14 +128,21 @@ def _group_pairs(sort_keys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
 
 
 def join_pairs_with_features(pairs, feats, *, id_col: str, feat_col: str,
-                             feat_type: pa.DataType, num_buckets: int = 64):
+                             feat_type: pa.DataType, num_buckets: int = 64,
+                             n_pairs: int | None = None):
     """Dataset[id_a, id_b] ⨝ Dataset[id, feat] -> Dataset[id_a, id_b,
     feat_a, feat_b] via TWO bucketed hash joins (never a broadcast, never
     a driver collect; the feature table streams through one shuffle once,
     not once per band/table).
 
     Features must be (fixed- or variable-width) binary blobs.
+    ``n_pairs`` (callers usually know it — the pair set is materialized
+    for the empty-check) auto-tunes the bucket fan-out: 64 map_groups
+    tasks per exchange on a few-thousand-pair join is pure scheduling
+    overhead.
     """
+    if n_pairs is not None:
+        num_buckets = min(num_buckets, max(4, -(-n_pairs // 50_000)))
     def _tag_pairs(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].combine_chunks() if isinstance(batch["id_a"], pa.ChunkedArray) else batch["id_a"]
         b = batch["id_b"].combine_chunks() if isinstance(batch["id_b"], pa.ChunkedArray) else batch["id_b"]
@@ -466,11 +473,13 @@ def minhash_candidate_pairs(
     cand = _candidate_pairs_from_groups(
         exploded, id_col, ["band", "band_hash"], dedupe=False
     ).materialize()
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return cand
 
     joined = join_pairs_with_features(
-        cand, sigs, id_col=id_col, feat_col="sig", feat_type=pa.binary(num_perm * 8)
+        cand, sigs, id_col=id_col, feat_col="sig", feat_type=pa.binary(num_perm * 8),
+        n_pairs=n_cand,
     )
 
     def _est(df: pd.DataFrame) -> pd.DataFrame:
@@ -612,12 +621,13 @@ def near_dup_pairs_verified(
     cand = _candidate_pairs_from_groups(
         exploded, id_col, ["band", "band_hash"], dedupe=False
     ).materialize()
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return cand
 
     joined = join_pairs_with_features(
         cand, feats.select_columns([id_col, "shset"]),
-        id_col=id_col, feat_col="shset", feat_type=pa.binary()
+        id_col=id_col, feat_col="shset", feat_type=pa.binary(), n_pairs=n_cand,
     )
 
     def _verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -1030,7 +1040,8 @@ def embedding_near_dup_pairs(
     cand = _candidate_pairs_from_groups(
         bucketed, id_col, ["table", "bucket"], dedupe=False
     ).materialize()
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return cand
 
     nvecs = ds.map_batches(
@@ -1038,7 +1049,8 @@ def embedding_near_dup_pairs(
         batch_format="pyarrow", concurrency=concurrency,
     )
     joined = join_pairs_with_features(
-        cand, nvecs, id_col=id_col, feat_col="nvec", feat_type=pa.binary(dim * 4)
+        cand, nvecs, id_col=id_col, feat_col="nvec", feat_type=pa.binary(dim * 4),
+        n_pairs=n_cand,
     )
 
     def _cosine(df: pd.DataFrame) -> pd.DataFrame:
