@@ -93,14 +93,24 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
 
-    def timed(name: str, fn, repeats: int = 1):
-        best = None
-        for _ in range(repeats):
+    def timed(name: str, fn, repeats: int = 1, adaptive_max: int = 0):
+        """min-of-repeats; with ``adaptive_max``, keep re-running (up to
+        that many total) while the observed spread exceeds 1.5x — the
+        signature of a hypervisor-steal episode, where a fixed repeat
+        count still ships noise instead of capability."""
+        best = worst = None
+        runs = 0
+        while True:
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
-            if best is None or dt < best:
-                best = dt
+            runs += 1
+            best = dt if best is None else min(best, dt)
+            worst = dt if worst is None else max(worst, dt)
+            if runs >= repeats and (
+                runs >= max(adaptive_max, repeats) or worst / best <= 1.5
+            ):
+                break
         queries[name] = round(best, 3)
         return out
 
@@ -135,7 +145,8 @@ def run_bench() -> dict:
     # and the shipped number should measure pipeline capability, not that
     # noise; cheap secondaries stay single-shot to keep the bench short
     res = timed("flagship_sketch_build", flagship,
-                repeats=int(os.environ.get("GRAFT_HEADLINE_REPEATS", "3")))
+                repeats=int(os.environ.get("GRAFT_HEADLINE_REPEATS", "3")),
+                adaptive_max=int(os.environ.get("GRAFT_HEADLINE_MAX_REPEATS", "6")))
     assert ("distinct_convs", "") in res
 
     # --- secondary pipelines over the testdata tables -----------------------
@@ -146,9 +157,11 @@ def run_bench() -> dict:
         timed("hll_distinct_users", lambda: catalog.q_hll_distinct_users(sf_dir))
         timed("events_hourly_window", lambda: catalog.q_events_hourly_window(sf_dir).materialize())
         # the two LSH pipelines swing the most with host steal: min-of-3
-        lsh_rep = int(os.environ.get("GRAFT_LSH_REPEATS", "3"))
-        timed("minhash_dedup_pairs", lambda: catalog.q_minhash_dedup_pairs(sf_dir), repeats=lsh_rep)
-        timed("near_dup_pairs_verified", lambda: catalog.q_near_dup_pairs_verified(sf_dir), repeats=lsh_rep)
+        lsh_rep = int(os.environ.get("GRAFT_LSH_REPEATS", "2"))
+        timed("minhash_dedup_pairs", lambda: catalog.q_minhash_dedup_pairs(sf_dir),
+              repeats=lsh_rep, adaptive_max=4)
+        timed("near_dup_pairs_verified", lambda: catalog.q_near_dup_pairs_verified(sf_dir),
+              repeats=lsh_rep, adaptive_max=4)
         timed("ann_brute_cosine", lambda: catalog.q_ann_brute_cosine(sf_dir))
         timed("value_quantiles_tdigest", lambda: catalog.q_value_quantiles_tdigest(sf_dir))
         timed("order_priority_revenue", lambda: catalog.q_order_priority_revenue(sf_dir).materialize())
