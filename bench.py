@@ -220,8 +220,50 @@ def run_scaling() -> dict:
     }
 
 
+def run_all() -> dict:
+    """Time EVERY catalog query once at $GRAFT_SF_DIR (diagnostic sweep;
+    single-shot, so read it with the host-noise caveat in BASELINE.md)."""
+    import time
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    if hasattr(ctx, "op_resource_reservation_enabled"):
+        ctx.op_resource_reservation_enabled = False
+    import ray.data as rd
+
+    rd.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+    from gostatix_ray.pipelines import catalog
+
+    times: dict = {}
+    for name, fn in catalog.QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            out = fn(sf_dir)
+            if hasattr(out, "materialize"):
+                out.materialize()
+            times[name] = round(time.perf_counter() - t0, 2)
+        except Exception as e:  # keep sweeping; surface the failure
+            times[name] = f"ERR {type(e).__name__}"
+        print(f"{name}: {times[name]}", file=sys.stderr, flush=True)
+    ray.shutdown()
+    return {"metric": "per-query wall seconds (single-shot sweep)",
+            "sf": sf_dir, "num_cpus": num_cpus, "queries": times}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--all" in sys.argv:
+        print(json.dumps(run_all()))
     else:
         print(json.dumps(run_bench()))
