@@ -113,17 +113,22 @@ def update(state: MomentsState, values, counts=None) -> None:
     state.vmin = lo if state.vmin is None else min(state.vmin, lo)
     state.vmax = hi if state.vmax is None else max(state.vmax, hi)
     max_abs = max(abs(lo), abs(hi))
-    # p=1..k: exact power sums.  s^p can overflow int64 for large p —
-    # compute powers stepwise and drop to object dtype only when the
-    # bound says int64 cannot hold an element.
+    # p=1..k: exact power sums.  The element-wise product w * s^p can
+    # overflow int64 — the exact integer bound max|s|^p * max(w) decides
+    # per power whether the vectorized int64 path is safe or the state
+    # must drop to Python-int (object dtype) arithmetic.  The weight
+    # factor MUST be part of the test: chunking in _exact_dot bounds the
+    # partial SUM, not the per-element product.
     if max_abs == 0:
         return
-    p_overflow = 63 / np.log2(max_abs) if max_abs > 1 else 99
+    wmax = int(np.max(w)) if w is not None else 1
     sp = s.copy()
     s_obj = None  # Python-int copy: int64 * object-of-np.int64 still overflows
+    w_obj = None
     for p in range(1, state.spec.k + 1):
+        fits_i64 = (max_abs ** p) * wmax <= int(_I64MAX)
         if p > 1:
-            if p <= p_overflow:
+            if fits_i64 and sp.dtype != object:
                 sp = sp * s
             else:
                 if sp.dtype != object:
@@ -131,9 +136,14 @@ def update(state: MomentsState, values, counts=None) -> None:
                 if s_obj is None:
                     s_obj = np.array([int(x) for x in s], dtype=object)
                 sp = sp * s_obj
-        if sp.dtype == object:
+        elif not fits_i64:
+            sp = np.array([int(x) for x in sp], dtype=object)
+        if sp.dtype == object or not fits_i64:
+            if sp.dtype != object:
+                sp = np.array([int(x) for x in sp], dtype=object)
             if w is not None:
-                w_obj = np.array([int(x) for x in w], dtype=object)
+                if w_obj is None:
+                    w_obj = np.array([int(x) for x in w], dtype=object)
                 seg = sp * w_obj
             else:
                 seg = sp

@@ -37,16 +37,22 @@ def fixed_width_histogram(ds, *, col: str, lo: float, hi: float, n_bins: int,
     def _partial(batch: pa.Table) -> pa.Table:
         x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
         keep = (x >= lo) & (x < hi)
-        bins = np.floor((x[keep] - lo) / width).astype(np.int64)
+        # width can round DOWN in float64, letting a value just below hi
+        # floor to n_bins — clamp to the last bin (SQL twin must LEAST()
+        # the same way to stay bit-identical on non-exact widths).
+        bins = np.minimum(np.floor((x[keep] - lo) / width).astype(np.int64),
+                          n_bins - 1)
         out = {"bin": np.arange(n_bins, dtype=np.int64),
                "n": np.bincount(bins, minlength=n_bins).astype(np.int64)}
         if sum_col:
             sv = batch[sum_col].to_numpy(zero_copy_only=False)
             if sv.dtype.kind not in "iu":
                 raise TypeError(f"histogram sum_col needs an integer column, got {sv.dtype}")
-            out[sum_name] = np.bincount(
-                bins, weights=sv[keep].astype(np.float64), minlength=n_bins
-            ).astype(np.int64)
+            # exact int accumulation (np.add.at), not float64 bincount
+            # weights — partial sums above 2^53 must not lose bits
+            acc = np.zeros(n_bins, dtype=np.int64)
+            np.add.at(acc, bins, sv[keep].astype(np.int64))
+            out[sum_name] = acc
         t = pa.table(out)
         return t.filter(pa.array(out["n"] > 0))
 

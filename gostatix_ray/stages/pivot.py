@@ -58,9 +58,12 @@ def pivot_table(ds, *, index: str, columns: str, values: list[str],
             out[cn] = np.bincount(codes[mask], minlength=n).astype(np.int64)
         for v, sn in zip(cats, sum_names):
             mask = col == v
-            out[sn] = np.bincount(
-                codes[mask], weights=sv[mask].astype(np.float64), minlength=n
-            ).astype(np.int64)
+            # exact int accumulation (np.add.at), not float64 bincount
+            # weights — values / partial sums above 2^53 must keep bits
+            # for the 'exactly associative' contract to hold
+            acc = np.zeros(n, dtype=np.int64)
+            np.add.at(acc, codes[mask], sv[mask].astype(np.int64))
+            out[sn] = acc
         return pa.table(out)
 
     metric_cols = cnt_names + sum_names

@@ -54,10 +54,13 @@ def key_set_op(ds_a, ds_b, *, key, op: str, num_buckets: int = 64):
 
     def _reduce(df: pd.DataFrame) -> pd.DataFrame:
         # combine per-column factorized codes into one group id (vectorized;
-        # no per-group Python even for composite keys)
+        # no per-group Python even for composite keys).  NULLs get a REAL
+        # code (use_na_sentinel=False): the -1 sentinel would make
+        # (g, NULL) collide with (g-1, last_code), and SQL set ops treat
+        # NULLs as equal-to-each-other keys.
         comb = None
         for c in keys:
-            codes, uniq = pd.factorize(df[c])
+            codes, uniq = pd.factorize(df[c], use_na_sentinel=False)
             comb = codes.astype(np.int64) if comb is None else comb * len(uniq) + codes
         ucomb, first_idx = np.unique(comb, return_index=True)
         gcodes = np.searchsorted(ucomb, comb)
@@ -82,7 +85,9 @@ def distinct_count(ds, keys, *, num_buckets: int = 32) -> int:
     def _count(df: pd.DataFrame) -> pd.DataFrame:
         comb = None
         for c in keys:
-            codes, uniq = pd.factorize(df[c])
+            # use_na_sentinel=False: see key_set_op._reduce — NULL keys
+            # must get a real code, not -1
+            codes, uniq = pd.factorize(df[c], use_na_sentinel=False)
             comb = codes.astype(np.int64) if comb is None else comb * len(uniq) + codes
         return pd.DataFrame({"n": np.array([len(np.unique(comb))], dtype=np.int64)})
 

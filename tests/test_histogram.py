@@ -74,3 +74,32 @@ def test_grouped_mode_matches_pandas(ray_session):
     assert list(got["g"]) == list(want["g"])
     assert list(got["v"]) == list(want["v"])
     assert list(got["n"]) == list(want["n"])
+
+
+def test_histogram_float_edge_clamped(ray_session):
+    """ADVICE r3: when width rounds down, x just below hi floored to
+    n_bins and crashed pa.table with a length mismatch — now clamped to
+    the last bin."""
+    lo, hi, n_bins = -3.630383126785457, 2.770888466262316, 3
+    width = (hi - lo) / n_bins
+    x = np.nextafter(hi, -np.inf)  # just below hi, floors to n_bins
+    assert x < hi and int(np.floor((x - lo) / width)) == n_bins
+    df = pd.DataFrame({"v": [x, lo, 0.0], "amt": np.array([5, 7, 11], dtype=np.int64)})
+    got = (fixed_width_histogram(_ds(df, 2), col="v", lo=lo, hi=hi,
+                                 n_bins=n_bins, sum_col="amt")
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    assert list(got["bin"]) == [0, 1, 2]
+    assert list(got["n"]) == [1, 1, 1]
+    assert list(got["sum_amt"]) == [7, 11, 5]
+
+
+def test_histogram_sum_exact_above_2_53(ray_session):
+    """Integer sums above 2^53 must not lose bits to float64 bincount."""
+    big = (1 << 60) + 1
+    df = pd.DataFrame({"v": [1.0, 1.5, 7.0],
+                       "amt": np.array([big, 1, 3], dtype=np.int64)})
+    got = (fixed_width_histogram(_ds(df, 2), col="v", lo=0.0, hi=10.0,
+                                 n_bins=10, sum_col="amt")
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    assert list(got["bin"]) == [1, 7]
+    assert list(got["sum_amt"]) == [big + 1, 3]

@@ -132,3 +132,30 @@ def test_grouped_pipeline_matches_exact(ray_session):
         sub = df.loc[df["grp"] == g, "value"].to_numpy()
         assert st.n == len(sub)
         assert st.sums == _exact_sums(sub, 2)
+
+
+def test_weighted_overflow_object_path():
+    """ADVICE r3: the int64/object decision must include the WEIGHT bound.
+
+    max|s|^p fits int64 but max|s|^p * max(w) does not — the old code
+    kept the int64 path and the per-element product wrapped silently.
+    """
+    st = moments.new(moments.MomentsSpec(k=2, scale=1))
+    moments.update(st, [2e9], counts=[10])
+    assert st.sums == [10 * 2_000_000_000, 10 * 2_000_000_000**2]
+    # p=1 can overflow too when |s| * w > 2^63
+    st = moments.new(moments.MomentsSpec(k=1, scale=1))
+    moments.update(st, [float(2**62)], counts=[8])
+    assert st.sums == [8 * int(float(2**62))]
+
+
+def test_weighted_fuzz_exact():
+    rng = np.random.default_rng(17)
+    for _ in range(20):
+        k = int(rng.integers(1, 5))
+        n = int(rng.integers(1, 300))
+        vals = rng.uniform(-1e9, 1e9, n)
+        cnts = rng.integers(1, 2_000_000, n)
+        st = moments.new(moments.MomentsSpec(k=k, scale=100))
+        moments.update(st, vals, counts=cnts)
+        assert st.sums == _exact_sums(vals, k, weights=[int(c) for c in cnts])

@@ -56,3 +56,17 @@ def test_pivot_rejects_float_sum(ray_session, long_df):
     with pytest.raises(Exception):
         pivot_table(rd.from_pandas(df), index="grp", columns="cat",
                     values=["a"], sum_col="amt").to_pandas()
+
+
+def test_pivot_sum_exact_above_2_53(ray_session):
+    """Integer cents above 2^53 must survive exactly (np.add.at, not
+    float64 bincount weights)."""
+    import ray.data as rd
+
+    big = (1 << 60) + 1
+    df = pd.DataFrame({"grp": ["g1", "g1", "g2"], "cat": ["a", "a", "a"],
+                       "amt": np.array([big, 1, 5], dtype=np.int64)})
+    out = (pivot_table(rd.from_pandas(df).repartition(2), index="grp",
+                       columns="cat", values=["a"], sum_col="amt")
+           .to_pandas().sort_values("grp").reset_index(drop=True))
+    assert list(out["sum_a"]) == [big + 1, 5]

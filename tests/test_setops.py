@@ -69,3 +69,30 @@ def test_bad_op(ray_session):
     ds = rd.range(3)
     with pytest.raises(ValueError):
         key_set_op(ds, ds, key="id", op="minus")
+
+
+def test_null_keys_are_real_keys(ray_session):
+    """ADVICE r3: NULL keys must factorize to a real code — SQL set ops
+    treat NULLs as equal, and the -1 sentinel made (g, NULL) collide
+    with (g-1, last_code)."""
+    import ray.data as rd
+
+    a = pd.DataFrame({"g": [1, 1, 2, 2], "d": ["x", None, "x", None]})
+    b = pd.DataFrame({"g": [1, 2], "d": [None, "x"]})
+    inter = key_set_op(rd.from_pandas(a).repartition(2), rd.from_pandas(b),
+                       key=["g", "d"], op="intersect").to_pandas()
+    got = {(int(r.g), r.d) for r in inter.itertuples(index=False)}
+    assert got == {(1, None), (2, "x")}
+    ex = key_set_op(rd.from_pandas(a), rd.from_pandas(b),
+                    key=["g", "d"], op="except").to_pandas()
+    got = {(int(r.g), r.d) for r in ex.itertuples(index=False)}
+    assert got == {(1, "x"), (2, None)}
+
+
+def test_distinct_count_with_nulls(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.setops import distinct_count
+
+    df = pd.DataFrame({"g": [1, 1, 2, 2, 2], "d": ["x", None, "x", None, None]})
+    assert distinct_count(rd.from_pandas(df).repartition(2), ["g", "d"]) == 4
