@@ -39,9 +39,9 @@ _CONC = 4  # modest default actor-pool size for sf0.01-scale driver checks
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from ..sources.pq_read import clean_read_parquet
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return clean_read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
 def _one_state(ds, req: SketchRequest, **kw):
@@ -626,7 +626,7 @@ def q_revenue_by_nation(sf_dir: str):
             }
         )
         g = df.groupby("n_name", sort=False, as_index=False).agg(pn=("cents", "size"), pc_=("cents", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         j.map_batches(_partial, batch_format="pyarrow")
@@ -684,7 +684,7 @@ def q_revenue_rollup(sf_dir: str):
         )
         g = df.groupby(["r_name", "n_name"], sort=False, as_index=False).agg(
             pn=("cents", "size"), pc_=("cents", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = j.map_batches(_partial, batch_format="pyarrow")
     return rollup(partials, keys=["r_name", "n_name"],
@@ -742,7 +742,7 @@ def q_lineitem_pricing_summary(sf_dir: str):
         g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False).agg(
             pn=("qty", "size"), pq=("qty", "sum"), pc_=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         ds.map_batches(_partial, batch_format="pyarrow")
@@ -773,7 +773,9 @@ def q_lineitem_recent_pricing(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(
+    from ..sources.pq_read import clean_read_parquet
+
+    ds = clean_read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"],
         filter=pac.field("l_shipdate") >= dt.datetime(2000, 1, 1),
@@ -792,7 +794,7 @@ def q_lineitem_recent_pricing(sf_dir: str):
         g = df.groupby("l_returnflag", sort=False, as_index=False).agg(
             pn=("qty", "size"), pq=("qty", "sum"), pc_=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         ds.map_batches(_partial, batch_format="pyarrow")
@@ -893,7 +895,7 @@ def q_orders_price_band(sf_dir: str):
         g = df.groupby("band", sort=False, as_index=False).agg(
             pn=("cents", "size"), pc_=("cents", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         joined.map_batches(_partial, batch_format="pyarrow")
@@ -977,7 +979,7 @@ def q_order_priority_revenue(sf_dir: str):
         })
         g = df.groupby("o_orderpriority", sort=False, as_index=False).agg(
             pn=("cents", "size"), pc_=("cents", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         j.map_batches(_partial, batch_format="pyarrow")
@@ -1034,7 +1036,7 @@ def q_bucketed_priority_revenue(sf_dir: str):
             })
             g = df.groupby("o_orderpriority", sort=False, as_index=False).agg(
                 pn=("cents", "size"), pc_=("cents", "sum"))
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
         agg = (
             j.map_batches(_partial, batch_format="pyarrow")
@@ -1064,10 +1066,13 @@ def q_customers_without_finished_orders(sf_dir: str):
     from ..stages.joins import hash_join
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
-    finished = rd.read_parquet(
+    from ..sources.pq_read import clean_read_parquet
+
+    finished = clean_read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey"],
         filter=(pc.field("o_orderstatus") == "F"),
+        filter_columns=["o_orderstatus"],
     )
     return hash_join(
         cust, finished,
@@ -1177,7 +1182,7 @@ def q_doc_tfidf_top_terms(sf_dir: str):
         token_doc_frequency(ds, text_col="text", id_col="doc_id"),
         order_col="df", tiebreak="token", n=200,
     ).select_columns(["token", "df"])
-    vocab_ref = ray.put(pa.Table.from_pandas(vocab.to_pandas(), preserve_index=False))
+    vocab_ref = ray.put(pa.Table.from_pandas(vocab.to_pandas(), preserve_index=False).replace_schema_metadata(None))
     out = ds.map_batches(
         TfIdfTopTerms(vocab_ref, text_col="text", id_col="doc_id", k=3),
         batch_format="pyarrow", concurrency=_CONC,
@@ -1447,7 +1452,7 @@ def q_events_hourly_window(sf_dir: str):
         g = df.groupby(["user_id", "hour"], sort=False, as_index=False).agg(
             pn=("value", "size"), psum=("value", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def _final(df):
         return df.groupby(["user_id", "hour"], sort=False, as_index=False).agg(
@@ -1888,7 +1893,7 @@ def q_events_sliding_window(sf_dir: str):
         g = df.groupby(["user_id", "window_start"], sort=False, as_index=False).agg(
             pn=("user_id", "size")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def _final(df):
         return df.groupby(["user_id", "window_start"], sort=False, as_index=False).agg(
@@ -2034,8 +2039,8 @@ def q_ann_threshold_cosine(sf_dir: str):
     DuckDB's float32 list_cosine_similarity differs from float64 at ~1e-7)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = _queries_matrix(sf_dir, 3)
-    out = threshold_search(ds, q, id_col="vec_id", emb_col="embedding", threshold=0.32, concurrency=_CONC)
-    return out.select_columns(["query_id", "vec_id"])
+    return threshold_search(ds, q, id_col="vec_id", emb_col="embedding",
+                            threshold=0.32, concurrency=_CONC, include_score=False)
 
 
 def q_ann_ivf_partitioned(sf_dir: str):
@@ -2053,7 +2058,9 @@ def q_ann_ivf_partitioned(sf_dir: str):
     q = _queries_matrix(sf_dir, 3)
     cb = train_codebook(_sample_embeddings(sf_dir, 256), n_centroids=16)
     tag = _hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
-    index_dir = f"/tmp/gostatix_ray/ivf_index_{tag}"
+    # v2: cache layout bumped when the writer started stripping pandas
+    # schema metadata (old cached files would re-trigger the hash warnings)
+    index_dir = f"/tmp/gostatix_ray/ivf_index_v2_{tag}"
     if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
         import shutil
 

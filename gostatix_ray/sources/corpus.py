@@ -44,9 +44,11 @@ def read_documents(path, *, format: str = "parquet", text_col: str = "text",
         cols = None
         if keep_cols is not None:
             cols = list(dict.fromkeys([text_col, id_col] + keep_cols))
-        ds = rd.read_parquet(path, columns=cols, **reader_kwargs)
+        from .pq_read import clean_read_parquet
+
+        ds = clean_read_parquet(path, columns=cols, **reader_kwargs)
         if cols is not None and id_col not in _schema_names(ds):
-            ds = rd.read_parquet(
+            ds = clean_read_parquet(
                 path, columns=[c for c in cols if c != id_col], **reader_kwargs)
     elif format == "jsonl":
         ds = rd.read_json(path, **reader_kwargs)

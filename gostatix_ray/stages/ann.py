@@ -59,6 +59,25 @@ class _BatchTopK:
         )
 
 
+
+def _finalize_topk(local, *, k: int, score_col: str, id_col: str):
+    """Tiny global per-query top-k reduce as ONE task.
+
+    The survivors are bounded at k x nq x #blocks rows (map-side prune),
+    so a single-task funnel beats Ray's sort-based groupby here: no
+    ~0.7s all-to-all fixed cost, and no empty sort partitions (which
+    re-emerge as schema-less RefBundles and warn) when the partition
+    count exceeds the handful of distinct query_ids.  Same pattern as
+    rank.global_topn; at ~10^6 blocks switch to a 2-level funnel.
+    """
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", score_col, id_col],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+    return local.repartition(1).map_batches(_topk, batch_format="pandas",
+                                            batch_size=None)
+
 def brute_force_topk(ds, queries: np.ndarray, *, id_col="vec_id", emb_col="embedding", k=10, concurrency=None):
     """Exact cosine top-k of each query row against the dataset.
 
@@ -78,17 +97,15 @@ def brute_force_topk(ds, queries: np.ndarray, *, id_col="vec_id", emb_col="embed
         concurrency=concurrency,
     )
 
-    def _global_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["cosine", id_col], ascending=[False, True], kind="stable")
-        return df.head(k)
-
-    return local.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
+    return _finalize_topk(local, k=k, score_col="cosine", id_col=id_col)
 
 
 def threshold_search(ds, queries: np.ndarray, *, id_col="vec_id", emb_col="embedding",
-                     threshold: float, concurrency=None):
+                     threshold: float, concurrency=None, include_score: bool = True):
     """All (query_id, vec_id) with cosine >= threshold — embarrassingly
-    parallel (no final reduce at all): each batch emits its own hits."""
+    parallel (no final reduce at all): each batch emits its own hits.
+    ``include_score=False`` drops the cosine column inside the UDF
+    (cheaper than a trailing projection op)."""
     import ray
 
     if concurrency is None:
@@ -106,13 +123,13 @@ def threshold_search(ds, queries: np.ndarray, *, id_col="vec_id", emb_col="embed
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             sims = self.q @ emb.T
             qi, vi = np.where(sims >= threshold)
-            return pa.table(
-                {
-                    "query_id": pa.array(qi.astype(np.int64)),
-                    id_col: pa.array(ids[vi]),
-                    "cosine": pa.array(sims[qi, vi], pa.float64()),
-                }
-            )
+            out = {
+                "query_id": pa.array(qi.astype(np.int64)),
+                id_col: pa.array(ids[vi]),
+            }
+            if include_score:
+                out["cosine"] = pa.array(sims[qi, vi], pa.float64())
+            return pa.table(out)
 
     return ds.map_batches(_Thresh(), batch_format="pyarrow", concurrency=concurrency)
 
@@ -168,6 +185,11 @@ def ivf_write_partitioned(ds, codebook: np.ndarray, out_dir: str, *,
     unprobed partitions never leave storage — the 100-TB ANN shape end
     to end."""
     assigned = ivf_partition(ds, codebook, emb_col=emb_col, concurrency=concurrency)
+    # strip pandas schema metadata before writing: files carrying it make
+    # hash(schema) raise inside Ray's read-side schema dedup on every probe
+    assigned = assigned.map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    )
     assigned.write_parquet(out_dir, partition_cols=["centroid"])
     return out_dir
 
@@ -245,15 +267,8 @@ def ivf_topk(ds, queries: np.ndarray, codebook: np.ndarray, *, id_col="vec_id", 
                 emb = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
                 cent = np.argmax(emb @ self.cb.T, axis=1)
                 keep = self.any_probed[cent]
-            empty = pa.table(
-                {
-                    "query_id": pa.array(np.empty(0, np.int64)),
-                    id_col: pa.array(np.empty(0, ids.dtype)),
-                    "cosine": pa.array(np.empty(0, np.float64)),
-                }
-            )
             if not keep.any():
-                return empty
+                return  # generator UDF: yield nothing, emit no empty block
             if emb is None:
                 emb = _normalize(
                     np.stack(batch[emb_col].to_numpy(zero_copy_only=False)[keep]).astype(np.float64)
@@ -271,10 +286,12 @@ def ivf_topk(ds, queries: np.ndarray, codebook: np.ndarray, *, id_col="vec_id", 
                 rows_q.extend([qi] * len(sel))
                 rows_v.extend(ids[sel])
                 rows_s.extend(sims[qi, sel])
-            return pa.table(
+            if not rows_q:
+                return  # all candidates -inf masked: emit no empty block
+            yield pa.table(
                 {
                     "query_id": pa.array(rows_q, pa.int64()),
-                    id_col: pa.array(rows_v),
+                    id_col: pa.array(np.asarray(rows_v, dtype=ids.dtype)),
                     "cosine": pa.array(rows_s, pa.float64()),
                 }
             )
@@ -283,11 +300,7 @@ def ivf_topk(ds, queries: np.ndarray, codebook: np.ndarray, *, id_col="vec_id", 
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
     local = ds.map_batches(_IVFLocal(), batch_format="pyarrow", concurrency=concurrency)
 
-    def _global_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["cosine", id_col], ascending=[False, True], kind="stable")
-        return df.head(k)
-
-    return local.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
+    return _finalize_topk(local, k=k, score_col="cosine", id_col=id_col)
 
 # ---------------------------------------------------------------------------
 # distributed k-means (full-corpus Lloyd's — corpus clustering / codebook
@@ -534,11 +547,7 @@ def pq_topk(codes_ds, queries: np.ndarray, codebooks: np.ndarray, *,
         batch_format="pyarrow", concurrency=concurrency,
     )
 
-    def _global_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["pq_cosine", id_col], ascending=[False, True], kind="stable")
-        return df.head(k)
-
-    return local.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
+    return _finalize_topk(local, k=k, score_col="pq_cosine", id_col=id_col)
 
 
 def ivfpq_topk(ds, queries: np.ndarray, codebook: np.ndarray, pq_books: np.ndarray, *,

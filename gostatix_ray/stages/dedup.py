@@ -47,17 +47,31 @@ def bucketed_groupby(ds, key_cols: list[str], fn, *, num_buckets: int = 64):
 
     from ..hashing import hash128
 
-    def _bucket(batch: pa.Table) -> pa.Table:
+    def _bucket(batch: pa.Table):
+        if batch.num_rows == 0:
+            return  # drop: an empty block entering the sort re-emerges SCHEMALESS
+        # strip pandas metadata (re-added by pandas-block -> arrow
+        # conversion): hash(schema) raises on it inside the sort's
+        # boundary sampling and defeats Ray's schema-dedup fast path
+        batch = batch.replace_schema_metadata(None)
         key = pc.cast(batch[key_cols[0]], pa.string())
         for c in key_cols[1:]:
             key = pc.binary_join_element_wise(key, pc.cast(batch[c], pa.string()), "\x1f")
         h1, _ = hash128(key, 31)
-        return batch.append_column("__bucket", pa.array((h1 % np.uint64(num_buckets)).astype(np.int64)))
+        yield batch.append_column("__bucket", pa.array((h1 % np.uint64(num_buckets)).astype(np.int64)))
+
+    def _nonempty(block: pd.DataFrame):
+        # drop empty map_groups outputs so downstream sorts/groupbys never
+        # see an empty block (Ray's sort turns those into schema-less
+        # RefBundles and warns on every one)
+        if len(block):
+            yield block
 
     return (
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(lambda df: fn(df.drop(columns=["__bucket"])), batch_format="pandas")
+        .map_batches(_nonempty, batch_format="pandas", batch_size=None)
     )
 
 

@@ -203,10 +203,10 @@ def exact_quantiles_grouped(ds, col: str, group_col: str, qs, *, bins: int = 1 <
                 idx = np.clip(((v - lo) * (bins / (hi - lo))).astype(np.int64), 0, bins - 1)
             keep = np.isin(idx, list(needed[g]))
             out.append(pd.DataFrame({"g": g, "v": v[keep], "b": idx[keep]}))
-        res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-            {"g": pd.Series([], dtype=object), "v": pd.Series([], dtype="float64"),
-             "b": pd.Series([], dtype="int64")})
-        return pa.Table.from_pandas(res, preserve_index=False)
+        res = pd.concat(out, ignore_index=True) if out else None
+        if res is None or not len(res):
+            return  # generator UDF: no survivors in this batch, emit no block
+        yield pa.Table.from_pandas(res, preserve_index=False).replace_schema_metadata(None)
 
     by_gb: dict = {}
     for batch in ds.map_batches(_gather, batch_format="pyarrow").iter_batches(

@@ -256,7 +256,7 @@ def benchmark_ngram_table(bench_ds, *, text_col: str, id_col: str, n: int) -> pa
         g = df.groupby("gram", sort=False, as_index=False).agg(
             min_id=("id", "min"), max_id=("id", "max")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     import pandas as pd
 
@@ -264,7 +264,7 @@ def benchmark_ngram_table(bench_ds, *, text_col: str, id_col: str, n: int) -> pa
     final = parts.groupby("gram", sort=False, as_index=False).agg(
         min_id=("min_id", "min"), max_id=("max_id", "max")
     )
-    return pa.Table.from_pandas(final, preserve_index=False)
+    return pa.Table.from_pandas(final, preserve_index=False).replace_schema_metadata(None)
 
 
 class Decontaminate:
