@@ -73,6 +73,7 @@ def curate_corpus(
     bands=32,
     shingle=3,
     concurrency=None,
+    checkpoint_dir: str | None = None,
 ):
     """documents -> Dataset[doc_id] of the curated corpus.
 
@@ -82,8 +83,45 @@ def curate_corpus(
     near-dup removal set stays DISTRIBUTED end to end — survivors are
     pruned with a bucketed hash ANTI-JOIN against the cluster table
     (dup rates of 20-50% are normal in web corpora, so cluster
-    membership is not driver-sized)."""
+    membership is not driver-sized).
+
+    ``checkpoint_dir`` makes the composite RESUMABLE (round-3 verdict
+    #6): the two expensive intermediates — exact-dedup survivors (one
+    full corpus scan + shuffle) and verified near-dup pairs (the
+    LSH+verify chain) — are persisted as atomic parquet stage
+    checkpoints (state/lineage.checkpoint_dataset).  A rerun after a
+    kill resumes from the last completed stage without touching the
+    input; every stage is deterministic, so the resumed output is
+    byte-identical (tests/test_curation.py)."""
+    import os
+
+    from ..state.lineage import checkpoint_dataset
+
     filtered = quality_filter(ds, text_col=text_col, id_col=id_col, min_quality=min_quality)
+    if checkpoint_dir is not None:
+        survivors, n_surv = checkpoint_dataset(
+            lambda: exact_dedup_with_text(filtered, text_col=text_col, id_col=id_col),
+            os.path.join(checkpoint_dir, "survivors"),
+        )
+        if survivors is None:
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64())}))
+        pairs, n_pairs = checkpoint_dataset(
+            lambda: near_dup_pairs_verified(
+                survivors, text_col=text_col, id_col=id_col, num_perm=num_perm,
+                bands=bands, shingle=shingle, threshold=jaccard_threshold,
+                concurrency=concurrency,
+            ),
+            os.path.join(checkpoint_dir, "pairs"),
+        )
+        surv_ids = survivors.select_columns([id_col])
+        if n_pairs == 0:
+            return surv_ids.map_batches(
+                lambda b: pa.table({id_col: b[id_col].cast(pa.int64())}), batch_format="pyarrow"
+            )
+        return _prune_near_dups(surv_ids, pairs, id_col=id_col)
+
     survivors = exact_dedup_with_text(filtered, text_col=text_col, id_col=id_col).materialize()
 
     pairs = near_dup_pairs_verified(
@@ -96,6 +134,12 @@ def curate_corpus(
         return surv_ids.map_batches(
             lambda b: pa.table({id_col: b[id_col].cast(pa.int64())}), batch_format="pyarrow"
         )
+    return _prune_near_dups(surv_ids, pairs, id_col=id_col)
+
+
+def _prune_near_dups(surv_ids, pairs, *, id_col="doc_id"):
+    """Drop every near-dup cluster member except the cluster minimum via
+    a bucketed hash ANTI-JOIN (distributed end to end)."""
     # drop set = cluster members above the cluster minimum, as a Dataset
     drop_ds = duplicate_clusters(pairs).filter(expr="doc_id != cluster_id")
 

@@ -79,3 +79,47 @@ def resume_partials(checkpoint_dir: str):
     import ray.data as rd
 
     return rd.read_parquet(partials_dir(checkpoint_dir))
+
+
+def checkpoint_dataset(factory, stage_dir: str):
+    """Stage-level Dataset checkpoint for multi-stage pipelines (the
+    curation composite).  First run: executes ``factory()`` ONCE, writes
+    the result as parquet atomically (tmp dir + rename + marker), and
+    returns a Dataset reading it back.  Rerun: returns the persisted
+    Dataset WITHOUT calling ``factory`` — a killed pipeline resumes from
+    its last completed stage instead of restarting from zero.
+
+    Returns ``(ds, rows)``; ``ds`` is None when the stage produced zero
+    rows (an empty Dataset has no schema to persist — the marker records
+    ``rows: 0`` so the resume path short-circuits identically).
+    """
+    import shutil
+
+    data = os.path.join(stage_dir, "data")
+    marker = os.path.join(stage_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta["rows"] == 0:
+            return None, 0
+        from ..sources.pq_read import clean_read_parquet
+
+        return clean_read_parquet(data), meta["rows"]
+
+    os.makedirs(stage_dir, exist_ok=True)
+    tmp = data + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds = factory().materialize()
+    rows = ds.count()
+    if rows > 0:
+        ds.write_parquet(tmp)
+        shutil.rmtree(data, ignore_errors=True)
+        os.rename(tmp, data)
+    with open(marker + ".tmp", "w") as f:
+        json.dump({"rows": rows}, f)
+    os.replace(marker + ".tmp", marker)
+    if rows == 0:
+        return None, 0
+    from ..sources.pq_read import clean_read_parquet
+
+    return clean_read_parquet(data), rows

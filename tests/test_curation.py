@@ -126,3 +126,71 @@ def test_curate_corpus_many_clusters(ray_session):
     ds = rd.from_items(rows, override_num_blocks=8)
     out = curate_corpus(ds, min_quality=0.0, jaccard_threshold=0.5, concurrency=2).to_pandas()
     assert sorted(out["doc_id"]) == sorted(expected)
+
+
+def test_curate_corpus_checkpoint_resume(ray_session, tmp_path):
+    """Kill-and-resume (round-3 verdict #6): a rerun with the same
+    checkpoint_dir must (a) produce identical curated output, (b) never
+    re-execute upstream stages — proven by feeding the resume run a
+    POISONED input dataset that raises if any task consumes it."""
+    import pyarrow as pa
+
+    ds = _mkdocs(ray_session)
+    ckpt = str(tmp_path / "curate_ckpt")
+    out1 = curate_corpus(ds, min_quality=0.5, jaccard_threshold=0.5,
+                         concurrency=2, checkpoint_dir=ckpt).to_pandas()
+    assert sorted(out1["doc_id"]) == [0, 4]
+
+    def _boom(batch: pa.Table) -> pa.Table:
+        raise RuntimeError("resume must not re-read the input")
+
+    poisoned = _mkdocs(ray_session).map_batches(_boom, batch_format="pyarrow")
+    out2 = curate_corpus(poisoned, min_quality=0.5, jaccard_threshold=0.5,
+                         concurrency=2, checkpoint_dir=ckpt).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out1["doc_id"])
+
+
+def test_curate_corpus_resume_after_partial_failure(ray_session, tmp_path):
+    """Mid-pipeline kill: only the survivors stage completed; the resume
+    run reuses it (input stays untouched) and finishes the rest."""
+    import os
+
+    import pyarrow as pa
+
+    from gostatix_ray.state.lineage import checkpoint_dataset
+
+    ds = _mkdocs(ray_session)
+    ckpt = str(tmp_path / "curate_ckpt2")
+    # simulate the crash: survivors checkpoint written, pairs never ran
+    checkpoint_dataset(
+        lambda: exact_dedup_with_text(quality_filter(ds, min_quality=0.5)),
+        os.path.join(ckpt, "survivors"),
+    )
+    assert os.path.exists(os.path.join(ckpt, "survivors", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(ckpt, "pairs", "_SUCCESS"))
+
+    def _boom(batch: pa.Table) -> pa.Table:
+        raise RuntimeError("resume must not re-read the input")
+
+    poisoned = _mkdocs(ray_session).map_batches(_boom, batch_format="pyarrow")
+    out = curate_corpus(poisoned, min_quality=0.5, jaccard_threshold=0.5,
+                        concurrency=2, checkpoint_dir=ckpt).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 4]
+    assert os.path.exists(os.path.join(ckpt, "pairs", "_SUCCESS"))
+
+
+def test_checkpoint_dataset_empty_stage(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from gostatix_ray.state.lineage import checkpoint_dataset
+
+    d = str(tmp_path / "empty_stage")
+    ds0, n = checkpoint_dataset(lambda: rd.range(10).filter(lambda r: False), d)
+    assert ds0 is None and n == 0
+    # resume path short-circuits identically without calling the factory
+    def _bomb():
+        raise AssertionError("factory must not run on resume")
+    ds1, n1 = checkpoint_dataset(_bomb, d)
+    assert ds1 is None and n1 == 0
