@@ -83,6 +83,35 @@ class _IntervalJoin:
         self._columns = columns
         self._small = None
 
+    #: above this many intervals the per-interval mask loop loses to the
+    #: sorted-endpoint (elementary segment) path built once per worker
+    DENSE_THRESHOLD = 256
+
+    def _build_segments(self, lo, hi):
+        """Elementary-segment index: CSR of interval ids active per
+        segment between consecutive sorted endpoints.  Exact for
+        ARBITRARY overlapping/nested intervals; built ONCE per worker
+        with pure numpy (no per-interval Python)."""
+        import numpy as np
+
+        E = np.unique(np.concatenate([lo, hi]))
+        s0 = np.searchsorted(E, lo)
+        s1 = np.searchsorted(E, hi)
+        spans = np.maximum(s1 - s0, 0)          # empty/degenerate -> 0
+        total = int(spans.sum())
+        starts = np.cumsum(spans) - spans
+        pos = np.arange(total, dtype=np.int64)
+        seg_of_pair = np.repeat(s0, spans) + (pos - np.repeat(starts, spans))
+        int_of_pair = np.repeat(np.arange(len(lo), dtype=np.int64), spans)
+        order = np.argsort(seg_of_pair, kind="stable")  # intervals stay in id order per segment
+        seg_sorted = seg_of_pair[order]
+        self._seg_iv = int_of_pair[order]
+        nseg = max(len(E) - 1, 0)
+        self._seg_ptr = np.concatenate(
+            [[0], np.cumsum(np.bincount(seg_sorted, minlength=nseg))]
+        ).astype(np.int64)
+        self._endpoints = E
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._small is None:
             import ray
@@ -94,6 +123,30 @@ class _IntervalJoin:
         v = batch[self._value_col].to_numpy(zero_copy_only=False)
         lo = small[self._lo].to_numpy(zero_copy_only=False)
         hi = small[self._hi].to_numpy(zero_copy_only=False)
+
+        if small.num_rows > self.DENSE_THRESHOLD:
+            # sorted-endpoint path (round-3 verdict #9): O(log N) per row
+            # + output-linear gather instead of N masks per batch.
+            # Output is grouped by INPUT ROW (the loop path groups by
+            # interval); both are sets of (row x interval) matches.
+            if not hasattr(self, "_seg_ptr"):
+                self._build_segments(lo, hi)
+            E, ptr, seg_iv = self._endpoints, self._seg_ptr, self._seg_iv
+            s = np.searchsorted(E, v, side="right") - 1
+            valid = (s >= 0) & (s < len(E) - 1)
+            s_val = np.where(valid, s, 0)
+            cnt = np.where(valid, ptr[s_val + 1] - ptr[s_val], 0)
+            total = int(cnt.sum())
+            row_rep = np.repeat(np.arange(len(v), dtype=np.int64), cnt)
+            base = np.repeat(ptr[s_val], cnt)
+            within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            iv = seg_iv[base + within]
+            out = batch.take(pa.array(row_rep))
+            iv_arr = pa.array(iv)
+            for col in self._columns:
+                out = out.append_column(col, pc.take(small[col], iv_arr))
+            return out
+
         pieces = []
         for i in range(small.num_rows):
             rows = np.flatnonzero((v >= lo[i]) & (v < hi[i]))
@@ -113,11 +166,14 @@ def interval_join(ds, intervals: pa.Table, *, value_col: str,
     (overlapping intervals emit one output row each — true join
     semantics, not binning).
 
-    The interval table ships once (``ray.put``); each batch runs one
-    vectorized mask per interval — right for dozens-to-hundreds of
-    intervals (bands, SLA tiers, date ranges).  A large interval table
-    needs an interval tree / sorted-endpoint search instead; at that
-    point co-partition both sides on a coarse range key.
+    The interval table ships once (``ray.put``).  Up to
+    ``_IntervalJoin.DENSE_THRESHOLD`` intervals each batch runs one
+    vectorized mask per interval (bands, SLA tiers, date ranges); above
+    it a sorted-endpoint elementary-segment index (built once per
+    worker) answers each row in O(log N) + an output-linear gather —
+    exact for arbitrary overlapping/nested intervals.  If the interval
+    table itself stops fitting a broadcast, co-partition both sides on
+    a coarse range key instead.
     """
     import ray
 

@@ -103,3 +103,151 @@ class LiveSketch:
         import ray
 
         ray.kill(self._actor)
+
+
+class ShardedLiveSketch:
+    """Hash-routed N-shard live sketch (round-3 verdict #8).
+
+    A single detached actor serializes every write (the reference's own
+    mutex-guarded single-writer model, §1.3.9), so a HOT shared filter
+    bottlenecks on one mailbox.  This variant routes each element to
+    ``shard = hash128(str(value)) % n_shards`` across N independent
+    named actors (``{name}::shard{i}``) — aggregate write throughput
+    scales with the shard count while every element still lands in
+    exactly ONE deterministic shard, so:
+
+    * membership/lookup queries route the same way and stay exact;
+    * for the mergeable kinds (bloom OR, hll max, cms add) the merged
+      snapshot is BYTE-IDENTICAL to what a single-writer sketch of the
+      same spec would hold (insertion into these structures is
+      element-wise idempotent w.r.t. grouping), asserted in
+      tests/test_live_sketch.py;
+    * cuckoo stays shard-resident (non-mergeable — kernels/cuckoo.py)
+      exactly like PartitionedCuckoo: use ``shard_snapshots()``.
+
+    Attach-by-name works like LiveSketch: constructing with an existing
+    name discovers the shard count by probing the named actors.
+    """
+
+    def __init__(self, name: str, kind: str | None = None, spec=None, *,
+                 shards: int = 8, namespace: str = "gostatix"):
+        import ray
+
+        self.name = name
+        self._namespace = namespace
+        try:
+            first = ray.get_actor(f"{name}::shard0", namespace=namespace)
+        except ValueError:
+            if kind is None or spec is None:
+                raise ValueError(
+                    f"sharded live sketch {name!r} does not exist; pass kind and spec to create it"
+                )
+            kernel = kernel_for(kind)
+            blob = kernel.to_bytes(kernel.new(spec))
+            cls = _actor_class()
+            self._actors = [
+                cls.options(name=f"{name}::shard{i}", namespace=namespace,
+                            lifetime="detached", max_restarts=0).remote(kind, blob)
+                for i in range(shards)
+            ]
+            self._kind = kind
+        else:
+            self._actors = [first]
+            i = 1
+            while True:
+                try:
+                    self._actors.append(ray.get_actor(f"{name}::shard{i}", namespace=namespace))
+                except ValueError:
+                    break
+                i += 1
+            self._kind = kind  # optional on attach; only needed for snapshot()
+        self.n_shards = len(self._actors)
+
+    def _route(self, values):
+        import pyarrow as pa
+
+        from ..hashing import hash128
+
+        import numpy as np
+
+        vals = list(values)
+        h1, _ = hash128(pa.array([str(v) for v in vals], pa.string()), 97)
+        return vals, (h1 % np.uint64(self.n_shards)).astype(int)
+
+    def update(self, values, counts=None) -> int:
+        import ray
+
+        vals, shard = self._route(values)
+        futs = []
+        for i in range(self.n_shards):
+            sub = [v for v, s in zip(vals, shard) if s == i]
+            if not sub:
+                continue
+            if counts is not None:
+                csub = [c for c, s in zip(counts, shard) if s == i]
+                futs.append(self._actors[i].update.remote(sub, csub))
+            else:
+                futs.append(self._actors[i].update.remote(sub))
+        return sum(ray.get(futs)) if futs else 0
+
+    def remove(self, values):
+        import ray
+
+        vals, shard = self._route(values)
+        out = [None] * len(vals)
+        futs, slots = [], []
+        for i in range(self.n_shards):
+            idx = [j for j, s in enumerate(shard) if s == i]
+            if not idx:
+                continue
+            futs.append(self._actors[i].remove.remote([vals[j] for j in idx]))
+            slots.append(idx)
+        for res, idx in zip(ray.get(futs), slots):
+            for j, r in zip(idx, res):
+                out[j] = r
+        return out
+
+    def lookup(self, values, op: str = "lookup_batch"):
+        """Routed membership query, results in input order."""
+        import ray
+
+        vals, shard = self._route(values)
+        out = [None] * len(vals)
+        futs, slots = [], []
+        for i in range(self.n_shards):
+            idx = [j for j, s in enumerate(shard) if s == i]
+            if not idx:
+                continue
+            futs.append(self._actors[i].query.remote(op, [vals[j] for j in idx]))
+            slots.append(idx)
+        for res, idx in zip(ray.get(futs), slots):
+            for j, r in zip(idx, res):
+                out[j] = r
+        return out
+
+    def shard_snapshots(self) -> list[bytes]:
+        import ray
+
+        return ray.get([a.snapshot.remote() for a in self._actors])
+
+    def snapshot(self) -> bytes:
+        """ONE merged state blob (mergeable kinds only) — byte-identical
+        to the single-writer sketch for bloom/hll/cms."""
+        if self._kind is None:
+            raise ValueError("pass kind= when attaching if you need merged snapshots")
+        if self._kind == "cuckoo":
+            raise NotImplementedError(
+                "cuckoo filters do not merge (kernels/cuckoo.py); use shard_snapshots()"
+            )
+        kernel = kernel_for(self._kind)
+        blobs = self.shard_snapshots()
+        state = kernel.from_bytes(blobs[0])
+        for b in blobs[1:]:
+            state = kernel.merge(state, kernel.from_bytes(b))
+        return kernel.to_bytes(state)
+
+    def drop(self):
+        import ray
+
+        for a in self._actors:
+            ray.kill(a)

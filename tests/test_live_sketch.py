@@ -39,3 +39,74 @@ def test_remove_unsupported_kind(ray_session):
             live.remove(["x"])
     finally:
         live.drop()
+
+
+def test_sharded_bloom_merge_byte_identical(ray_session):
+    """Sharded writes + OR-merge == single-writer filter, bit for bit."""
+    from gostatix_ray.state.live import ShardedLiveSketch
+
+    spec = bloom.BloomSpec.from_params(5000, 0.001)
+    keys = [f"user{i}" for i in range(500)]
+    solo = LiveSketch("t-solo-bloom", "bloom", spec)
+    shard = ShardedLiveSketch("t-shard-bloom", "bloom", spec, shards=4)
+    try:
+        solo.update(keys)
+        assert shard.update(keys) == len(keys)
+        a = bloom.from_bytes(solo.snapshot())
+        b = bloom.from_bytes(shard.snapshot())
+        assert bloom.equals(a, b)
+    finally:
+        solo.drop()
+        shard.drop()
+
+
+def test_sharded_concurrent_writers(ray_session):
+    """Many independent Ray tasks attach BY NAME and write concurrently;
+    the merged sketch equals one sequential single-writer build."""
+    import ray
+
+    from gostatix_ray.kernels import hll
+    from gostatix_ray.state.live import ShardedLiveSketch
+
+    spec = hll.HLLSpec(m=1 << 12)
+    shard = ShardedLiveSketch("t-shard-hll", "hll", spec, shards=4)
+
+    @ray.remote
+    def writer(lo: int, hi: int) -> int:
+        from gostatix_ray.state.live import ShardedLiveSketch as S
+
+        s = S("t-shard-hll", "hll")
+        return s.update([f"u{i}" for i in range(lo, hi)])
+
+    try:
+        total = sum(ray.get([writer.remote(i * 250, (i + 1) * 250) for i in range(4)]))
+        assert total == 1000
+        merged = hll.from_bytes(shard.snapshot())
+        ref = hll.new(spec)
+        hll.update(ref, [f"u{i}" for i in range(1000)])
+        assert hll.equals(ref, merged)
+    finally:
+        shard.drop()
+
+
+def test_sharded_cuckoo_routes_and_refuses_merge(ray_session):
+    import pytest as _pytest
+
+    from gostatix_ray.state.live import ShardedLiveSketch
+
+    spec = cuckoo.CuckooSpec(size=256, bucket_size=4, fp_length=8, retries=50)
+    s = ShardedLiveSketch("t-shard-cuckoo", "cuckoo", spec, shards=3)
+    try:
+        s.update(["a", "b", "c", "d"])
+        assert s.lookup(["a", "b", "c", "d", "zz"]) == [True, True, True, True, False]
+        assert s.remove(["b"]) == [True]
+        assert s.lookup(["b"]) == [False]
+        with _pytest.raises(NotImplementedError):
+            s.snapshot()
+        assert len(s.shard_snapshots()) == 3
+        # attach-by-name discovers the shard count
+        other = ShardedLiveSketch("t-shard-cuckoo", "cuckoo")
+        assert other.n_shards == 3
+        assert other.lookup(["a"]) == [True]
+    finally:
+        s.drop()
