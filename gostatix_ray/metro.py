@@ -14,22 +14,27 @@ Two implementations pinned against each other in tests/test_hashing.py:
   Python iterations per BATCH (not per row) over uint64 views of a
   padded matrix; the 16/8/4/2/1-byte tail steps are masked gathers.
 
-**PROVISIONAL for cross-engine state exchange.**  This sandbox has no
-network access, so the upstream test vectors could not be retrieved to
-machine-verify bit-compatibility against the C++/Go implementations.
-A specific unresolved ambiguity: this transcription follows the
-standalone ``metrohash128_1``, which folds ``+ len`` into the v0..v3
-initializers; MetroHash's incremental/class variant uses the same
-constants WITHOUT the length fold, and which variant dgryski/go-metro
-ports cannot be confirmed offline.  If they differ, metro-mode states
-exchanged with a Go gostatix are silently incompatible while every
-local test still passes.  Before relying on ``hash="metro"`` for
-cross-engine state exchange, pin golden vectors generated by the actual
-go-metro module (lengths 0, <8, 16..31, >=32, seed 1373) in
-tests/test_metro.py.  What IS verified: scalar ≡ vectorized on
-randomized lengths 0..200 (property test), the published
-constants/rotations/structure, and golden self-vectors pinned in tests
-to catch regressions.  The statistical sketch oracles (HLL 100±2,
+**Cross-engine bit-compatibility: resolved to a named FLAG** (round-3
+verdict #3).  MetroHash's two published initializer variants are BOTH
+implemented and switchable per call (``fold_len=``) or globally
+(``DEFAULT_FOLD_LEN``):
+
+* ``fold_len=True`` (the default, named ``metrohash128_1``): the
+  standalone function folds ``+ len`` into the v0..v3 initializers.
+* ``fold_len=False`` (named ``metrohash128-class``): the
+  class/incremental variant initializes WITHOUT the length fold.
+
+Everything else (constants, rotations, block/tail structure) is
+identical between variants.  Which one ``dgryski/go-metro``'s
+``metro.Hash128(data, 1373)`` matches cannot be machine-verified in
+this sandbox (no network to pull its test vectors); once a vector for
+any input ≥1 byte is available, one comparison picks the variant and
+flipping ``DEFAULT_FOLD_LEN`` is the complete migration — no other code
+depends on the choice.  What IS verified: scalar ≡ vectorized on
+randomized lengths 0..200 for BOTH variants (property test), the
+published constants/rotations/structure, the variants differ on every
+non-degenerate input (guard test), and golden self-vectors pinned in
+tests to catch regressions.  The statistical sketch oracles (HLL 100±2,
 bloom FPP grid, CMS exactness) are re-validated under ``hash="metro"``
 mode — within this engine, metro mode is fully supported and
 deterministic.
@@ -50,15 +55,39 @@ def _rotr(x: int, r: int) -> int:
     return ((x >> r) | (x << (64 - r))) & _MASK
 
 
-def metrohash128(data: bytes, seed: int = 0) -> tuple[int, int]:
-    """Scalar MetroHash128 (metrohash128_1 variant) of one bytestring."""
+#: which initializer the module-level default uses; see VARIANTS below.
+DEFAULT_FOLD_LEN = True
+
+
+def metrohash128(data: bytes, seed: int = 0, *, fold_len: bool | None = None) -> tuple[int, int]:
+    """Scalar MetroHash128 of one bytestring.
+
+    ``fold_len`` selects between the TWO published initializer variants
+    (round-3 verdict #3 — both implemented, flag-switchable):
+
+    * ``True``  — standalone ``metrohash128_1``: ``v[i] = (seed ± k) * k' + len``
+    * ``False`` — the MetroHash128 class/incremental variant: same
+      constants WITHOUT the ``+ len`` fold (length only enters via the
+      block/tail structure).
+
+    Default (module constant ``DEFAULT_FOLD_LEN = True``) follows the
+    standalone function this transcription was made from; which variant
+    ``dgryski/go-metro``'s ``metro.Hash128(data, 1373)`` matches cannot
+    be machine-verified offline (no network) — flip the constant once
+    golden vectors are pinned if it turns out to be the class variant.
+    Both variants share every other step, are deterministic, and are
+    property-tested scalar==vectorized.
+    """
+    if fold_len is None:
+        fold_len = DEFAULT_FOLD_LEN
     n = len(data)
-    v0 = ((seed - _K0) * _K3 + n) & _MASK
-    v1 = ((seed + _K1) * _K2 + n) & _MASK
+    add = n if fold_len else 0
+    v0 = ((seed - _K0) * _K3 + add) & _MASK
+    v1 = ((seed + _K1) * _K2 + add) & _MASK
     p = 0
     if n >= 32:
-        v2 = ((seed + _K0) * _K2 + n) & _MASK
-        v3 = ((seed - _K1) * _K3 + n) & _MASK
+        v2 = ((seed + _K0) * _K2 + add) & _MASK
+        v3 = ((seed - _K1) * _K3 + add) & _MASK
         while p <= n - 32:
             v0 = (v0 + int.from_bytes(data[p : p + 8], "little") * _K0) & _MASK
             v0 = (_rotr(v0, 29) + v2) & _MASK
@@ -126,10 +155,13 @@ def _vrotr(x: np.ndarray, r: int) -> np.ndarray:
     return (x >> np.uint64(r)) | (x << np.uint64(64 - r))
 
 
-def metro_hash128(values, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+def metro_hash128(values, seed: int = 0, *, fold_len: bool | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized MetroHash128 of a column; returns (h1, h2) uint64 arrays.
 
-    Bit-equal to :func:`metrohash128` per element (property-tested)."""
+    Bit-equal to :func:`metrohash128` per element (property-tested).
+    ``fold_len`` selects the initializer variant — see metrohash128."""
+    if fold_len is None:
+        fold_len = DEFAULT_FOLD_LEN
     from .hashing import to_padded_bytes
 
     mat, lengths = to_padded_bytes(values)
@@ -148,11 +180,12 @@ def metro_hash128(values, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     w16 = mat.view(np.uint16)
     L = lengths.astype(np.uint64)
     s = np.uint64(seed & _MASK)
+    A = L if fold_len else np.uint64(0)
     with np.errstate(over="ignore"):
-        v0 = (s - _k0) * _k3 + L
-        v1 = (s + _k1) * _k2 + L
-        v2 = (s + _k0) * _k2 + L
-        v3 = (s - _k1) * _k3 + L
+        v0 = (s - _k0) * _k3 + A
+        v1 = (s + _k1) * _k2 + A
+        v2 = (s + _k0) * _k2 + A
+        v3 = (s - _k1) * _k3 + A
         rounds = np.where(lengths >= 32, lengths // 32, 0).astype(np.int64)
         max_rounds = int(rounds.max())
         for j in range(max_rounds):

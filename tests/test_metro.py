@@ -102,3 +102,39 @@ def test_metro_differs_from_murmur():
     bloom.update(a, ["same-key"])
     bloom.update(b, ["same-key"])
     assert not np.array_equal(a.bits, b.bits)
+
+
+def test_fold_len_variants_scalar_equals_vector():
+    """Both initializer variants: scalar == vectorized, bit for bit."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gostatix_ray.metro import metro_hash128, metrohash128
+
+    rng = np.random.default_rng(9)
+    data = [bytes(rng.integers(0, 256, rng.integers(0, 200)).astype(np.uint8))
+            for _ in range(200)]
+    col = pa.array(data, pa.binary())
+    for fold in (True, False):
+        h1, h2 = metro_hash128(col, 1373, fold_len=fold)
+        for i, d in enumerate(data):
+            s1, s2 = metrohash128(d, 1373, fold_len=fold)
+            assert (int(h1[i]), int(h2[i])) == (s1, s2), (fold, i, len(d))
+
+
+def test_fold_len_variants_differ():
+    """The two variants must actually produce different hashes on
+    non-empty input (guards against the flag silently no-opping)."""
+    from gostatix_ray.metro import metrohash128
+
+    for d in (b"x", b"0123456789abcdef", b"a" * 32, b"a" * 100):
+        assert metrohash128(d, 1373, fold_len=True) != metrohash128(d, 1373, fold_len=False), d
+    # len 0: the fold adds 0, so the variants coincide by construction
+    assert metrohash128(b"", 1373, fold_len=True) == metrohash128(b"", 1373, fold_len=False)
+
+
+def test_default_variant_is_metrohash128_1():
+    from gostatix_ray import metro
+
+    assert metro.DEFAULT_FOLD_LEN is True
+    assert metro.metrohash128(b"abc", 1373) == metro.metrohash128(b"abc", 1373, fold_len=True)
