@@ -12,8 +12,11 @@ Scale design (ray_guide "Exact dedup" / "Near-dup"):
   ``groupby(band)`` -> candidate id pairs -> a second bucketed hash join
   attaches each pair's two signatures -> agreement filter;
 * SimHash: 64-bit fingerprint; band tables catch small hamming radii;
-* embedding near-dup: multi-table random-hyperplane LSH (ids-only
-  explode), exact cosine via the same pair-feature join;
+* embedding near-dup: multi-table random-hyperplane LSH; the 4*dim-byte
+  unit vector rides the ONE bucket shuffle and the exact float64 cosine
+  runs inside the bucket task (candidate pairs never materialize —
+  round-4 rewrite, 13.5x at 200k rows; signatures/shingles stay slim
+  because THOSE are 1 KiB+ per row);
 * exact verify: ``near_dup_pairs_verified`` recomputes EXACT shingle-set
   Jaccard for every candidate pair (distributed), so the output is an
   exact, SQL-checkable answer.
@@ -973,51 +976,57 @@ def hamming64(a: str, b: str) -> int:
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-class HyperplaneLSH:
-    """Multi-table random-hyperplane buckets per embedding (seeded).
+class _BucketedNormedVec:
+    """(id, embedding) -> n_tables x (table, bucket, id, nvec) rows.
 
-    Emits SLIM (table, bucket, id) rows — ``n_tables`` rows per vector,
-    20 bytes each; the vectors themselves never ride the LSH shuffle
-    (they join candidates later, once)."""
+    Unlike MinHash signatures (1 KiB+ — those must NOT ride the band
+    shuffle), a unit vector is only ``4*dim`` bytes, so carrying it
+    through the ONE bucket exchange is cheaper than the slim-pair +
+    pair-feature-join design: the round-4 scale probe measured the join
+    path at 849 s / 21 GB spilled on 200k rows x 25M candidates, vs ~10 s
+    for in-bucket cosine (the candidate pairs never materialize at all).
+
+    Buckets are computed from the float32-normalized vector (cast back to
+    float64) so the in-bucket earlier-table recomputation in
+    :func:`embedding_near_dup_pairs` is bit-identical.
+    """
 
     def __init__(self, emb_col: str, id_col: str, nbits: int, dim: int,
-                 n_tables: int = 1, seed: int = 11):
+                 n_tables: int, seed: int = 11):
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((n_tables, dim, nbits))
         self.n_tables, self.nbits = n_tables, nbits
         self.emb_col, self.id_col = emb_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.stack(batch[self.emb_col].to_numpy(zero_copy_only=False))
-        n = len(emb)
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        tables, buckets, out_ids = [], [], []
+        if batch.num_rows == 0:
+            return pa.table({"table": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64()),
+                             "nvec": pa.array([], pa.binary(self.planes.shape[1] * 4))})
+        emb = np.stack(batch[self.emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        norms = np.linalg.norm(emb, axis=1)
+        normed32 = (emb / np.maximum(norms, 1e-12)[:, None]).astype(np.float32)
+        v = normed32.astype(np.float64)
+        n = len(v)
+        ids = batch[self.id_col].combine_chunks() if isinstance(
+            batch[self.id_col], pa.ChunkedArray) else batch[self.id_col]
+        ids = ids.cast(pa.int64())
+        nvec = rows_to_binary(normed32)
         weights = (1 << np.arange(self.nbits)).astype(np.int64)
+        tables, buckets = [], []
         for t in range(self.n_tables):
-            proj = emb @ self.planes[t] > 0  # (n, nbits)
+            proj = v @ self.planes[t] > 0
             buckets.append(proj.astype(np.int64) @ weights)
             tables.append(np.full(n, t, dtype=np.int32))
-            out_ids.append(ids)
         return pa.table(
             {
                 "table": pa.array(np.concatenate(tables)),
                 "bucket": pa.array(np.concatenate(buckets)),
-                self.id_col: pa.array(np.concatenate(out_ids)),
+                self.id_col: pa.concat_arrays([ids] * self.n_tables),
+                "nvec": pa.concat_arrays([nvec] * self.n_tables),
             }
         )
-
-
-class _NormedVec:
-    """(id, embedding) -> (id, nvec:binary) float32 unit vectors."""
-
-    def __init__(self, emb_col: str, id_col: str):
-        self.emb_col, self.id_col = emb_col, id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.stack(batch[self.emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
-        norms = np.linalg.norm(emb, axis=1)
-        normed = (emb / np.maximum(norms, 1e-12)[:, None]).astype(np.float32)
-        return pa.table({self.id_col: batch[self.id_col], "nvec": rows_to_binary(normed)})
 
 
 def embedding_near_dup_pairs(
@@ -1027,14 +1036,22 @@ def embedding_near_dup_pairs(
 ):
     """Cosine-similar pairs via multi-table hyperplane-LSH + exact check.
 
-    Round-1 verdict fixes: ``nbits`` auto-sizes to the dataset
+    Round-1 verdict fix: ``nbits`` auto-sizes to the dataset
     (``log2(n/64)``, min 8 — expected bucket occupancy ~64, so in-bucket
     pair work is bounded instead of O(n²/2^nbits) with tiny fixed nbits);
     recall comes from ``n_tables`` independent tables (a pair at cosine c
-    collides per table with prob (1-θ/π)^nbits, union over tables);
-    candidate generation ships only (table, bucket, id) rows and the
-    exact cosine check runs in the pair-feature hash join, not per
-    giant bucket.
+    collides per table with prob (1-θ/π)^nbits, union over tables).
+
+    Round-4 rewrite: ONE exchange total.  The 4*dim-byte unit vector
+    rides the bucket shuffle (see :class:`_BucketedNormedVec`) and the
+    exact float64 cosine runs inside the bucket task on the
+    triu-broadcast candidate index pairs — the O(128·n) candidate pair
+    rows never materialize, never re-join features.  A pair colliding in
+    several tables is emitted exactly once, by its LOWEST colliding
+    table: each task recomputes both rows' buckets under every earlier
+    table (bit-identical — same float32-normalized input, same planes)
+    and suppresses the pair if they already collided there, so no
+    cross-table dedupe exchange is needed.
     """
     import ray
 
@@ -1046,39 +1063,54 @@ def embedding_near_dup_pairs(
             n_rows = ds.count()
         nbits = max(8, int(np.ceil(np.log2(max(2, n_rows / 64)))))
 
-    bucketed = ds.map_batches(
-        HyperplaneLSH(emb_col, id_col, nbits, dim, n_tables),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
-    cand = _candidate_pairs_from_groups(
-        bucketed, id_col, ["table", "bucket"], dedupe=False
-    ).materialize()
-    n_cand = cand.count()
-    if n_cand == 0:
-        return cand
+    stage = _BucketedNormedVec(emb_col, id_col, nbits, dim, n_tables)
+    planes = stage.planes
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "cosine": pd.Series([], dtype="float64")})
+    chunk = 1 << 18  # 256k pairs/chunk: peak 2 x chunk x dim x 8B scratch
 
-    nvecs = ds.map_batches(
-        _NormedVec(emb_col, id_col),
-        batch_format="pyarrow", concurrency=concurrency,
-    )
-    joined = join_pairs_with_features(
-        cand, nvecs, id_col=id_col, feat_col="nvec", feat_type=pa.binary(dim * 4),
-        n_pairs=n_cand,
-    )
-
-    def _cosine(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                              "id_b": pd.Series([], dtype="int64"),
-                              "cosine": pd.Series([], dtype="float64")})
+    def _cos_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return empty
-        va = binary_to_rows(df["feat_a"], dim, np.float32).astype(np.float64)
-        vb = binary_to_rows(df["feat_b"], dim, np.float32).astype(np.float64)
-        cos = np.einsum("ij,ij->i", va, vb)
-        keep = cos >= threshold
-        return pd.DataFrame({"id_a": df["id_a"].to_numpy()[keep],
-                             "id_b": df["id_b"].to_numpy()[keep],
-                             "cosine": cos[keep]})
+        tbl = df["table"].to_numpy()
+        bkt = df["bucket"].to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort([ids, bkt, tbl])
+        tbl, bkt, ids = tbl[order], bkt[order], ids[order]
+        v = binary_to_rows(df["nvec"].to_numpy()[order], dim, np.float32).astype(np.float64)
+        ra, rb = _group_pairs([tbl, bkt])
+        if ra.size == 0:
+            return empty
+        out_a, out_b, out_c = [], [], []
+        for c0 in range(0, ra.size, chunk):
+            ca, cb = ra[c0:c0 + chunk], rb[c0:c0 + chunk]
+            cos = np.einsum("ij,ij->i", v[ca], v[cb])
+            keep = cos >= threshold
+            if not keep.any():
+                continue
+            ca, cb, cos = ca[keep], cb[keep], cos[keep]
+            pt = tbl[ca]  # pair's table (== tbl[cb])
+            if n_tables > 1 and (pt > 0).any():
+                # emit from the lowest colliding table only
+                rows = np.unique(np.concatenate([ca, cb]))
+                vr = v[rows]
+                pos = np.searchsorted(rows, np.concatenate([ca, cb]))
+                ia, ib = pos[: len(ca)], pos[len(ca):]
+                dup = np.zeros(len(ca), dtype=bool)
+                for t_prev in range(int(pt.max())):
+                    bk_prev = (vr @ planes[t_prev] > 0).astype(np.int64) @ weights
+                    dup |= (pt > t_prev) & (bk_prev[ia] == bk_prev[ib])
+                ca, cb, cos = ca[~dup], cb[~dup], cos[~dup]
+            out_a.append(ids[ca])
+            out_b.append(ids[cb])
+            out_c.append(cos)
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(out_a).astype(np.int64),
+                             "id_b": np.concatenate(out_b).astype(np.int64),
+                             "cosine": np.concatenate(out_c)})
 
-    return joined.map_batches(_cosine, batch_format="pandas")
+    bucketed = ds.map_batches(stage, batch_format="pyarrow", concurrency=concurrency)
+    return bucketed_groupby(bucketed, ["table", "bucket"], _cos_in_bucket)
