@@ -112,14 +112,17 @@ def exact_quantiles(ds, col: str, qs, *, bins: int = 1 << 16) -> pd.DataFrame:
 # grouped variant
 # ---------------------------------------------------------------------------
 
-def exact_quantiles_grouped(ds, col: str, group_col: str, qs, *, bins: int = 1 << 14) -> pd.DataFrame:
+def exact_quantiles_grouped(ds, col: str, group_col: str, qs, *, bins: int = 1 << 14,
+                            max_groups: int = 10_000) -> pd.DataFrame:
     """DataFrame[group, q, value_exact]: exact per-group quantile_disc.
 
     Same two-histogram-pass selection as :func:`exact_quantiles`, with
     one histogram blob per (block, group).  Designed for LOW-cardinality
     group columns (per-group stats: event types, languages, shards) —
-    the driver holds G x bins counters; G in the millions belongs in a
-    sketch (t-digest per group), not here.
+    the driver holds G x bins counters; ``max_groups`` guards the
+    driver-side range scan against an accidental high-cardinality group
+    column (G in the millions belongs in a sketch — t-digest/KLL per
+    group — not here).
     """
     from ray.data.aggregate import Max, Min
 
@@ -127,6 +130,11 @@ def exact_quantiles_grouped(ds, col: str, group_col: str, qs, *, bins: int = 1 <
     ranges = {}
     for row in ds.groupby(group_col).aggregate(Min(col), Max(col)).iter_rows():
         ranges[row[group_col]] = (float(row[f"min({col})"]), float(row[f"max({col})"]))
+        if len(ranges) > max_groups:
+            raise ValueError(
+                f"exact_quantiles_grouped: >{max_groups} distinct {group_col!r} groups; "
+                "use grouped_tdigest/grouped_kll for high-cardinality group columns"
+            )
     groups = sorted(ranges)
     g_lo = {g: ranges[g][0] for g in groups}
     g_hi = {g: ranges[g][1] for g in groups}

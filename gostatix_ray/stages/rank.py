@@ -74,7 +74,8 @@ def grouped_topk(ds, *, group_col: str, order_col: str, tiebreak: str,
 
 
 def global_topn(ds, *, order_col: str, tiebreak: str, n: int,
-                descending: bool = True, rank_col: str = "rank"):
+                descending: bool = True, rank_col: str = "rank",
+                funnel_width: int | None = None):
     """Distributed ``ORDER BY order_col [DESC], tiebreak LIMIT n`` —
     the global-top-N shape, WITHOUT a global sort.
 
@@ -84,6 +85,14 @@ def global_topn(ds, *, order_col: str, tiebreak: str, n: int,
     ≤ n × blocks survivors.  ``tiebreak`` (ascending, any orderable
     dtype — strings included) makes the cut deterministic for every
     partitioning.  Adds a 1-based ``rank_col``.
+
+    ``funnel_width``: optional middle funnel level for VERY wide inputs
+    (≥ ~10^5 blocks, where n × blocks no longer fits one task): survivors
+    first coalesce into ``funnel_width`` blocks, each pruned back to its
+    local top-n, so the final task sees ≤ n × funnel_width rows.  The
+    prune is idempotent — any funnel shape yields the same top-n — but
+    the extra exchange costs a fixed ~0.5-1 s, so it stays off by
+    default for ordinary block counts.
     """
     import pandas as pd
 
@@ -100,5 +109,9 @@ def global_topn(ds, *, order_col: str, tiebreak: str, n: int,
         return out
 
     pruned = ds.map_batches(_prune, batch_format="pandas")
-    # single final block: survivors are n×blocks rows — driver-free, one task
+    if funnel_width:
+        pruned = pruned.repartition(funnel_width).map_batches(
+            _prune, batch_format="pandas", batch_size=None)
+    # single final block: survivors are n×blocks (or n×funnel_width) rows —
+    # driver-free, one task
     return pruned.repartition(1).map_batches(_final, batch_format="pandas", batch_size=None)

@@ -67,3 +67,15 @@ def test_grouped_matches_order_statistics(ray_session):
         n = len(srt)
         k = min(max(int(np.ceil(row["q"] * n)) - 1, 0), n - 1)
         assert row["value_exact"] == srt[k], (row["g"], row["q"])
+
+
+def test_grouped_high_cardinality_guard(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from gostatix_ray.stages.quantiles import exact_quantiles_grouped
+
+    rows = [{"g": i, "value": float(i)} for i in range(50)]
+    ds = rd.from_items(rows)
+    with pytest.raises(ValueError, match="distinct"):
+        exact_quantiles_grouped(ds, "value", "g", [0.5], bins=64, max_groups=10)

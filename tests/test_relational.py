@@ -320,3 +320,25 @@ def test_global_topn_string_tiebreak_and_small_input(ray_session):
     # n larger than input: all rows, ties broken by token ascending
     assert list(out["tok"]) == ["a", "b", "c"]
     assert list(out["rank"]) == [1, 2, 3]
+
+
+def test_global_topn_funnel_width_same_result(ray_session):
+    """2-level funnel (for very wide inputs) == single-funnel top-n."""
+    import ray.data as rd
+
+    from gostatix_ray.stages.rank import global_topn
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 40, size=500).astype(float)  # heavy ties
+    tbl = pa.table({"id": np.arange(500, dtype=np.int64), "v": vals})
+    ds = rd.from_arrow(tbl).repartition(23)
+    base = global_topn(ds, order_col="v", tiebreak="id", n=12).to_pandas()
+    funneled = global_topn(
+        rd.from_arrow(tbl).repartition(23), order_col="v", tiebreak="id",
+        n=12, funnel_width=4,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        base.sort_values("rank").reset_index(drop=True),
+        funneled.sort_values("rank").reset_index(drop=True),
+        check_dtype=False,
+    )
