@@ -204,9 +204,20 @@ def run_scaling() -> dict:
     n_lo, n_hi = (int(x) for x in os.environ.get("RAY_GRAFT_SCALING_CPUS", "2,8").split(","))
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "6"))
     # min over repeats: the sandbox host is shared/noisy (run-to-run swings
-    # of 1.5x observed); the minimum measures pipeline capability
-    lo = min((run(n_lo) for _ in range(repeats)), key=lambda d: d["value"])
-    hi = min((run(n_hi) for _ in range(repeats)), key=lambda d: d["value"])
+    # of 1.5x observed); the minimum measures pipeline capability.
+    # INTERLEAVED lo/hi rounds: steal episodes last minutes, so running
+    # all lo repeats then all hi repeats lets one episode bias a whole
+    # level and skew the ratio (observed: a sequential 128M sweep read
+    # eff=0.73 because the lo phase landed calm and the hi phase hot);
+    # alternating levels exposes both to the same weather.
+    lo_runs, hi_runs = [], []
+    for i in range(repeats):
+        lo_runs.append(run(n_lo))
+        hi_runs.append(run(n_hi))
+        print(f"round {i}: lo={lo_runs[-1]['value']}s hi={hi_runs[-1]['value']}s",
+              file=sys.stderr, flush=True)
+    lo = min(lo_runs, key=lambda d: d["value"])
+    hi = min(hi_runs, key=lambda d: d["value"])
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (n_hi / n_lo)
     return {
