@@ -946,12 +946,12 @@ def q_order_priority_revenue(sf_dir: str):
     ⨝ orders on orderkey with NO broadcast — both sides hash-co-partition
     once, pre-projected (lineitem ships only (orderkey, rev_cents)), the
     bucket match is one vectorized searchsorted expansion — then MAP-SIDE
-    (priority, count, cents) partials shrink the final groupby's input
-    from |lineitem| joined rows to ~5 rows per bucket (Ray's sort
-    Aggregate is pathological on large inputs even with few groups).
+    (priority, count, cents) partials shrink the final reduce's input
+    from |lineitem| joined rows to ~5 rows per bucket, and the final
+    combine is ONE task over those ~320 partial rows (repartition(1)):
+    Ray's sort-based Aggregate pays its ~0.7s+ all-to-all fixed cost
+    even on a few hundred rows — measured 3.3s of the query's 3.8s wall.
     Money as exact integer cents -> hash-stable vs SQL."""
-    from ray.data.aggregate import Sum
-
     from ..stages.joins import hash_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -981,18 +981,20 @@ def q_order_priority_revenue(sf_dir: str):
             pn=("cents", "size"), pc_=("cents", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    agg = (
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby("o_orderpriority", sort=False, as_index=False)
+            .agg(n_items=("pn", "sum"), revenue_cents=("pc_", "sum"))
+        )
+        out["n_items"] = out["n_items"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out
+
+    return (
         j.map_batches(_partial, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("pn", alias_name="n_items"), Sum("pc_", alias_name="revenue_cents"))
+        .repartition(1)
+        .map_batches(_final, batch_format="pandas", batch_size=None)
     )
-
-    def _ints(b: pa.Table) -> pa.Table:
-        for col in ("n_items", "revenue_cents"):
-            b = b.set_column(b.schema.get_field_index(col), col, pc.cast(b[col], pa.int64()))
-        return b
-
-    return agg.map_batches(_ints, batch_format="pyarrow")
 
 
 def q_bucketed_priority_revenue(sf_dir: str):
