@@ -144,6 +144,71 @@ def _group_pairs(sort_keys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
+_PAIR_JOIN_FAST_MAX = 65_536
+
+
+def _join_pairs_small(pairs, feats, *, id_col: str, feat_col: str,
+                      feat_type: pa.DataType):
+    """Shuffle-free pair-feature join for SMALL pair sets (see
+    :func:`join_pairs_with_features`): broadcast the deduped pair list,
+    stream-filter ``feats`` to participating ids, coalesce survivors
+    (bounded by 2·n_pairs feature rows) into one final join task."""
+    import ray
+
+    pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
+    ia = pdf["id_a"].to_numpy(np.int64)
+    ib = pdf["id_b"].to_numpy(np.int64)
+    ids = np.unique(np.concatenate([ia, ib])) if len(pdf) else np.empty(0, np.int64)
+    ids_ref = ray.put(ids)
+    pairs_ref = ray.put((ia, ib))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        batch = batch.select([id_col, feat_col]).replace_schema_metadata(None)
+        sorted_ids = ray.get(ids_ref)  # local plasma hit after first batch
+        idv = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(sorted_ids, idv)
+        pos_c = np.minimum(pos, max(len(sorted_ids) - 1, 0))
+        mask = (pos < len(sorted_ids)) & (len(sorted_ids) > 0)
+        if len(sorted_ids):
+            mask &= sorted_ids[pos_c] == idv
+        return batch.filter(pa.array(mask))
+
+    def _join(batch: pa.Table) -> pa.Table:
+        a_ids, b_ids = ray.get(pairs_ref)
+        fk = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(fk, kind="stable")
+        fk_s = fk[order]
+        fcol = batch[feat_col]
+        if isinstance(fcol, pa.ChunkedArray):
+            fcol = fcol.combine_chunks()
+
+        def _lookup(q: np.ndarray):
+            pos = np.searchsorted(fk_s, q)
+            pos_c = np.minimum(pos, max(len(fk_s) - 1, 0))
+            ok = (pos < len(fk_s)) & (len(fk_s) > 0)
+            if len(fk_s):
+                ok &= fk_s[pos_c] == q
+            return order[pos_c], ok
+
+        ra, oka = _lookup(a_ids)
+        rb, okb = _lookup(b_ids)
+        keep = oka & okb  # ids with no feature row drop out (bucketed-path parity)
+        return pa.table(
+            {
+                "id_a": pa.array(a_ids[keep]),
+                "id_b": pa.array(b_ids[keep]),
+                "feat_a": pc.cast(fcol.take(pa.array(ra[keep])), feat_type),
+                "feat_b": pc.cast(fcol.take(pa.array(rb[keep])), feat_type),
+            }
+        )
+
+    return (
+        feats.map_batches(_filter, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(_join, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def join_pairs_with_features(pairs, feats, *, id_col: str, feat_col: str,
                              feat_type: pa.DataType, num_buckets: int = 64,
                              n_pairs: int | None = None):
@@ -157,7 +222,20 @@ def join_pairs_with_features(pairs, feats, *, id_col: str, feat_col: str,
     for the empty-check) auto-tunes the bucket fan-out: 64 map_groups
     tasks per exchange on a few-thousand-pair join is pure scheduling
     overhead.
+
+    SMALL-PAIR FAST PATH: post-LSH pair sets are usually tiny relative
+    to the corpus, and each bucketed exchange here costs its all-to-all
+    fixed price (~1-3 s) regardless of size.  When ``n_pairs`` ≤
+    ``_PAIR_JOIN_FAST_MAX`` the pair list (two int64 columns) is pulled
+    to the driver and broadcast, the feature table is STREAM-FILTERED to
+    the ≤ 2·n_pairs participating rows (one map pass, no shuffle), and
+    the surviving features coalesce into one task that emits the joined
+    pairs — zero sort exchanges.  Output set is identical to the
+    bucketed path (both dedupe (id_a, id_b)).
     """
+    if n_pairs is not None and n_pairs <= _PAIR_JOIN_FAST_MAX:
+        return _join_pairs_small(pairs, feats, id_col=id_col,
+                                 feat_col=feat_col, feat_type=feat_type)
     if n_pairs is not None:
         num_buckets = min(num_buckets, max(4, -(-n_pairs // 50_000)))
     def _tag_pairs(batch: pa.Table) -> pa.Table:
