@@ -201,3 +201,28 @@ def test_duplicate_clusters_paths_agree(ray_session):
     assert set(fast.loc[fast["doc_id"] <= 8, "cluster_id"]) == {0}
     assert set(fast.loc[(fast["doc_id"] >= 100) & (fast["doc_id"] < 200), "cluster_id"]) == {100}
     assert set(fast.loc[fast["doc_id"] >= 500, "cluster_id"]) == {500}
+
+
+def test_pair_feature_join_paths_agree(docs_ds, monkeypatch):
+    """The shuffle-free small-pair fast path and the bucketed 2-exchange
+    path of join_pairs_with_features produce the same near-dup output
+    (the bucketed path only fires above _PAIR_JOIN_FAST_MAX in prod, so
+    force it here to keep it covered)."""
+    ds, _ = docs_ds
+
+    def run():
+        return (
+            dedup.near_dup_pairs_verified(
+                ds, text_col="text", id_col="doc_id",
+                num_perm=64, bands=16, shingle=3, threshold=0.5, concurrency=2,
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    fast = run()
+    monkeypatch.setattr(dedup, "_PAIR_JOIN_FAST_MAX", 0)
+    bucketed = run()
+    pd.testing.assert_frame_equal(fast, bucketed)
+    assert len(fast) > 0  # the exact copies guarantee jaccard-1 pairs
