@@ -32,6 +32,7 @@ from ..stages.dedup import (
 )
 from ..stages.membership import filter_by_membership
 from ..stages.merge import collect_final, merge_partials_streaming
+from ..stages.reduce import small_group_agg
 from ..stages.text_stats import Fingerprint, LangId, QualityScore, TokenStats
 from ..pipelines.sketch_pipeline import SketchPipeline
 
@@ -94,10 +95,8 @@ def q_user_event_type_pairs_exact(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_top_event_types_exact(sf_dir: str):
-    from ray.data.aggregate import Count
-
     ds = _read(sf_dir, "events", ["event_type"])
-    return ds.groupby("event_type").aggregate(Count(alias_name="cnt"))
+    return small_group_agg(ds, "event_type", {"cnt": (None, "count")})
 
 
 def q_topk_event_types_sketch(sf_dir: str):
@@ -186,8 +185,6 @@ def q_cms_token_counts(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_bloom_click_users_semijoin(sf_dir: str):
-    from ray.data.aggregate import Count
-
     ev = _read(sf_dir, "events", ["user_id", "event_type"])
     clickers = ev.map_batches(
         lambda b: b.filter(pc.equal(b["event_type"], "click")), batch_format="pyarrow"
@@ -207,14 +204,13 @@ def q_bloom_click_users_semijoin(sf_dir: str):
         ev.map_batches(_as_str, batch_format="pyarrow"),
         bloom.to_bytes(state), "bloom", "user_key", concurrency=_CONC,
     )
-    return kept.groupby("event_type").aggregate(Count(alias_name="n"))
+    return small_group_agg(kept, "event_type", {"n": (None, "count")})
 
 
 def q_cuckoo_signup_users_semijoin(sf_dir: str):
     """Same semi-join as the bloom variant but through the partitioned
     cuckoo filter (8-char decimal fingerprints => FPP ~ 2^3-8*log2(10)
     ~ 1e-7: exact on this data, verified vs SQL)."""
-    from ray.data.aggregate import Count
 
     from ..kernels import cuckoo as ck
     from ..stages.membership import build_partitioned_cuckoo, filter_by_partitioned_cuckoo
@@ -232,7 +228,7 @@ def q_cuckoo_signup_users_semijoin(sf_dir: str):
     kept = filter_by_partitioned_cuckoo(
         ev.map_batches(_as_str, batch_format="pyarrow"), filt, "user_key", concurrency=_CONC
     )
-    return kept.groupby("event_type").aggregate(Count(alias_name="n"))
+    return small_group_agg(kept, "event_type", {"n": (None, "count")})
 
 
 def _users_of_type(sf_dir: str, event_type: str):
@@ -306,7 +302,6 @@ def q_bloom_anti_join_open_orders(sf_dir: str):
     row wrongly, so anti-joins need a much tighter FPP than semi-joins —
     p=1e-9 over the key set makes a wrong drop essentially impossible
     (verified exact vs SQL on this data)."""
-    from ray.data.aggregate import Count
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
     f_orders = orders.map_batches(
@@ -328,7 +323,7 @@ def q_bloom_anti_join_open_orders(sf_dir: str):
         li.map_batches(_key, batch_format="pyarrow"), bloom.to_bytes(state), "bloom", "okey",
         negate=True, concurrency=_CONC,
     )
-    return kept.groupby("l_returnflag").aggregate(Count(alias_name="n"))
+    return small_group_agg(kept, "l_returnflag", {"n": (None, "count")})
 
 
 def q_lineitem_orders_bloom_semijoin(sf_dir: str):
@@ -336,7 +331,6 @@ def q_lineitem_orders_bloom_semijoin(sf_dir: str):
     order has status 'F', counted per returnflag.  The order-key filter is
     built once and broadcast — no shuffle join (ray_guide "Semi / anti
     join"); FPP 1e-9 over <=100k keys => exact on this data (verified)."""
-    from ray.data.aggregate import Count
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
     f_orders = orders.map_batches(
@@ -358,16 +352,16 @@ def q_lineitem_orders_bloom_semijoin(sf_dir: str):
         li.map_batches(_key, batch_format="pyarrow"), bloom.to_bytes(state), "bloom", "okey",
         concurrency=_CONC,
     )
-    return kept.groupby("l_returnflag").aggregate(Count(alias_name="n"))
+    return small_group_agg(kept, "l_returnflag", {"n": (None, "count")})
 
 
 def q_distinct_users_by_type_exact(sf_dir: str):
-    """Two-level exact distinct: distinct users per event_type."""
-    from ray.data.aggregate import Count
-
+    """Two-level exact distinct: distinct users per event_type.  The
+    first level is genuinely high-cardinality (user x type) -> sort
+    groupby; the second collapses to |event types| rows -> combiner."""
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
     pairs = ds.groupby(["user_id", "event_type"]).count()
-    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    return small_group_agg(pairs, "event_type", {"n_users": (None, "count")})
 
 
 def q_user_session_stats(sf_dir: str):
@@ -562,7 +556,6 @@ def q_orders_by_customer_nation(sf_dir: str):
     import os as _os
 
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Count, Sum
 
     from ..stages.joins import broadcast_join
 
@@ -578,15 +571,10 @@ def q_orders_by_customer_nation(sf_dir: str):
         cents = np.floor(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
         return pa.table({"n_name": batch["n_name"], "cents": pa.array(cents)})
 
-    agg = (
-        j.map_batches(_cents, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
-    )
-    return agg.map_batches(
-        lambda b: b.set_column(b.schema.get_field_index("total_cents"), "total_cents",
-                               pc.cast(b["total_cents"], pa.int64())),
-        batch_format="pyarrow",
+    return small_group_agg(
+        j.map_batches(_cents, batch_format="pyarrow"),
+        "n_name",
+        {"n_orders": (None, "count"), "total_cents": ("cents", "sum")},
     )
 
 
@@ -1417,10 +1405,10 @@ def q_doc_fingerprints(sf_dir: str):
 
 
 def q_lang_doc_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
-
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    return small_group_agg(
+        ds, "lang", {"n_docs": (None, "count"), "total_chars": ("n_chars", "sum")}
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1478,7 +1466,6 @@ def q_events_hourly_window(sf_dir: str):
 def q_events_daily_active_users(sf_dir: str):
     """Distinct users per day — two-level exact distinct over a derived
     window column."""
-    from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
@@ -1488,7 +1475,7 @@ def q_events_daily_active_users(sf_dir: str):
         )
 
     pairs = ds.map_batches(_day, batch_format="pyarrow").groupby(["day", "user_id"]).count()
-    return pairs.groupby("day").aggregate(Count(alias_name="active_users"))
+    return small_group_agg(pairs, "day", {"active_users": (None, "count")})
 
 
 def q_hll_users_by_type(sf_dir: str):
