@@ -1080,8 +1080,7 @@ def q_event_users_customers_outer(sf_dir: str):
     event-less customers with null n_events.  The key column is always
     populated (taken from whichever side the row exists on), matching
     the oracle's COALESCE(e.user_id, c.c_custkey)."""
-    from ray.data.aggregate import Sum
-
+    from ..stages.dedup import bucketed_groupby
     from ..stages.joins import hash_join
 
     ev = _read(sf_dir, "events", ["user_id"])
@@ -1093,17 +1092,14 @@ def q_event_users_customers_outer(sf_dir: str):
         return pa.table({"user_id": vc.field("values"),
                          "pn": pc.cast(vc.field("counts"), pa.int64())})
 
-    counts = (
-        ev.map_batches(_partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("pn", alias_name="n_events"))
+    def _sum_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", sort=False, as_index=False).agg(n_events=("pn", "sum"))
+
+    # HIGH-cardinality (~|users|) reduce: bucketed vectorized pandas sums,
+    # not Ray's sort-Aggregate (pathological on many tiny groups)
+    counts = bucketed_groupby(
+        ev.map_batches(_partial, batch_format="pyarrow"), ["user_id"], _sum_counts
     )
-
-    def _n64(b: pa.Table) -> pa.Table:
-        i = b.schema.get_field_index("n_events")
-        return b.set_column(i, "n_events", pc.cast(b["n_events"], pa.int64()))
-
-    counts = counts.map_batches(_n64, batch_format="pyarrow")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).filter(
         expr="c_custkey >= 100"
     )
