@@ -37,7 +37,7 @@ def grouping_sets(partials, *, keys: list[str], value_cols: dict[str, str],
     Arrow type.  Output schema: ``keys`` (original order) + output
     names, value columns int64.
     """
-    from ray.data.aggregate import Sum
+    from .reduce import small_group_agg
 
     for s in sets:
         unknown = set(s) - set(keys)
@@ -49,20 +49,22 @@ def grouping_sets(partials, *, keys: list[str], value_cols: dict[str, str],
 
     # one scan of the upstream pipeline, shared by every level
     partials = partials.materialize()
-    aggs = [Sum(src, alias_name=src) for src in value_cols]
+    # each level's group count is a rollup of the (small) partial key
+    # space -> streaming combiner, never a per-level sort all-to-all
+    sums = {src: (src, "sum") for src in value_cols}
 
     levels = []
     for s in sets:
         if s:
-            agg = partials.groupby(list(s)).aggregate(*aggs)
+            agg = small_group_agg(partials, list(s), sums)
         else:
-            agg = (
+            agg = small_group_agg(
                 partials.map_batches(
                     lambda b: b.append_column("__gt", pa.array([0] * b.num_rows, pa.int8())),
                     batch_format="pyarrow",
-                )
-                .groupby("__gt")
-                .aggregate(*aggs)
+                ),
+                "__gt",
+                sums,
             )
         present = set(s)
 
