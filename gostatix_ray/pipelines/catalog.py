@@ -996,8 +996,6 @@ def q_bucketed_priority_revenue(sf_dir: str):
     import shutil
     import tempfile
 
-    from ray.data.aggregate import Sum
-
     from ..stages.bucketed import colocated_join, write_bucketed
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -1028,18 +1026,11 @@ def q_bucketed_priority_revenue(sf_dir: str):
                 pn=("cents", "size"), pc_=("cents", "sum"))
             return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-        agg = (
-            j.map_batches(_partial, batch_format="pyarrow")
-            .groupby("o_orderpriority")
-            .aggregate(Sum("pn", alias_name="n_items"), Sum("pc_", alias_name="revenue_cents"))
-        )
-
-        def _ints(b: pa.Table) -> pa.Table:
-            for col in ("n_items", "revenue_cents"):
-                b = b.set_column(b.schema.get_field_index(col), col, pc.cast(b[col], pa.int64()))
-            return b
-
-        return agg.map_batches(_ints, batch_format="pyarrow").materialize()
+        return small_group_agg(
+            j.map_batches(_partial, batch_format="pyarrow"),
+            "o_orderpriority",
+            {"n_items": ("pn", "sum"), "revenue_cents": ("pc_", "sum")},
+        ).materialize()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
