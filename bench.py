@@ -68,8 +68,20 @@ def run_bench() -> dict:
     if not os.path.exists(tx_path):
         generate_transcripts(tx_path, num_turns, seed=42, num_files=num_files)
 
-    # warm the page cache so we measure compute + shuffle, not first-touch disk
-    rd.read_parquet(tx_path).count()
+    # warm the page cache so we measure compute + shuffle, not first-touch
+    # disk.  count() is NOT enough — it answers from parquet metadata
+    # without reading a data page — so decode every block and discard it.
+    def _touch(batch):
+        import pyarrow as _pa
+
+        return _pa.table({"n": [batch.num_rows]})
+
+    def _warm_input(path: str, nfiles: int):
+        rd.read_parquet(path, override_num_blocks=nfiles).map_batches(
+            _touch, batch_format="pyarrow", batch_size=None
+        ).materialize()
+
+    _warm_input(tx_path, num_files)
 
     # warm the WORKER POOL: each Ray worker pays ~1-2s of library imports
     # (numpy/pandas/pyarrow + gostatix_ray) on its first sketch task; in a
@@ -167,7 +179,7 @@ def run_bench() -> dict:
         and num_turns != turns_64m
         and len(glob.glob(path_64m + "/*.parquet")) == files_64m
     ):
-        rd.read_parquet(path_64m).count()  # page-cache warm, same as headline
+        _warm_input(path_64m, files_64m)  # real page-cache warm, same as headline
         timed("flagship_64m", lambda: _flagship_over(path_64m, files_64m),
               repeats=2, adaptive_max=4)
 

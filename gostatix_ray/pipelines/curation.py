@@ -99,9 +99,14 @@ def curate_corpus(
 
     filtered = quality_filter(ds, text_col=text_col, id_col=id_col, min_quality=min_quality)
     if checkpoint_dir is not None:
+        # parameter fingerprints: a rerun with changed knobs INVALIDATES
+        # the stage instead of silently returning old-parameter results
+        surv_spec = {"stage": "exact_dedup", "text_col": text_col,
+                     "id_col": id_col, "min_quality": min_quality}
         survivors, n_surv = checkpoint_dataset(
             lambda: exact_dedup_with_text(filtered, text_col=text_col, id_col=id_col),
             os.path.join(checkpoint_dir, "survivors"),
+            spec=surv_spec,
         )
         if survivors is None:
             import ray.data as rd
@@ -114,6 +119,9 @@ def curate_corpus(
                 concurrency=concurrency,
             ),
             os.path.join(checkpoint_dir, "pairs"),
+            spec={**surv_spec, "stage": "near_dup_pairs", "num_perm": num_perm,
+                  "bands": bands, "shingle": shingle,
+                  "jaccard_threshold": jaccard_threshold},
         )
         surv_ids = survivors.select_columns([id_col])
         if n_pairs == 0:

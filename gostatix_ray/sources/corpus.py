@@ -46,10 +46,9 @@ def read_documents(path, *, format: str = "parquet", text_col: str = "text",
             cols = list(dict.fromkeys([text_col, id_col] + keep_cols))
         from .pq_read import clean_read_parquet
 
+        # clean_read_parquet silently drops requested-but-absent columns,
+        # so an optional id column needs no probe-and-re-read here
         ds = clean_read_parquet(path, columns=cols, **reader_kwargs)
-        if cols is not None and id_col not in _schema_names(ds):
-            ds = clean_read_parquet(
-                path, columns=[c for c in cols if c != id_col], **reader_kwargs)
     elif format == "jsonl":
         ds = rd.read_json(path, **reader_kwargs)
     else:

@@ -33,12 +33,16 @@ def clean_read_parquet(path, *, columns=None, filter_columns=None, **kwargs):
     if columns is not None and filter_columns:
         read_cols = list(dict.fromkeys(list(columns) + list(filter_columns)))
     if read_cols is not None:
-        # mirror read_parquet's tolerance of absent columns (corpus
-        # sources probe for an optional id column this way)
+        # mirror read_parquet's tolerance of absent columns (callers may
+        # request optional columns this way)
         read_cols = [c for c in read_cols if c in sch.names]
         columns = [c for c in columns if c in sch.names]
         sch = pa.schema([sch.field(c) for c in read_cols])
     ds = rd.read_parquet(path, columns=read_cols, schema=sch, **kwargs)
-    if read_cols is not columns and columns is not None:
+    # re-project ONLY when the filter genuinely widened the scan — a
+    # select_columns equal to the read's own projection is a pure no-op
+    # operator between the read and the first real map (it blocks
+    # read->map fusion)
+    if columns is not None and list(read_cols) != list(columns):
         ds = ds.select_columns(list(columns))
     return ds

@@ -81,13 +81,20 @@ def resume_partials(checkpoint_dir: str):
     return rd.read_parquet(partials_dir(checkpoint_dir))
 
 
-def checkpoint_dataset(factory, stage_dir: str):
+def checkpoint_dataset(factory, stage_dir: str, spec: dict | None = None):
     """Stage-level Dataset checkpoint for multi-stage pipelines (the
     curation composite).  First run: executes ``factory()`` ONCE, writes
     the result as parquet atomically (tmp dir + rename + marker), and
     returns a Dataset reading it back.  Rerun: returns the persisted
     Dataset WITHOUT calling ``factory`` — a killed pipeline resumes from
     its last completed stage instead of restarting from zero.
+
+    ``spec``: JSON-serializable fingerprint of the stage's PARAMETERS
+    (thresholds, knobs).  It is stored in the marker and compared on
+    resume — a rerun with different parameters INVALIDATES the stage
+    and recomputes, instead of silently returning results computed
+    under the old parameters.  Callers that pass no spec keep the
+    path-only contract.
 
     Returns ``(ds, rows)``; ``ds`` is None when the stage produced zero
     rows (an empty Dataset has no schema to persist — the marker records
@@ -100,11 +107,14 @@ def checkpoint_dataset(factory, stage_dir: str):
     if os.path.exists(marker):
         with open(marker) as f:
             meta = json.load(f)
-        if meta["rows"] == 0:
+        if spec is not None and meta.get("spec") != spec:
+            os.remove(marker)  # parameters changed: invalidate, fall through
+        elif meta["rows"] == 0:
             return None, 0
-        from ..sources.pq_read import clean_read_parquet
+        else:
+            from ..sources.pq_read import clean_read_parquet
 
-        return clean_read_parquet(data), meta["rows"]
+            return clean_read_parquet(data), meta["rows"]
 
     os.makedirs(stage_dir, exist_ok=True)
     tmp = data + ".tmp"
@@ -115,8 +125,11 @@ def checkpoint_dataset(factory, stage_dir: str):
         ds.write_parquet(tmp)
         shutil.rmtree(data, ignore_errors=True)
         os.rename(tmp, data)
+    meta = {"rows": rows}
+    if spec is not None:
+        meta["spec"] = spec
     with open(marker + ".tmp", "w") as f:
-        json.dump({"rows": rows}, f)
+        json.dump(meta, f)
     os.replace(marker + ".tmp", marker)
     if rows == 0:
         return None, 0

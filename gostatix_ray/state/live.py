@@ -30,10 +30,14 @@ def _actor_class():
     class _LiveSketch:
         """One mutable sketch behind a serialized actor mailbox."""
 
-        def __init__(self, kind: str, state_blob: bytes):
+        def __init__(self, kind: str, state_blob: bytes, meta: dict | None = None):
             self._kind = kind
             self._kernel = kernel_for(kind)
             self._state = self._kernel.from_bytes(state_blob)
+            self._meta = meta or {}
+
+        def meta(self) -> dict:
+            return self._meta
 
         def update(self, values, counts=None) -> int:
             if counts is not None:
@@ -126,7 +130,9 @@ class ShardedLiveSketch:
       exactly like PartitionedCuckoo: use ``shard_snapshots()``.
 
     Attach-by-name works like LiveSketch: constructing with an existing
-    name discovers the shard count by probing the named actors.
+    name reads the authoritative shard count from shard0's metadata
+    (stamped at creation) and resolves EVERY shard — a dead shard is a
+    hard error, never a silent truncation that would mis-route writes.
     """
 
     def __init__(self, name: str, kind: str | None = None, spec=None, *,
@@ -147,19 +153,31 @@ class ShardedLiveSketch:
             cls = _actor_class()
             self._actors = [
                 cls.options(name=f"{name}::shard{i}", namespace=namespace,
-                            lifetime="detached", max_restarts=0).remote(kind, blob)
+                            lifetime="detached", max_restarts=0).remote(
+                                kind, blob, {"n_shards": shards})
                 for i in range(shards)
             ]
             self._kind = kind
         else:
+            # authoritative count from shard0 — NOT probe-until-missing,
+            # which would truncate at a dead middle shard and route every
+            # write wrong (hash % smaller_n) while old handles use % n
+            n = int(ray.get(first.meta.remote()).get("n_shards", 0))
+            if n <= 0:
+                raise ValueError(
+                    f"sharded live sketch {name!r}: shard0 carries no shard-count "
+                    "metadata (created by an incompatible version?)"
+                )
             self._actors = [first]
-            i = 1
-            while True:
+            for i in range(1, n):
                 try:
                     self._actors.append(ray.get_actor(f"{name}::shard{i}", namespace=namespace))
                 except ValueError:
-                    break
-                i += 1
+                    raise RuntimeError(
+                        f"sharded live sketch {name!r}: shard {i} of {n} is gone "
+                        "(actor died or was dropped); the shard set is unrecoverable "
+                        "— rebuild from a snapshot or drop() and recreate"
+                    ) from None
             self._kind = kind  # optional on attach; only needed for snapshot()
         self.n_shards = len(self._actors)
 

@@ -162,9 +162,13 @@ def test_curate_corpus_resume_after_partial_failure(ray_session, tmp_path):
     ds = _mkdocs(ray_session)
     ckpt = str(tmp_path / "curate_ckpt2")
     # simulate the crash: survivors checkpoint written, pairs never ran
+    # (stamped with the same parameter spec curate_corpus will present —
+    # an unstamped/mismatched marker is treated as stale and recomputed)
     checkpoint_dataset(
         lambda: exact_dedup_with_text(quality_filter(ds, min_quality=0.5)),
         os.path.join(ckpt, "survivors"),
+        spec={"stage": "exact_dedup", "text_col": "text", "id_col": "doc_id",
+              "min_quality": 0.5},
     )
     assert os.path.exists(os.path.join(ckpt, "survivors", "_SUCCESS"))
     assert not os.path.exists(os.path.join(ckpt, "pairs", "_SUCCESS"))
@@ -194,3 +198,22 @@ def test_checkpoint_dataset_empty_stage(ray_session, tmp_path):
         raise AssertionError("factory must not run on resume")
     ds1, n1 = checkpoint_dataset(_bomb, d)
     assert ds1 is None and n1 == 0
+
+
+def test_checkpoint_invalidated_on_parameter_change(ray_session, tmp_path):
+    """A rerun with DIFFERENT parameters must recompute, not silently
+    return the old-parameter checkpoint (round-4 review finding)."""
+    ds = _mkdocs(ray_session)
+    ckpt = str(tmp_path / "curate_ckpt_params")
+    out1 = curate_corpus(ds, min_quality=0.5, jaccard_threshold=0.5,
+                         concurrency=2, checkpoint_dir=ckpt).to_pandas()
+    assert sorted(out1["doc_id"]) == [0, 4]
+    # jaccard_threshold=0.99: the near-dup pair no longer qualifies, so
+    # BOTH members survive — a stale-pair checkpoint would still prune
+    out2 = curate_corpus(_mkdocs(ray_session), min_quality=0.5,
+                         jaccard_threshold=0.99, concurrency=2,
+                         checkpoint_dir=ckpt).to_pandas()
+    fresh = curate_corpus(_mkdocs(ray_session), min_quality=0.5,
+                          jaccard_threshold=0.99, concurrency=2).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(fresh["doc_id"])
+    assert sorted(out2["doc_id"]) != sorted(out1["doc_id"])

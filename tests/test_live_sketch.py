@@ -110,3 +110,31 @@ def test_sharded_cuckoo_routes_and_refuses_merge(ray_session):
         assert other.lookup(["a"]) == [True]
     finally:
         s.drop()
+
+
+def test_sharded_attach_uses_stamped_count_and_fails_on_dead_shard(ray_session):
+    """Attach reads the shard count stamped at creation; a dead middle
+    shard is a hard error, never a silent truncation that would
+    mis-route writes (round-4 review finding)."""
+    import ray
+
+    from gostatix_ray.state.live import ShardedLiveSketch
+
+    spec = bloom.BloomSpec.from_params(2000, 0.001)
+    shard = ShardedLiveSketch("t-shard-meta", "bloom", spec, shards=3)
+    try:
+        shard.update([f"k{i}" for i in range(50)])
+        attached = ShardedLiveSketch("t-shard-meta", "bloom")
+        assert attached.n_shards == 3
+        # kill a MIDDLE shard: attach must now raise, not truncate to 1
+        ray.kill(ray.get_actor("t-shard-meta::shard1", namespace="gostatix"))
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="shard 1 of 3 is gone"):
+            ShardedLiveSketch("t-shard-meta", "bloom")
+    finally:
+        for i in (0, 2):
+            try:
+                ray.kill(ray.get_actor(f"t-shard-meta::shard{i}", namespace="gostatix"))
+            except ValueError:
+                pass
