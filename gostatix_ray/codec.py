@@ -47,7 +47,8 @@ from .kernels import bloom, cms, cuckoo, hll, topk
 # ---------------------------------------------------------------------------
 
 def _bitset_to_blob(state: bloom.BloomState) -> bytes:
-    """bits-and-blooms BinaryMarshal layout: BE uint64 length + BE words."""
+    """bits-and-blooms ``BitSet.WriteTo`` layout: BE uint64 bit-length +
+    BE uint64 words (bitset_mem.go:108-119 wraps this for streams)."""
     out = bytearray(int(state.spec.size).to_bytes(8, "big"))
     for w in state.bits:
         out += int(w).to_bytes(8, "big")
@@ -61,11 +62,18 @@ def _bitset_from_blob(blob: bytes) -> tuple[int, np.ndarray]:
 
 
 def export_bloom(state: bloom.BloomState) -> bytes:
+    # The reference's "b" field is DOUBLE-encoded (bloom_filter.go:253-259
+    # + bitset_mem.go:72-78): BitSet.MarshalJSON returns the bytes of a
+    # JSON-QUOTED URL-base64 string of the WriteTo frame, and Go's
+    # encoding/json then std-base64-encodes those bytes into the []byte
+    # field.  A single std-base64 of the raw frame (our pre-round-4
+    # layout) is unreadable by the Go importer and vice versa.
+    inner = b'"' + base64.urlsafe_b64encode(_bitset_to_blob(state)) + b'"'
     return json.dumps(
         {
             "m": state.spec.size,
             "k": state.spec.num_hashes,
-            "b": base64.b64encode(_bitset_to_blob(state)).decode(),
+            "b": base64.b64encode(inner).decode(),
             # "hash" marker only for the non-reference hash: a metro-mode
             # export carries EXACTLY the reference's field set (interop)
             **({"hash": "murmur"} if state.spec.hash == "murmur" else {}),
@@ -75,7 +83,10 @@ def export_bloom(state: bloom.BloomState) -> bytes:
 
 def import_bloom(data: bytes) -> bloom.BloomState:
     d = json.loads(data)
-    size, words = _bitset_from_blob(base64.b64decode(d["b"]))
+    blob = base64.b64decode(d["b"])
+    if blob[:1] == b'"':  # reference layout: JSON-quoted URL-base64
+        blob = base64.urlsafe_b64decode(blob[1:-1])
+    size, words = _bitset_from_blob(blob)
     if size != d["m"]:
         raise ValueError(f"bloom bitset length {size} != m {d['m']}")
     return bloom.BloomState(
@@ -145,10 +156,13 @@ def import_cms(data: bytes) -> cms.CMSState:
 # ---------------------------------------------------------------------------
 
 def export_cuckoo(state: cuckoo.CuckooState) -> bytes:
+    # bucket.getElements() returns ALL slots, empty ones as ""
+    # (bucket_mem.go:42-44); "l" is the OCCUPIED count (getLength)
     buckets = []
     for row in state.buckets:
-        elements = [str(int(fp)) for fp in row if fp != cuckoo.EMPTY]
-        buckets.append({"s": state.spec.bucket_size, "l": len(elements), "e": elements})
+        elements = [str(int(fp)) if fp != cuckoo.EMPTY else "" for fp in row]
+        n_occ = int(sum(1 for fp in row if fp != cuckoo.EMPTY))
+        buckets.append({"s": state.spec.bucket_size, "l": n_occ, "e": elements})
     return json.dumps(
         {
             "s": state.spec.size,
@@ -166,8 +180,15 @@ def import_cuckoo(data: bytes) -> cuckoo.CuckooState:
     spec = cuckoo.CuckooSpec(size=d["s"], bucket_size=d["bs"], fp_length=d["fpl"], retries=d["r"])
     state = cuckoo.new(spec)
     for i, b in enumerate(d["b"]):
-        for j, el in enumerate(b["e"]):
+        # mirror the reference's Import: bucket.add(el) skips "" (empty
+        # slots — cuckoo_filter.go:207-214, bucket_mem.go:57-60) and
+        # compacts occupied fingerprints into the first free slots
+        j = 0
+        for el in b["e"]:
+            if el == "":
+                continue
             state.buckets[i][j] = np.uint64(int(el))
+            j += 1
     state.length = d["l"]
     return state
 
@@ -183,7 +204,19 @@ def export_topk(state: topk.TopKState) -> bytes:
             "er": state.spec.error_rate,
             "a": state.spec.accuracy,
             "s": json.loads(export_cms(state.cms)),
-            "h": [{"v": v, "f": f} for v, f in sorted(state.candidates.items())],
+            # the reference marshals its live min-heap (<= k entries,
+            # heap-ordered by frequency ascending) and Import rebuilds it
+            # in array order with no heap.Init (top_k.go:159-180): emit
+            # the top-k selection frequency-ASCENDING — a valid min-heap
+            # — never the name-sorted, uncapped candidate table (which
+            # would break Go-side Insert gating and Values() sizing)
+            "h": [
+                {"v": v, "f": f}
+                for v, f in sorted(
+                    sorted(state.candidates.items(), key=lambda kv: (-kv[1], kv[0]))[: state.spec.k],
+                    key=lambda kv: (kv[1], kv[0]),
+                )
+            ],
             "hk": "",
         }
     ).encode()

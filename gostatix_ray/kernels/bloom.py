@@ -119,9 +119,7 @@ def contains(state: BloomState, values) -> np.ndarray:
 def positive_rate(state: BloomState) -> float:
     """Realized-FPP estimate, reference formula (bloom_filter.go:228-231):
     ``(1 - exp(-bitCount/size))^numHashes``."""
-    set_bits = int(np.bitwise_count(state.bits).sum()) if hasattr(np, "bitwise_count") else int(
-        np.unpackbits(state.bits.view(np.uint8)).sum()
-    )
+    set_bits = int(_popcount(state.bits).sum())
     return (1.0 - math.exp(-set_bits / state.spec.size)) ** state.spec.num_hashes
 
 
@@ -130,9 +128,7 @@ def approximate_count(state: BloomState) -> float:
     (Swamidass & Baldi 2007).  No reference counterpart; standard
     bloom-filter query."""
     m, k = state.spec.size, state.spec.num_hashes
-    x = int(np.bitwise_count(state.bits).sum()) if hasattr(np, "bitwise_count") else int(
-        np.unpackbits(state.bits.view(np.uint8)).sum()
-    )
+    x = int(_popcount(state.bits).sum())
     if x >= m:
         return float("inf")
     return -(m / k) * math.log(1.0 - x / m)
@@ -263,7 +259,11 @@ def from_bytes(data: bytes) -> BloomState:
             starts = np.flatnonzero(np.concatenate(([True], wi[1:] != wi[:-1])))
             bits[wi[starts]] = np.bitwise_or.reduceat(bv, starts)
         hash_mode = "metro" if magic == _MAGIC_SPARSE_METRO else "murmur"
-        return BloomState(BloomSpec(size=size, num_hashes=k, hash=hash_mode), bits)
+        # seed the journal with the just-decoded positions: a sparse
+        # partial that is loaded, updated and re-serialized keeps the
+        # documented scan-free to_bytes fast path
+        return BloomState(BloomSpec(size=size, num_hashes=k, hash=hash_mode), bits,
+                          journal=[pos.astype(np.uint64)])
     if magic not in (_MAGIC, _MAGIC_METRO):
         raise ValueError("not a bloom state blob")
     size, k = struct.unpack_from("<QQ", data, 4)

@@ -87,13 +87,31 @@ def update(state: KLLState, values, counts=None) -> None:
     mask = ~np.isnan(v)
     if counts is not None:
         # weighted insert: align counts with values BEFORE the NaN mask so
-        # weights stay attached to their own elements, then repeat
+        # weights stay attached to their own elements.  Weights are then
+        # handled LOGICALLY via bit decomposition — a count c contributes
+        # value x once at level h (weight 2^h) for each set bit h of c —
+        # O(n log max_c) inserted items, never an O(sum c) np.repeat
+        # materialization (a single pre-aggregated (value, 10^9) row is
+        # normal at this engine's scale and must not allocate 8 GB).
         c = np.asarray(counts, dtype=np.int64)
         if c.size < v.size:
             c = np.pad(c, (0, v.size - c.size), constant_values=1)
-        v = np.repeat(v[mask], np.maximum(c[: v.size][mask], 0))
-    else:
-        v = v[mask]
+        v, c = v[mask], np.maximum(c[: v.size][mask], 0)
+        keep = c > 0
+        v, c = v[keep], c[keep]
+        if v.size == 0:
+            return
+        for h in range(int(c.max()).bit_length()):
+            sel = (c >> h) & 1 == 1
+            if not sel.any():
+                continue
+            while h >= len(state.levels):
+                state.levels.append(np.empty(0, np.float64))
+            state.levels[h] = np.concatenate([state.levels[h], v[sel]])
+        state.n += int(c.sum())
+        _compact(state)
+        return
+    v = v[mask]
     if v.size == 0:
         return
     state.levels[0] = np.concatenate([state.levels[0], v])

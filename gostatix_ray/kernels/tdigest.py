@@ -102,6 +102,10 @@ def update(state: TDigestState, values, counts=None) -> None:
         if w.size < v.size:
             w = np.pad(w, (0, v.size - w.size), constant_values=1.0)
         v, w = v[mask], w[: mask.size][mask]
+        # zero/negative weights contribute nothing — kept, they produce
+        # 0/0 NaN centroid means in _compress (sibling kernels drop them)
+        pos = w > 0
+        v, w = v[pos], w[pos]
     if v.size == 0:
         return
     state.buf_means.append(v)
@@ -137,8 +141,9 @@ def quantile(state: TDigestState, q) -> np.ndarray:
     # centroid "centers" in cumulative-weight space
     cum = np.cumsum(w) - w / 2.0
     targets = qs * total
-    out = np.interp(targets, cum, m, left=m[0], right=m[-1])
-    return out if np.ndim(q) else out
+    # scalar q still yields a 1-element array — established caller
+    # contract (quantile(st, 0.5)[0] throughout catalog/tests)
+    return np.interp(targets, cum, m, left=m[0], right=m[-1])
 
 
 def cdf(state: TDigestState, x) -> np.ndarray:

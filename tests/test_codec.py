@@ -89,3 +89,86 @@ def test_hll_json_legacy_hash_defaults():
     d.pop("mode")  # reference-shaped blob
     ref = codec.import_json("hll", json.dumps(d).encode())
     assert ref.spec.hash == "metro"
+
+
+def test_import_cuckoo_go_style_empty_slots():
+    """The reference exports ALL bucket slots, empty ones as ""
+    (bucket_mem.go:42-44) — import must skip them like Go's add("")
+    no-op, not crash on int("") (round-4 review finding)."""
+    import json
+
+    from gostatix_ray import codec
+    from gostatix_ray.kernels import cuckoo
+
+    blob = json.dumps({
+        "s": 4, "bs": 2, "fpl": 8, "l": 2, "r": 10,
+        "b": [
+            {"s": 2, "l": 1, "e": ["37", ""]},
+            {"s": 2, "l": 0, "e": ["", ""]},
+            {"s": 2, "l": 1, "e": ["", "99"]},  # occupied slot compacts to front
+            {"s": 2, "l": 0, "e": ["", ""]},
+        ],
+    }).encode()
+    st = codec.import_cuckoo(blob)
+    assert st.length == 2
+    assert int(st.buckets[0][0]) == 37
+    assert int(st.buckets[2][0]) == 99  # compacted, Go add() semantics
+
+
+def test_export_cuckoo_emits_all_slots():
+    import json
+
+    from gostatix_ray import codec
+    from gostatix_ray.kernels import cuckoo
+
+    spec = cuckoo.CuckooSpec(size=8, bucket_size=4, fp_length=8, retries=10)
+    st = cuckoo.new(spec)
+    cuckoo.insert_batch(st, ["a", "b"])
+    d = json.loads(codec.export_cuckoo(st))
+    for b in d["b"]:
+        assert len(b["e"]) == 4  # every slot, "" for empty
+        assert b["l"] == sum(1 for e in b["e"] if e != "")
+    st2 = codec.import_cuckoo(codec.export_cuckoo(st))
+    assert cuckoo.lookup_batch(st2, ["a", "b"]).all()
+
+
+def test_bloom_json_reference_double_encoding():
+    """The reference's "b" field is base64(JSON-quoted URL-base64 of the
+    BitSet.WriteTo frame) — bloom_filter.go:253-259 + bitset_mem.go:72-78
+    (round-4 review finding: we emitted a single std-base64)."""
+    import base64
+    import json
+
+    from gostatix_ray import codec
+    from gostatix_ray.kernels import bloom
+
+    spec = bloom.BloomSpec.from_params(100, 0.01)
+    st = bloom.new(spec)
+    bloom.update(st, ["x", "y", "z"])
+    d = json.loads(codec.export_bloom(st))
+    inner = base64.b64decode(d["b"])
+    assert inner[:1] == b'"' and inner[-1:] == b'"'  # JSON-quoted string bytes
+    frame = base64.urlsafe_b64decode(inner[1:-1])
+    assert int.from_bytes(frame[:8], "big") == spec.size  # WriteTo bit-length
+    st2 = codec.import_bloom(codec.export_bloom(st))
+    assert bloom.equals(st, st2)
+    assert bloom.contains(st2, ["x", "y", "z"]).all()
+
+
+def test_export_topk_heap_is_min_heap_and_capped():
+    """Go Import rebuilds the heap in array order with no heap.Init
+    (top_k.go:167-180): the exported "h" must be frequency-ascending and
+    hold at most k entries (round-4 review finding)."""
+    import json
+
+    from gostatix_ray import codec
+    from gostatix_ray.kernels import topk
+
+    spec = topk.TopKSpec(k=2)
+    st = topk.new(spec)
+    topk.update(st, ["a"] * 100 + ["b"] * 1 + ["c"] * 50)
+    d = json.loads(codec.export_topk(st))
+    freqs = [e["f"] for e in d["h"]]
+    assert len(d["h"]) <= 2
+    assert freqs == sorted(freqs)  # valid min-heap in array order
+    assert {e["v"] for e in d["h"]} == {"a", "c"}  # the true top-2

@@ -119,3 +119,29 @@ def test_kll_roundtrip(data):
     s2 = kll.from_bytes(kll.to_bytes(s))
     assert s2.n == s.n
     assert float(kll.quantile(s2, 0.5)[0]) == pytest.approx(float(kll.quantile(s, 0.5)[0]), rel=0.1)
+
+
+def test_tdigest_zero_weight_dropped():
+    """count=0 rows must contribute nothing — kept, they produce 0/0 NaN
+    centroid means (round-4 review finding)."""
+    t = tdigest.new(tdigest.TDigestSpec(compression=100.0))
+    tdigest.update(t, [1.0, 2.0], [1, 0])
+    qs = tdigest.quantile(t, [0.5, 1.0])
+    assert not np.isnan(qs).any()
+    assert tdigest.total_weight(t) == 1
+    # all-zero batch: no-op, not NaN poisoning
+    t2 = tdigest.new(tdigest.TDigestSpec(compression=100.0))
+    tdigest.update(t2, [5.0], [0])
+    assert tdigest.total_weight(t2) == 0
+
+
+def test_kll_huge_count_no_materialization():
+    """A single pre-aggregated (value, 10^9) row must insert via bit
+    decomposition, never an O(count) np.repeat (round-4 review finding:
+    8 GB allocation)."""
+    s = kll.new(kll.KLLSpec(k=64))
+    kll.update(s, [42.0, 7.0], [10**9, 1])
+    assert s.n == 10**9 + 1
+    assert sum(l.size for l in s.levels) < 1000  # logical weights, not copies
+    assert float(kll.quantile(s, 0.5)[0]) == 42.0
+    assert float(kll.rank(s, 42.0)[0]) > 0.99
