@@ -40,16 +40,25 @@ class _BatchTopK:
         return self._q
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = _normalize(np.stack(batch[self.emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        if batch.num_rows == 0:  # empty upstream block: typed empty out
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                self.id_col: batch[self.id_col],
+                "cosine": pa.array([], pa.float64()),
+            })
+        emb = _normalize(np.stack(batch[self.emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
         sims = self.q @ emb.T  # (nq, nb)
         k = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         rows_q, rows_v, rows_s = [], [], []
         for qi in range(sims.shape[0]):
+            # deterministic local prune (cosine desc, id asc): argpartition
+            # would drop TIED candidates at the k boundary arbitrarily,
+            # making the global result depend on block boundaries
+            top = np.lexsort((ids, -sims[qi]))[:k]
             rows_q.extend([qi] * k)
-            rows_v.extend(ids[top[qi]])
-            rows_s.extend(sims[qi, top[qi]])
+            rows_v.extend(ids[top])
+            rows_s.extend(sims[qi, top])
         return pa.table(
             {
                 "query_id": pa.array(rows_q, pa.int64()),
@@ -119,6 +128,11 @@ def threshold_search(ds, queries: np.ndarray, *, id_col="vec_id", emb_col="embed
         def __call__(self, batch: pa.Table) -> pa.Table:
             if self.q is None:
                 self.q = ray.get(qref)
+            if batch.num_rows == 0:
+                out = {"query_id": pa.array([], pa.int64()), id_col: batch[id_col]}
+                if include_score:
+                    out["cosine"] = pa.array([], pa.float64())
+                return pa.table(out)
             emb = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             sims = self.q @ emb.T
@@ -160,7 +174,10 @@ def ivf_partition(ds, codebook: np.ndarray, *, emb_col="embedding", concurrency=
 
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
-    cref = ray.put(np.asarray(codebook, dtype=np.float64))
+    # normalized like every other IVF path: probe selection and gating
+    # must share one geometry (cosine), or recall silently degrades for
+    # non-unit codebooks
+    cref = ray.put(_normalize(np.asarray(codebook, dtype=np.float64)))
 
     class _Assign:
         def __init__(self):
@@ -169,6 +186,8 @@ def ivf_partition(ds, codebook: np.ndarray, *, emb_col="embedding", concurrency=
         def __call__(self, batch: pa.Table) -> pa.Table:
             if self.cent is None:
                 self.cent = ray.get(cref)
+            if batch.num_rows == 0:
+                return batch.append_column("centroid", pa.array([], pa.int64()))
             emb = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
             assign = np.argmax(emb @ self.cent.T, axis=1)
             return batch.append_column("centroid", pa.array(assign.astype(np.int64)))
@@ -366,6 +385,13 @@ def kmeans_fit(ds, *, emb_col: str = "embedding", k: int = 8, iters: int = 5,
             def __call__(self, batch: pa.Table) -> pa.Table:
                 if self.cent is None:
                     self.cent = ray.get(cref)
+                if batch.num_rows == 0:
+                    return pa.table({
+                        "cluster": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "vecsum": pa.array([], pa.binary()),
+                        "inertia": pa.array([], pa.float64()),
+                    })
                 emb = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
                 sims = emb @ self.cent.T
                 assign = np.argmax(sims, axis=1)
@@ -455,6 +481,13 @@ class _PQEncode:
             self._books = ray.get(self._ref) if not isinstance(self._ref, np.ndarray) else self._ref
         books = self._books
         m, n_codes, dsub = books.shape
+        if batch.num_rows == 0:  # ivfpq's gate routinely empties blocks
+            from .dedup import rows_to_binary
+
+            return pa.table({
+                self.id_col: batch[self.id_col],
+                "pq_code": rows_to_binary(np.empty((0, m), dtype=np.uint8)),
+            })
         emb = _normalize(np.stack(batch[self.emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
         codes = np.empty((len(emb), m), dtype=np.uint8)
         for mi in range(m):
@@ -565,7 +598,7 @@ def ivfpq_topk(ds, queries: np.ndarray, codebook: np.ndarray, pq_books: np.ndarr
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
     q = _normalize(np.asarray(queries, dtype=np.float64))
-    cent = np.asarray(codebook, dtype=np.float64)
+    cent = _normalize(np.asarray(codebook, dtype=np.float64))  # cosine, like ivf_topk
     sims = q @ cent.T
     probe = set()
     for qi in range(len(q)):
@@ -581,6 +614,8 @@ def ivfpq_topk(ds, queries: np.ndarray, codebook: np.ndarray, pq_books: np.ndarr
         def __call__(self, batch: pa.Table) -> pa.Table:
             if self.cent is None:
                 self.cent = ray.get(cref)
+            if batch.num_rows == 0:
+                return batch
             emb = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64))
             assign = np.argmax(emb @ self.cent.T, axis=1)
             return batch.filter(pa.array(np.isin(assign, probe_arr)))

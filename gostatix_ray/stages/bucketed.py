@@ -82,7 +82,11 @@ def _match(lt: pa.Table, rt: pa.Table, *, lkey: str, rkey: str, out_key: str,
     kl_raw = lt[lkey].to_numpy(zero_copy_only=False)
     kr_raw = pc.cast(rt[rkey], lt.schema.field(lkey).type).to_numpy(zero_copy_only=False)
     codes, _ = pd.factorize(np.concatenate([kl_raw, kr_raw]))
-    kl, kr = codes[: len(kl_raw)], codes[len(kl_raw):]
+    kl, kr = codes[: len(kl_raw)].copy(), codes[len(kl_raw):].copy()
+    # SQL NULL-never-matches: factorize codes every null -1, which would
+    # equi-join NULL to NULL; give each side a distinct unmatched code
+    kl[kl == -1] = -2
+    kr[kr == -1] = -3
     order = np.argsort(kr, kind="stable")
     kr_s = kr[order]
     lo = np.searchsorted(kr_s, kl, side="left")

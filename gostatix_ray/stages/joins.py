@@ -228,7 +228,13 @@ class _HashJoinBucketMatch:
         codes, _ = pd.factorize(k)
         lidx = np.flatnonzero(side == 1)
         ridx = np.flatnonzero(side == 0)
-        kl, kr = codes[lidx], codes[ridx]
+        kl, kr = codes[lidx].copy(), codes[ridx].copy()
+        # SQL NULL-never-matches: factorize codes every null -1, which
+        # would equi-join NULL keys; distinct per-side unmatched codes
+        # make them flow as misses (left/outer keep them unmatched,
+        # inner/semi drop, anti keeps — NOT EXISTS semantics)
+        kl[kl == -1] = -2
+        kr[kr == -1] = -3
         order = np.argsort(kr, kind="stable")
         kr_s = kr[order]
         lo = np.searchsorted(kr_s, kl, side="left")
@@ -342,8 +348,10 @@ def hash_join(
     ``left_cols`` / ``right_cols``: {source column -> output name};
     output-name collisions are the caller's to avoid.  The join key is
     emitted once under the LEFT name; a differently-named right key is
-    given via ``right_key`` and cast to the left key's type.  Keys must
-    be non-null.  Scale shape: each side shuffles once, pre-projected to
+    given via ``right_key`` and cast to the left key's type.  NULL keys
+    follow SQL semantics: they never match (inner/semi drop them, left/
+    outer/anti keep them unmatched).  Scale shape: each side shuffles
+    once, pre-projected to
     key + carried columns; skewed keys stay inside one vectorized bucket
     call — raise ``num_buckets`` (or bloom-prune the probe side) for hot
     keys.  Duplicate keys produce the full m×n cross product per key —

@@ -249,10 +249,16 @@ def merge_partials_streaming(partials, *, combine_batch: int = 512, levels: int 
 
 
 def collect_final(merged) -> dict[tuple[str, str], bytes]:
-    """Small final result: {(sketch, group_key): state bytes}."""
+    """Small final result: {(sketch, group_key): state bytes}.
+
+    (No full_throttle() wrapper here: the DataContext is snapshotted at
+    ROOT dataset creation, so toggling it around iteration of an
+    already-built dataset is a no-op — callers that want reservation
+    off must build their pipeline under full_throttle() / pass it
+    through full_throttle_dataset, as SketchPipeline.run does.)
+    """
     out = {}
-    with full_throttle():
-        for batch in merged.iter_batches(batch_size=4096, batch_format="pyarrow"):
-            for row in batch.to_pylist():
-                out[(row["sketch"], row["group_key"])] = decompress_state(row["state"])
+    for batch in merged.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            out[(row["sketch"], row["group_key"])] = decompress_state(row["state"])
     return out

@@ -27,6 +27,30 @@ from .dedup import bucketed_groupby
 _OPS = {"intersect": 3, "except": 1, "union": 0}
 
 
+def _combined_codes(df: "pd.DataFrame", keys) -> "np.ndarray":
+    """Composite-key group ids, overflow-safe.
+
+    Per-column factorized codes are packed pairwise with RE-COMPACTION
+    after every step: the naive running product ``comb*len(uniq)+codes``
+    silently wraps int64 once three-plus high-cardinality columns
+    multiply out past 2^63, colliding distinct keys.  Re-factorizing
+    keeps ``comb < len(df)``, so each pack is bounded by
+    ``len(df) * len(uniq) <= len(df)^2`` — safe for any bucket under
+    ~3e9 rows.  NULLs get a REAL code (use_na_sentinel=False): the -1
+    sentinel would make (g, NULL) collide with (g-1, last_code), and
+    SQL set ops treat NULLs as equal-to-each-other keys.
+    """
+    comb = None
+    for c in keys:
+        codes, uniq = pd.factorize(df[c], use_na_sentinel=False)
+        if comb is None:
+            comb = codes.astype(np.int64)
+        else:
+            packed = comb * np.int64(len(uniq)) + codes.astype(np.int64)
+            comb = pd.factorize(packed)[0].astype(np.int64)
+    return comb
+
+
 def key_set_op(ds_a, ds_b, *, key, op: str, num_buckets: int = 64):
     """DISTINCT keys of ``op`` applied to two Datasets' ``key`` column(s).
 
@@ -53,15 +77,9 @@ def key_set_op(ds_a, ds_b, *, key, op: str, num_buckets: int = 64):
     want = _OPS[op]
 
     def _reduce(df: pd.DataFrame) -> pd.DataFrame:
-        # combine per-column factorized codes into one group id (vectorized;
-        # no per-group Python even for composite keys).  NULLs get a REAL
-        # code (use_na_sentinel=False): the -1 sentinel would make
-        # (g, NULL) collide with (g-1, last_code), and SQL set ops treat
-        # NULLs as equal-to-each-other keys.
-        comb = None
-        for c in keys:
-            codes, uniq = pd.factorize(df[c], use_na_sentinel=False)
-            comb = codes.astype(np.int64) if comb is None else comb * len(uniq) + codes
+        # one vectorized group id per composite key (see _combined_codes
+        # for the overflow + NULL story)
+        comb = _combined_codes(df, keys)
         ucomb, first_idx = np.unique(comb, return_index=True)
         gcodes = np.searchsorted(ucomb, comb)
         tags = np.zeros(len(ucomb), dtype=np.int8)
@@ -83,12 +101,7 @@ def distinct_count(ds, keys, *, num_buckets: int = 32) -> int:
         return batch.select(keys).group_by(keys).aggregate([])
 
     def _count(df: pd.DataFrame) -> pd.DataFrame:
-        comb = None
-        for c in keys:
-            # use_na_sentinel=False: see key_set_op._reduce — NULL keys
-            # must get a real code, not -1
-            codes, uniq = pd.factorize(df[c], use_na_sentinel=False)
-            comb = codes.astype(np.int64) if comb is None else comb * len(uniq) + codes
+        comb = _combined_codes(df, keys)
         return pd.DataFrame({"n": np.array([len(np.unique(comb))], dtype=np.int64)})
 
     parts = bucketed_groupby(ds.map_batches(_distinct, batch_format="pyarrow"),

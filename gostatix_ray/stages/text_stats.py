@@ -29,9 +29,17 @@ _STOPWORDS = {
 }
 
 
-def _tokens(batch_text: pa.ChunkedArray | pa.Array) -> pa.Array:
+def _text(batch_text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Text column normalized for the vectorized kernels: one chunk,
+    nulls as "" — a null row otherwise becomes a NULL token list whose
+    list_value_length is null -> NaN -> INT64_MIN under .astype(int64),
+    crashing np.repeat/reduceat for the whole stage."""
     col = batch_text.combine_chunks() if isinstance(batch_text, pa.ChunkedArray) else batch_text
-    return pc.split_pattern(col, pattern=" ")
+    return pc.fill_null(col, "")
+
+
+def _tokens(batch_text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.split_pattern(_text(batch_text), pattern=" ")
 
 
 class TokenStats:
@@ -47,11 +55,12 @@ class TokenStats:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = _tokens(batch[self.text_col])
+        text = _text(batch[self.text_col])
+        toks = pc.split_pattern(text, pattern=" ")
         n_tokens = pc.list_value_length(toks).cast(pa.int64())
-        n_chars = pc.utf8_length(batch[self.text_col]).cast(pa.int64())
+        n_chars = pc.utf8_length(text).cast(pa.int64())
         # Arrow-native non-overlapping match count — no per-row Python regex
-        n_bpe = pc.count_substring_regex(batch[self.text_col], self._BPE_RE2).cast(pa.int64())
+        n_bpe = pc.count_substring_regex(text, self._BPE_RE2).cast(pa.int64())
         avg_len = pc.divide(
             pc.cast(pc.subtract(n_chars, pc.subtract(n_tokens, 1)), pa.float64()),
             pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64()),
@@ -95,7 +104,7 @@ class QualityScore:
             new[1:] = (hh[1:] != hh[:-1]) | (dd[1:] != dd[:-1])
         distinct = np.bincount(dd, weights=new.astype(np.float64), minlength=len(lengths))
         distinct_ratio = distinct / np.maximum(lengths, 1)
-        n_chars = pc.utf8_length(batch[self.text_col]).to_numpy(zero_copy_only=False)
+        n_chars = pc.utf8_length(_text(batch[self.text_col])).to_numpy(zero_copy_only=False)
         score = (
             0.4 * np.clip(lengths / 100.0, 0, 1)
             + 0.3 * distinct_ratio
@@ -155,9 +164,7 @@ class Fingerprint:
         self.window = window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch[self.text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
+        col = _text(batch[self.text_col])
         h1, _ = hash128(col, SEED_FEATURE)
         # rolling min over word-window shingles
         toks = pc.split_pattern(col, pattern=" ")
@@ -212,9 +219,7 @@ def doc_ngrams(texts, n: int) -> tuple[pa.Array, np.ndarray]:
     twin ``t[i:i+n-1]``).  No per-row Python: one split, n shifted
     slices of the flat token array, one element-wise join.
     """
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    toks = pc.split_pattern(texts, pattern=" ")
+    toks = pc.split_pattern(_text(texts), pattern=" ")
     flat = pc.list_flatten(toks)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
