@@ -1465,6 +1465,82 @@ def q_events_daily_active_users(sf_dir: str):
     return small_group_agg(pairs, "day", {"active_users": (None, "count")})
 
 
+# --- time-partitioned sketch cube (pipelines/cube.py) ----------------------
+
+_CUBE_LO, _CUBE_HI = "2024-01-08", "2024-01-16"  # testdata spans Jan 1-30
+
+
+def _cube_requests():
+    return [
+        SketchRequest("users_hll", "hll", hll.HLLSpec(m=1 << 14),
+                      on=lambda b: pc.cast(b["user_id"], pa.string())),
+        SketchRequest("type_topk", "topk",
+                      topk.TopKSpec(k=3, error_rate=0.0001, accuracy=0.01),
+                      on="event_type"),
+    ]
+
+
+def _events_day_cube(sf_dir: str) -> str:
+    """Build (once per sf_dir; fingerprinted scratch dir) the day-unit
+    sketch cube over events.  Atomic publish: build into a tmp dir,
+    rename into place — a killed build never leaves a readable half-cube."""
+    from .cube import build_sketch_cube, cube_fingerprint
+
+    reqs = _cube_requests()
+    tag = cube_fingerprint(sf_dir, unit="day", requests=reqs)
+    out = f"/tmp/gostatix_ray/events_cube_{tag}"
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    tmp = f"{out}.build{os.getpid()}"
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    build_sketch_cube(ds, reqs, time_col="ts", unit="day", out_dir=tmp,
+                      concurrency=_CONC)
+    try:
+        os.rename(tmp, out)
+    except OSError:  # concurrent builder won the rename; theirs is identical
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_cube_dau_range(sf_dir: str):
+    """Range query over the persisted day-cube: distinct users and top
+    event types in [2024-01-08, 2024-01-16) answered by MERGING eight
+    per-day sketch states — zero input rows rescanned (estimate-valued;
+    exact twin: distinct_users_day_range_exact).  The 100-TB shape: the
+    raw scan is paid once at cube build; every subsequent range costs
+    O(cells) kilobyte-state merges."""
+    from .cube import cube_range_distinct, cube_range_topk
+
+    cube_dir = _events_day_cube(sf_dir)
+    est = cube_range_distinct(cube_dir, "users_hll", _CUBE_LO, _CUBE_HI)
+    top = cube_range_topk(cube_dir, "type_topk", _CUBE_LO, _CUBE_HI)
+    return pd.DataFrame({
+        "range_lo": [_CUBE_LO],
+        "range_hi": [_CUBE_HI],
+        "distinct_users_est": [est],
+        "top_event_type": [top[0][0] if top else None],
+    })
+
+
+def q_distinct_users_day_range_exact(sf_dir: str):
+    """Exact twin of the cube range query: distinct users with
+    2024-01-08 <= ts < 2024-01-16 (oracle-checked)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _filt(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        keep = pc.and_(
+            pc.greater_equal(ts, pa.scalar(np.datetime64(_CUBE_LO, "us"), pa.timestamp("us"))),
+            pc.less(ts, pa.scalar(np.datetime64(_CUBE_HI, "us"), pa.timestamp("us"))),
+        )
+        return batch.filter(keep).select(["user_id"])
+
+    n = ds.map_batches(_filt, batch_format="pyarrow").groupby("user_id").count().count()
+    return pd.DataFrame({"distinct_users": [n]})
+
+
 def q_hll_users_by_type(sf_dir: str):
     """Grouped HLL: distinct-user estimate per event_type (rows-only;
     exact twin is distinct_users_by_type_exact)."""
@@ -2259,7 +2335,9 @@ QUERIES = {
     "user_running_value": q_user_running_value,
     "lang_doc_stats": q_lang_doc_stats,
     "events_daily_active_users": q_events_daily_active_users,
+    "distinct_users_day_range_exact": q_distinct_users_day_range_exact,
     # --- estimate-valued / not SQL-expressible (rows-only checks) ---
+    "cube_dau_range": q_cube_dau_range,
     "hll_distinct_users": q_hll_distinct_users,
     "hll_users_intersection": q_hll_users_intersection,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -2644,6 +2722,10 @@ ORACLE_SQL = {
     "events_daily_active_users": (
         "SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS active_users "
         "FROM events GROUP BY date_trunc('day', ts)"
+    ),
+    "distinct_users_day_range_exact": (
+        "SELECT count(DISTINCT user_id) AS distinct_users FROM events "
+        f"WHERE ts >= TIMESTAMP '{_CUBE_LO}' AND ts < TIMESTAMP '{_CUBE_HI}'"
     ),
     "events_sliding_window": (
         "SELECT user_id, window_start, count(*) AS n FROM ("

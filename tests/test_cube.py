@@ -1,0 +1,156 @@
+"""Sketch-cube tests: range-merge correctness, delta extension,
+compaction byte-stability, persistence (pipelines/cube.py)."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from gostatix_ray.kernels import hll, topk
+from gostatix_ray.pipelines.cube import (
+    build_sketch_cube,
+    compact_sketch_cube,
+    cube_range_distinct,
+    cube_range_state,
+    cube_range_topk,
+    extend_sketch_cube,
+    read_cube,
+)
+from gostatix_ray.stages.build import SketchRequest
+
+SF = "/root/testdata/sf0.001"
+LO, HI = "2024-01-08", "2024-01-16"
+
+
+def _requests():
+    return [
+        SketchRequest("users_hll", "hll", hll.HLLSpec(m=1 << 14),
+                      on=lambda b: pc.cast(b["user_id"], pa.string())),
+        SketchRequest("type_topk", "topk",
+                      topk.TopKSpec(k=3, error_rate=0.0001, accuracy=0.01),
+                      on="event_type"),
+    ]
+
+
+@pytest.fixture(scope="module")
+def cube_dir(ray_session, tmp_path_factory):
+    import ray
+
+    out = str(tmp_path_factory.mktemp("cube") / "events_cube")
+    ds = ray.data.read_parquet(os.path.join(SF, "events.parquet"),
+                               columns=["user_id", "event_type", "ts"])
+    build_sketch_cube(ds, _requests(), time_col="ts", unit="day", out_dir=out)
+    return out
+
+
+def _exact(lo, hi, col="user_id"):
+    df = pd.read_parquet(os.path.join(SF, "events.parquet"),
+                         columns=[col, "ts"])
+    m = (df["ts"] >= np.datetime64(lo)) & (df["ts"] < np.datetime64(hi))
+    return df.loc[m, col]
+
+
+def test_cube_cells_and_schema(cube_dir):
+    tbl = read_cube(cube_dir)
+    assert set(tbl.column_names) >= {"sketch", "kind", "group_key", "state", "rows"}
+    days = sorted(set(tbl.filter(pc.equal(tbl["sketch"], "users_hll"))["group_key"].to_pylist()))
+    assert days[0].startswith("2024-01-01") and days[-1].startswith("2024-01-30")
+    assert len(days) == 30  # one cell per day in the testdata span
+
+
+def test_range_distinct_within_hll_bound(cube_dir):
+    exact = _exact(LO, HI).nunique()
+    est = cube_range_distinct(cube_dir, "users_hll", LO, HI)
+    rel = 1.04 / np.sqrt(1 << 14)
+    assert abs(est - exact) <= max(3 * rel * exact, 2), (est, exact)
+
+
+def test_range_topk_matches_exact_heavy_hitter(cube_dir):
+    counts = _exact(LO, HI, col="event_type").value_counts()
+    top = cube_range_topk(cube_dir, "type_topk", LO, HI)
+    assert top[0][0] == counts.index[0]
+
+
+def test_open_range_equals_full_build(cube_dir, ray_session):
+    """Merging ALL daily cells == one global HLL over the table (max-merge
+    associativity => byte-identical registers)."""
+    import ray
+
+    _, merged, rows = cube_range_state(cube_dir, "users_hll")
+    df = pd.read_parquet(os.path.join(SF, "events.parquet"), columns=["user_id"])
+    direct = hll.new(hll.HLLSpec(m=1 << 14))
+    hll.update(direct, pa.array(df["user_id"].astype(str)))
+    assert rows == len(df)
+    assert hll.equals(merged, direct)
+
+
+def test_extend_then_range_equals_one_shot(cube_dir, ray_session, tmp_path):
+    """Cube built over two halves (build + extend) answers every range
+    byte-identically to the one-shot cube."""
+    import ray
+
+    split = "2024-01-15T12:00:00"  # mid-day: the Jan-15 cell spans BOTH deltas
+    out = str(tmp_path / "cube2")
+    ds = ray.data.read_parquet(os.path.join(SF, "events.parquet"),
+                               columns=["user_id", "event_type", "ts"])
+    cut = pa.scalar(np.datetime64(split, "us"), pa.timestamp("us"))
+
+    def _before(b):
+        return b.filter(pc.less(b["ts"], cut))
+
+    def _after(b):
+        return b.filter(pc.greater_equal(b["ts"], cut))
+
+    build_sketch_cube(ds.map_batches(_before, batch_format="pyarrow"),
+                      _requests(), time_col="ts", unit="day", out_dir=out)
+    extend_sketch_cube(ds.map_batches(_after, batch_format="pyarrow"),
+                       _requests(), time_col="ts", unit="day", out_dir=out)
+    for lo, hi in [(LO, HI), (None, None), ("2024-01-14", "2024-01-16")]:
+        a = cube_range_state(cube_dir, "users_hll", lo, hi)[1]
+        b = cube_range_state(out, "users_hll", lo, hi)[1]
+        assert hll.equals(a, b), (lo, hi)
+
+    # compaction folds the delta rows and stays byte-identical
+    n_before = read_cube(out).num_rows
+    compact_sketch_cube(out)
+    tbl = read_cube(out)
+    assert tbl.num_rows < n_before
+    gk = tbl.filter(pc.equal(tbl["sketch"], "users_hll"))["group_key"]
+    assert len(set(gk.to_pylist())) == len(gk)  # one row per cell
+    for lo, hi in [(LO, HI), (None, None)]:
+        a = cube_range_state(cube_dir, "users_hll", lo, hi)[1]
+        b = cube_range_state(out, "users_hll", lo, hi)[1]
+        assert hll.equals(a, b)
+
+
+def test_persisted_cube_needs_no_input(cube_dir, tmp_path):
+    """A copied cube directory answers ranges with zero engine/input access."""
+    dst = str(tmp_path / "copy")
+    shutil.copytree(cube_dir, dst)
+    est = cube_range_distinct(dst, "users_hll", LO, HI)
+    assert est > 0
+
+
+def test_group_by_reserved():
+    with pytest.raises(ValueError):
+        build_sketch_cube(None, [SketchRequest("x", "hll", hll.HLLSpec(m=16),
+                                               on="c", group_by="g")],
+                          out_dir="/tmp/never")
+
+
+def test_catalog_cube_queries(ray_session):
+    from gostatix_ray.pipelines.catalog import (
+        q_cube_dau_range,
+        q_distinct_users_day_range_exact,
+    )
+
+    exact = q_distinct_users_day_range_exact(SF)["distinct_users"].iloc[0]
+    got = q_cube_dau_range(SF)
+    assert exact == _exact(LO, HI).nunique()
+    rel = 1.04 / np.sqrt(1 << 14)
+    est = got["distinct_users_est"].iloc[0]
+    assert abs(est - exact) <= max(3 * rel * exact, 2)
