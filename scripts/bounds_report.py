@@ -64,7 +64,9 @@ def main() -> None:
     rows: list[dict] = []
 
     def read(path, cols):
-        return ray.data.read_parquet(path, columns=cols)
+        from gostatix_ray.sources.pq_read import clean_read_parquet
+
+        return clean_read_parquet(path, columns=cols)
 
     # ---- HLL ---------------------------------------------------------------
     exact_users = con.sql(f"SELECT count(DISTINCT user_id) FROM '{ev}'").fetchone()[0]
