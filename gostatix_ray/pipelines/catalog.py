@@ -294,6 +294,43 @@ def q_hll_users_intersection(sf_dir: str):
     })
 
 
+def q_kmv_users_set_algebra(sf_dir: str):
+    """KMV (bottom-k / theta) set algebra: |A|, |B|, |A∪B|, |A∩B|, |A\\B|
+    from two mergeable bottom-k sketches — the shared-threshold sample
+    overlap estimator (kernels/kmv.py), NOT inclusion-exclusion, so
+    small intersections keep bounded error where HLL's cancels digits.
+    Both sketches build in ONE pass (two filtered projections of the
+    same read).  Estimate-valued (rows-only); exact twin:
+    q_click_and_signup_users; exactness below k asserted in test_kmv."""
+    from ..kernels import kmv
+    from ..stages.merge import full_throttle_dataset
+
+    spec = kmv.KMVSpec(k=1024)
+
+    def _users_where(et):
+        def _proj(b: pa.Table) -> pa.Array:
+            keep = pc.equal(b["event_type"], et)
+            return pc.cast(pc.filter(b["user_id"], keep), pa.string())
+
+        return _proj
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    partials = build_partials(
+        full_throttle_dataset(ds),
+        [SketchRequest("click_kmv", "kmv", spec, on=_users_where("click")),
+         SketchRequest("signup_kmv", "kmv", spec, on=_users_where("signup"))],
+        concurrency=_CONC,
+    )
+    final = collect_final(merge_partials_streaming(partials))
+    a = kmv.from_bytes(final[("click_kmv", "")])
+    b = kmv.from_bytes(final[("signup_kmv", "")])
+    return pd.DataFrame({
+        "set_expr": ["click", "signup", "union", "intersection", "click_only"],
+        "users_est": [kmv.estimate(a), kmv.estimate(b), kmv.union_count(a, b),
+                      kmv.intersection_count(a, b), kmv.difference_count(a, b)],
+    })
+
+
 def q_bloom_anti_join_open_orders(sf_dir: str):
     """Anti-join through a negated bloom filter: lineitem rows whose order
     is NOT in status 'F', counted per returnflag.
@@ -2340,6 +2377,7 @@ QUERIES = {
     "cube_dau_range": q_cube_dau_range,
     "hll_distinct_users": q_hll_distinct_users,
     "hll_users_intersection": q_hll_users_intersection,
+    "kmv_users_set_algebra": q_kmv_users_set_algebra,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash_dedup_pairs": q_simhash_dedup_pairs,
     "embedding_near_dup": q_embedding_near_dup,

@@ -6,7 +6,7 @@ merge(a, b), to_bytes(state), from_bytes(blob), equals(a, b).
 
 from __future__ import annotations
 
-from .kernels import bloom, cms, cuckoo, hll, kll, moments, tdigest, topk
+from .kernels import bloom, cms, cuckoo, hll, kll, kmv, moments, tdigest, topk
 
 KERNELS = {
     "bloom": bloom,
@@ -17,14 +17,16 @@ KERNELS = {
     "tdigest": tdigest,
     "kll": kll,
     "moments": moments,
+    "kmv": kmv,
 }
 
 #: kinds whose merge is associative AND byte-stable (bit-identical final
 #: state for any partition order).  tdigest / kll merges preserve error
 #: bounds but not bytes; cuckoo has no merge at all (partitioned filter).
-#: moments is byte-stable because its power sums are exact Python ints.
-BYTE_STABLE = {"bloom", "hll", "cms", "topk", "moments"}
-MERGEABLE = {"bloom", "hll", "cms", "topk", "tdigest", "kll", "moments"}
+#: moments is byte-stable because its power sums are exact Python ints;
+#: kmv because bottom-k of a hash union is order-free.
+BYTE_STABLE = {"bloom", "hll", "cms", "topk", "moments", "kmv"}
+MERGEABLE = {"bloom", "hll", "cms", "topk", "tdigest", "kll", "moments", "kmv"}
 
 
 def kernel_for(kind: str):

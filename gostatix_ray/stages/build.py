@@ -233,7 +233,7 @@ class SketchBuilder:
             if len(distinct) * 2 > n:  # mostly-unique keys: dedupe gains nothing
                 kernel.update(state, vals)
                 return
-            if req.kind in ("bloom", "hll", "cuckoo"):
+            if req.kind in ("bloom", "hll", "cuckoo", "kmv"):
                 kernel.update(state, distinct)
                 return
             kernel.update(state, distinct, vc.field("counts").to_numpy(zero_copy_only=False))
@@ -248,7 +248,7 @@ class SketchBuilder:
             else:
                 kernel.update(state, vals)
             return
-        if req.kind in ("bloom", "hll", "cuckoo"):
+        if req.kind in ("bloom", "hll", "cuckoo", "kmv"):
             kernel.update(state, distinct)
             return
         codes = enc.indices.to_numpy(zero_copy_only=False)

@@ -120,6 +120,22 @@ def main() -> None:
                      bound=f"FPP <= ~1.5*p = {1.5 * p_cfg}; FN = 0",
                      ok=bool(fn == 0 and fp <= 1.5 * p_cfg)))
 
+    # ---- KMV (bottom-k / theta) ---------------------------------------------
+    from gostatix_ray.kernels import kmv
+
+    k = 1024
+    st = one_state(read(ev, ["user_id"]),
+                   SketchRequest("k", "kmv", kmv.KMVSpec(k=k),
+                                 on=lambda b: pc.cast(b["user_id"], pa.string())))
+    est = kmv.estimate(st)
+    rel = abs(est - exact_users) / exact_users
+    rse = kmv.KMVSpec(k=k).relative_standard_error()
+    rows.append(dict(sketch=f"KMV k={k}", metric="distinct user_id",
+                     exact=exact_users, estimate=round(est, 1),
+                     observed=f"{rel:.4%} rel err",
+                     bound=f"3/sqrt(k-2) = {3 * rse:.4%}" + (" (exact below k)" if est == exact_users else ""),
+                     ok=bool(rel <= 3 * rse)))
+
     # ---- Top-K -------------------------------------------------------------
     top_exact = con.sql(
         f"SELECT event_type, count(*) c FROM '{ev}' GROUP BY event_type ORDER BY c DESC, event_type LIMIT 3"
