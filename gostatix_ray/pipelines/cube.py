@@ -83,8 +83,12 @@ def build_sketch_cube(
         return batch.append_column(_CELL_COL, label(batch[time_col]))
 
     reqs = [replace(r, group_by=_CELL_COL) for r in requests]
-    partials = build_partials(ds.map_batches(_cell, batch_format="pyarrow"), reqs,
-                              concurrency=concurrency)
+    # funnel shape (heavy build -> tiny combines): per-op CPU reservation off,
+    # set at ROOT creation like every sketch pipeline (stages/merge.full_throttle)
+    from ..stages.merge import full_throttle_dataset
+
+    partials = build_partials(full_throttle_dataset(ds.map_batches(_cell, batch_format="pyarrow")),
+                              reqs, concurrency=concurrency)
     merged = merge_partials_streaming(partials)
     os.makedirs(out_dir, exist_ok=True)
     merged.write_parquet(out_dir)
@@ -137,6 +141,59 @@ def _merge_rows_per_cell(tbl: pa.Table) -> pa.Table:
     return _combine_table(tbl)
 
 
+class CubeReader:
+    """Load the cube table ONCE and answer many range queries from memory.
+
+    The per-call functions below re-open the parquet AND re-decompress
+    every covered state per query; the reader amortizes both (the cube
+    file read across queries, and — with ``cache_states`` — the zlib
+    decode of each cell's state, the dominant cost for wide CMS/top-k
+    states).  64M-turn hour cube, ~35-cell ranges: 127 ms/query one-shot
+    -> 3.9 ms (HLL distinct) / ~10 ms (top-k) cached (BASELINE.md).
+    Cache memory is O(cells x decompressed state size); every merge
+    kernel returns a NEW state, so cached entries are never mutated.
+    """
+
+    def __init__(self, cube_dir: str, cache_states: bool = True):
+        self.table = read_cube(cube_dir)
+        self._cache: dict[int, object] | None = {} if cache_states else None
+
+    def state(self, sketch: str, lo: str | None = None, hi: str | None = None):
+        if self._cache is None:
+            return _range_state(self.table, sketch, lo, hi)
+        tbl = self.table
+        sel = _range_indices(tbl, sketch, lo, hi)
+        kernel = kernel_for(tbl["kind"][int(sel[0])].as_py())
+        state = None
+        rows = 0
+        for i in sel:
+            i = int(i)
+            cell = self._cache.get(i)
+            if cell is None:
+                cell = kernel.from_bytes(decompress_state(tbl["state"][i].as_py()))
+                self._cache[i] = cell
+            state = cell if state is None else kernel.merge(state, cell)
+            rows += tbl["rows"][i].as_py()
+        if len(sel) == 1:
+            state = state.copy() if hasattr(state, "copy") else state
+        return kernel, state, rows
+
+    def distinct(self, sketch: str, lo=None, hi=None) -> float:
+        from ..kernels import hll
+
+        return float(hll.count(self.state(sketch, lo, hi)[1]))
+
+    def counts(self, sketch: str, items, lo=None, hi=None) -> np.ndarray:
+        from ..kernels import cms
+
+        return cms.count(self.state(sketch, lo, hi)[1], items)
+
+    def topk(self, sketch: str, lo=None, hi=None) -> list[tuple[str, int]]:
+        from ..kernels import topk
+
+        return topk.values(self.state(sketch, lo, hi)[1])
+
+
 def cube_range_state(cube_dir: str, sketch: str, lo: str | None = None,
                      hi: str | None = None):
     """Merge every cell of ``sketch`` with ``lo <= cell < hi`` into ONE
@@ -144,20 +201,33 @@ def cube_range_state(cube_dir: str, sketch: str, lo: str | None = None,
 
     Returns ``(kernel_module, state, rows_covered)``.  Deterministic:
     cells merge in label order, duplicate delta rows in fragment order.
+    Re-reads the cube file per call; use :class:`CubeReader` for many
+    queries against one cube.
     """
-    tbl = read_cube(cube_dir)
+    return _range_state(read_cube(cube_dir), sketch, lo, hi)
+
+
+def _range_indices(tbl: pa.Table, sketch: str, lo: str | None, hi: str | None) -> np.ndarray:
+    """Row indices of ``sketch``'s cells in [lo, hi), in deterministic
+    (cell label, fragment) merge order."""
     mask = pc.equal(tbl["sketch"], sketch)
     if lo is not None:
         mask = pc.and_(mask, pc.greater_equal(tbl["group_key"], lo))
     if hi is not None:
         mask = pc.and_(mask, pc.less(tbl["group_key"], hi))
-    sel = tbl.filter(mask)
-    if sel.num_rows == 0:
+    idx = np.flatnonzero(np.asarray(mask))
+    if len(idx) == 0:
         raise KeyError(f"no cube cells for sketch={sketch!r} in [{lo!r}, {hi!r})")
-    kind = sel["kind"][0].as_py()
-    kernel = kernel_for(kind)
-    order = np.lexsort((np.asarray(sel["fragment"]), np.asarray(sel["group_key"])))
-    blobs = [decompress_state(sel["state"][int(i)].as_py()) for i in order]
+    gk = np.asarray(tbl["group_key"])[idx]
+    fr = np.asarray(tbl["fragment"])[idx]
+    return idx[np.lexsort((fr, gk))]
+
+
+def _range_state(tbl: pa.Table, sketch: str, lo: str | None = None,
+                 hi: str | None = None):
+    sel_idx = _range_indices(tbl, sketch, lo, hi)
+    kernel = kernel_for(tbl["kind"][int(sel_idx[0])].as_py())
+    blobs = [decompress_state(tbl["state"][int(i)].as_py()) for i in sel_idx]
     bulk = getattr(kernel, "merge_blobs", None)
     if bulk is not None and len(blobs) > 1:
         state = bulk(blobs)
@@ -165,7 +235,7 @@ def cube_range_state(cube_dir: str, sketch: str, lo: str | None = None,
         state = kernel.from_bytes(blobs[0])
         for b in blobs[1:]:
             state = kernel.merge(state, kernel.from_bytes(b))
-    rows = int(pc.sum(sel["rows"]).as_py())
+    rows = int(np.asarray(tbl["rows"])[sel_idx].sum())
     return kernel, state, rows
 
 

@@ -127,6 +127,26 @@ def test_extend_then_range_equals_one_shot(cube_dir, ray_session, tmp_path):
         assert hll.equals(a, b)
 
 
+def test_cube_reader_parity(cube_dir):
+    """CubeReader (cached and uncached) returns byte-identical states to
+    the per-call path, and repeated cached queries stay stable."""
+    from gostatix_ray.pipelines.cube import CubeReader
+
+    cached = CubeReader(cube_dir)
+    uncached = CubeReader(cube_dir, cache_states=False)
+    for lo, hi in [(LO, HI), (None, None), ("2024-01-14", "2024-01-16"), ("2024-01-03", "2024-01-04")]:
+        ref = cube_range_state(cube_dir, "users_hll", lo, hi)
+        for rd in (cached, uncached):
+            got = rd.state("users_hll", lo, hi)
+            assert hll.equals(got[1], ref[1]), (lo, hi)
+            assert got[2] == ref[2]
+        # second cached pass (cache hits) must not drift
+        again = cached.state("users_hll", lo, hi)
+        assert hll.equals(again[1], ref[1])
+        t_ref = cube_range_topk(cube_dir, "type_topk", lo, hi)
+        assert cached.topk("type_topk", lo, hi) == t_ref
+
+
 def test_persisted_cube_needs_no_input(cube_dir, tmp_path):
     """A copied cube directory answers ranges with zero engine/input access."""
     dst = str(tmp_path / "copy")
