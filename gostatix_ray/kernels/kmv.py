@@ -89,13 +89,28 @@ def merge(a: KMVState, b: KMVState) -> KMVState:
     return KMVState(a.spec, merged[: a.spec.k])
 
 
-def _theta(state: KMVState) -> float:
-    """Inclusion threshold normalized to (0, 1]: 1.0 while unsaturated
-    (every seen hash is kept), else kth-smallest / 2^64 — the same
-    convention as :func:`estimate`, with membership strictly below."""
+def _threshold(state: KMVState) -> np.uint64 | None:
+    """Exclusive inclusion threshold as a raw uint64 hash: ``None`` while
+    unsaturated (every seen hash is kept), else the kth-smallest hash —
+    membership is STRICTLY below, the convention :func:`estimate`'s
+    (k-1)/theta estimator assumes (a float round-trip here would
+    sometimes include the threshold hash itself, biasing set ops +1/k)."""
     if len(state.hashes) < state.spec.k:
-        return 1.0
-    return float(state.hashes[-1]) / _U64
+        return None
+    return state.hashes[-1]
+
+
+def _shared_threshold(a: KMVState, b: KMVState) -> np.uint64 | None:
+    ta, tb = _threshold(a), _threshold(b)
+    if ta is None:
+        return tb
+    if tb is None:
+        return ta
+    return min(ta, tb)
+
+
+def _below(state: KMVState, th: np.uint64 | None) -> np.ndarray:
+    return state.hashes if th is None else state.hashes[state.hashes < th]
 
 
 def estimate(state: KMVState) -> float:
@@ -105,37 +120,30 @@ def estimate(state: KMVState) -> float:
     return (k - 1) / (float(state.hashes[k - 1]) / _U64)
 
 
-def _below(state: KMVState, theta: float) -> np.ndarray:
-    if theta >= 1.0:
-        return state.hashes
-    cut = np.uint64(min(theta * _U64, _U64 - 1))
-    return state.hashes[state.hashes < cut]
-
-
 def union_count(a: KMVState, b: KMVState) -> float:
     """|A ∪ B| estimate — exactly the estimate of the merged sketch."""
     return estimate(merge(a, b))
 
 
 def intersection_count(a: KMVState, b: KMVState) -> float:
-    th = min(_theta(a), _theta(b))
+    th = _shared_threshold(a, b)
     inter = np.intersect1d(_below(a, th), _below(b, th))
-    if th >= 1.0:
+    if th is None:
         return float(len(inter))  # both unsaturated: exact
-    return len(inter) / th
+    return len(inter) / (float(th) / _U64)
 
 
 def difference_count(a: KMVState, b: KMVState) -> float:
     """|A \\ B| estimate (sample set-difference under the shared theta)."""
-    th = min(_theta(a), _theta(b))
+    th = _shared_threshold(a, b)
     diff = np.setdiff1d(_below(a, th), _below(b, th))
-    if th >= 1.0:
+    if th is None:
         return float(len(diff))
-    return len(diff) / th
+    return len(diff) / (float(th) / _U64)
 
 
 def jaccard(a: KMVState, b: KMVState) -> float:
-    th = min(_theta(a), _theta(b))
+    th = _shared_threshold(a, b)
     sa, sb = _below(a, th), _below(b, th)
     u = len(np.union1d(sa, sb))
     return len(np.intersect1d(sa, sb)) / u if u else 0.0

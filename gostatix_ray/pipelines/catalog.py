@@ -1534,9 +1534,13 @@ def _events_day_cube(sf_dir: str) -> str:
                       concurrency=_CONC)
     try:
         os.rename(tmp, out)
-    except OSError:  # concurrent builder won the rename; theirs is identical
+    except OSError as e:
+        import errno
         import shutil
 
+        if e.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+            raise  # real failure (ENOSPC/EXDEV/perms) — keep tmp for inspection
+        # concurrent builder won the rename; theirs is byte-identical
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 

@@ -103,13 +103,58 @@ def extend_sketch_cube(ds_delta, requests, *, time_col="ts", unit="day", out_dir
     more than one state row, which every read path merges (states are
     associative/commutative).  Call :func:`compact_sketch_cube` to fold
     back to one row per cell when file count grows.
+
+    The delta is validated against the existing cube first: sketch
+    names/kinds, SPECS (decoded from one state row each — a different
+    HLL m would fail only on ranges spanning old+new cells), and the
+    cell-label unit must all match, otherwise the extend is rejected
+    before any write.
     """
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        _validate_extend(read_cube(out_dir), requests, unit)
     return build_sketch_cube(ds_delta, requests, time_col=time_col, unit=unit,
                              out_dir=out_dir, concurrency=concurrency)
 
 
+def _validate_extend(tbl: pa.Table, requests, unit: str) -> None:
+    import re
+
+    pat = {"hour": r"^\d{4}-\d{2}-\d{2}T\d{2}$", "day": r"^\d{4}-\d{2}-\d{2}$",
+           "month": r"^\d{4}-\d{2}$"}[unit]
+    sample_cell = tbl["group_key"][0].as_py()
+    if not re.match(pat, sample_cell):
+        raise ValueError(
+            f"extend unit {unit!r} does not match the existing cube's cell labels "
+            f"(e.g. {sample_cell!r}); mixed units would interleave under range filters")
+    have = {}
+    for i in range(tbl.num_rows):
+        name = tbl["sketch"][i].as_py()
+        if name not in have:
+            have[name] = (tbl["kind"][i].as_py(), i)
+    for r in requests:
+        if r.name not in have:
+            continue  # new sketch joining the cube is fine
+        kind, i = have[r.name]
+        if kind != r.kind:
+            raise ValueError(f"extend sketch {r.name!r}: kind {r.kind!r} != existing {kind!r}")
+        state = kernel_for(kind).from_bytes(decompress_state(tbl["state"][i].as_py()))
+        if getattr(state, "spec", None) != r.spec:
+            raise ValueError(
+                f"extend sketch {r.name!r}: spec {r.spec!r} != existing {state.spec!r} "
+                "(merging mismatched specs fails only on ranges spanning old+new cells)")
+
+
 def read_cube(cube_dir: str) -> pa.Table:
-    """The whole cube as one (tiny) Arrow table."""
+    """The whole cube as one (tiny) Arrow table.
+
+    Self-healing: if a :func:`compact_sketch_cube` swap was interrupted
+    between its two renames (cube dir missing, ``<dir>.old`` present),
+    the backup is restored before reading — no crash window loses the
+    cube."""
+    if not os.path.isdir(cube_dir):
+        bak = cube_dir.rstrip("/") + ".old"
+        if os.path.isdir(bak):
+            os.rename(bak, cube_dir)
     return pq.read_table(cube_dir)
 
 
@@ -118,15 +163,22 @@ def compact_sketch_cube(cube_dir: str) -> str:
 
     Driver-side on purpose: a cube is O(cells) kilobyte rows.  Merge
     order is sorted fragment ids, so compaction is byte-deterministic.
+
+    Crash-safety: the compacted table is fully written to a tmp dir,
+    then swapped in via rename(old -> .old), rename(tmp -> dir); a crash
+    between the renames is healed by :func:`read_cube` restoring
+    ``.old``.  SINGLE-WRITER discipline: like any compaction, deltas
+    written concurrently between the read and the swap would be dropped
+    — do not run extend and compact at the same time.
     """
     tbl = read_cube(cube_dir)
     out = _merge_rows_per_cell(tbl)
     tmp = cube_dir.rstrip("/") + ".compact.tmp"
-    os.makedirs(tmp, exist_ok=True)
-    pq.write_table(out, os.path.join(tmp, "cube.parquet"))
-    # atomic-ish swap: new dir replaces old
     import shutil
 
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(out, os.path.join(tmp, "cube.parquet"))
     bak = cube_dir.rstrip("/") + ".old"
     shutil.rmtree(bak, ignore_errors=True)
     os.rename(cube_dir, bak)
@@ -178,20 +230,28 @@ class CubeReader:
             state = state.copy() if hasattr(state, "copy") else state
         return kernel, state, rows
 
-    def distinct(self, sketch: str, lo=None, hi=None) -> float:
-        from ..kernels import hll
+    @staticmethod
+    def _expect(kernel, *kinds):
+        kname = kernel.__name__.rsplit(".", 1)[-1]
+        if kname not in kinds:
+            raise TypeError(f"cell kind {kname!r} does not support this accessor "
+                            f"(needs one of {kinds})")
+        return kname
 
-        return float(hll.count(self.state(sketch, lo, hi)[1]))
+    def distinct(self, sketch: str, lo=None, hi=None) -> float:
+        kernel, state, _ = self.state(sketch, lo, hi)
+        kname = self._expect(kernel, "hll", "kmv")
+        return float(kernel.count(state) if kname == "hll" else kernel.estimate(state))
 
     def counts(self, sketch: str, items, lo=None, hi=None) -> np.ndarray:
-        from ..kernels import cms
-
-        return cms.count(self.state(sketch, lo, hi)[1], items)
+        kernel, state, _ = self.state(sketch, lo, hi)
+        self._expect(kernel, "cms")
+        return kernel.count(state, items)
 
     def topk(self, sketch: str, lo=None, hi=None) -> list[tuple[str, int]]:
-        from ..kernels import topk
-
-        return topk.values(self.state(sketch, lo, hi)[1])
+        kernel, state, _ = self.state(sketch, lo, hi)
+        self._expect(kernel, "topk")
+        return kernel.values(state)
 
 
 def cube_range_state(cube_dir: str, sketch: str, lo: str | None = None,
@@ -263,14 +323,39 @@ def cube_range_topk(cube_dir: str, sketch: str, lo=None, hi=None) -> list[tuple[
     return topk.values(state)
 
 
+def _proj_token(on) -> str:
+    """Identity token for a request's ``on`` projection.
+
+    Callables hash their marshaled code object (bytecode + consts +
+    names), so EDITING a lambda changes the fingerprint — a stale
+    persisted cube is never silently reused after a projection change.
+    (Bound/builtin callables without reachable code fall back to their
+    qualified name.)"""
+    if not callable(on):
+        return str(on)
+    code = getattr(on, "__code__", None)
+    if code is not None:
+        import marshal
+
+        return hashlib.blake2b(marshal.dumps(code), digest_size=8).hexdigest()
+    return getattr(on, "__qualname__", repr(on))
+
+
 def cube_fingerprint(sf_dir: str, *, unit: str, requests: list[SketchRequest],
                      version: str = "v1") -> str:
-    """Stable scratch-dir tag: input + unit + request parameters.
+    """Stable scratch-dir tag: input IDENTITY + unit + request parameters.
 
     Mirrors the curation-checkpoint discipline — changed parameters must
     land in a DIFFERENT directory, never silently reuse old states.
+    Input identity covers each parquet file's (name, size, mtime_ns), so
+    regenerating the data in place also invalidates the cube.
     """
     parts = [os.path.abspath(sf_dir), unit, version]
+    if os.path.isdir(sf_dir):
+        for f in sorted(os.listdir(sf_dir)):
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
     for r in requests:
-        parts.append(f"{r.name}:{r.kind}:{r.spec!r}:{r.weight}:{'<fn>' if callable(r.on) else r.on}")
+        parts.append(f"{r.name}:{r.kind}:{r.spec!r}:{r.weight}:{_proj_token(r.on)}")
     return hashlib.blake2b("|".join(parts).encode(), digest_size=10).hexdigest()

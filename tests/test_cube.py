@@ -155,6 +155,49 @@ def test_persisted_cube_needs_no_input(cube_dir, tmp_path):
     assert est > 0
 
 
+def test_extend_rejects_mismatched_unit_and_spec(cube_dir):
+    from gostatix_ray.pipelines.cube import _validate_extend
+
+    tbl = read_cube(cube_dir)
+    with pytest.raises(ValueError, match="unit"):
+        _validate_extend(tbl, _requests(), "hour")
+    bad = [SketchRequest("users_hll", "hll", hll.HLLSpec(m=1 << 12),
+                         on=lambda b: b["user_id"])]
+    with pytest.raises(ValueError, match="spec"):
+        _validate_extend(tbl, bad, "day")
+    with pytest.raises(ValueError, match="kind"):
+        _validate_extend(tbl, [SketchRequest("users_hll", "kmv", None, on="x")], "day")
+    _validate_extend(tbl, _requests(), "day")  # matching requests pass
+
+
+def test_interrupted_compact_swap_heals(cube_dir, tmp_path):
+    """A crash between compaction's two renames (cube dir gone, .old
+    present) is healed by the next read."""
+    dst = str(tmp_path / "healme")
+    shutil.copytree(cube_dir, dst)
+    os.rename(dst, dst + ".old")  # simulate the crash window
+    assert not os.path.isdir(dst)
+    est = cube_range_distinct(dst, "users_hll", LO, HI)
+    assert os.path.isdir(dst) and est > 0
+
+
+def test_fingerprint_sensitivity(tmp_path):
+    """Changed projection code or regenerated input invalidates the tag."""
+    from gostatix_ray.pipelines.cube import cube_fingerprint
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    f = d / "events.parquet"
+    f.write_bytes(b"x" * 10)
+    r1 = [SketchRequest("u", "hll", hll.HLLSpec(m=16), on=lambda b: b["a"])]
+    r2 = [SketchRequest("u", "hll", hll.HLLSpec(m=16), on=lambda b: b["b"])]
+    t1 = cube_fingerprint(str(d), unit="day", requests=r1)
+    assert cube_fingerprint(str(d), unit="day", requests=r1) == t1  # stable
+    assert cube_fingerprint(str(d), unit="day", requests=r2) != t1  # lambda body matters
+    f.write_bytes(b"y" * 11)  # regenerate input in place
+    assert cube_fingerprint(str(d), unit="day", requests=r1) != t1
+
+
 def test_group_by_reserved():
     with pytest.raises(ValueError):
         build_sketch_cube(None, [SketchRequest("x", "hll", hll.HLLSpec(m=16),

@@ -17,7 +17,7 @@ def test_exact_below_k():
     keys = [f"u{i}" for i in range(500)] * 3  # duplicates collapse
     s = _sketch(keys, k=1024)
     assert kmv.estimate(s) == 500.0
-    assert kmv._theta(s) == 1.0
+    assert kmv._threshold(s) is None
 
 
 def test_estimate_bound_saturated():
@@ -70,6 +70,16 @@ def test_set_algebra_bound_saturated():
     assert abs(kmv.union_count(a, b) - union) <= tol
     assert abs(kmv.intersection_count(a, b) - inter) <= tol
     assert abs(kmv.difference_count(a, b) - 40_000) <= tol
+
+
+def test_self_intersection_consistent_when_saturated():
+    """A∩A must equal the cardinality estimator exactly — the strict-below
+    threshold convention (float round-trips would bias +1/k)."""
+    s = _sketch(range(100_000), k=1024)
+    assert kmv.intersection_count(s, s) == kmv.estimate(s)
+    assert kmv.union_count(s, s) == kmv.estimate(s)
+    assert kmv.difference_count(s, s) == 0.0
+    assert kmv.jaccard(s, s) == 1.0
 
 
 def test_serialization_round_trip():
