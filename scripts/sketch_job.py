@@ -66,6 +66,10 @@ def _to_request(d: dict):
         spec = kll.KLLSpec(k=p.get("k", 200))
     elif kind == "bloom":
         spec = bloom.BloomSpec.from_params(p.get("n", 1_000_000), p.get("fpp", 1e-4))
+    elif kind == "kmv":
+        from gostatix_ray.kernels import kmv
+
+        spec = kmv.KMVSpec(k=p.get("k", 1024))
     else:
         raise SystemExit(f"unknown sketch kind {kind!r}")
     on = d["on"]
@@ -92,6 +96,11 @@ def main() -> None:
                     help="build batch size (default None = fused read->build)")
     ap.add_argument("--num-cpus", type=int,
                     help="LOCAL runs only: cpu cap for the local session")
+    ap.add_argument("--cube-out", help="build/extend a time-partitioned sketch "
+                    "cube at this dir instead of the flat pipeline (per-cell "
+                    "merged states; see gostatix_ray/pipelines/cube.py)")
+    ap.add_argument("--cube-unit", choices=("hour", "day", "month"), default="day")
+    ap.add_argument("--time-col", default="ts", help="cube time column")
     args = ap.parse_args()
 
     import ray
@@ -121,6 +130,25 @@ def main() -> None:
 
     t0 = time.perf_counter()
     ds = rd.read_parquet(path)
+    if args.cube_out:
+        from gostatix_ray.pipelines.cube import (
+            build_sketch_cube, extend_sketch_cube, read_cube,
+        )
+
+        fn = (extend_sketch_cube
+              if os.path.isdir(args.cube_out) and os.listdir(args.cube_out)
+              else build_sketch_cube)
+        fn(ds, requests, time_col=args.time_col, unit=args.cube_unit,
+           out_dir=args.cube_out)
+        tbl = read_cube(args.cube_out)
+        print(json.dumps({
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "cube": args.cube_out, "unit": args.cube_unit,
+            "cells": len(set(tbl["group_key"].to_pylist())),
+            "state_rows": tbl.num_rows,
+        }))
+        ray.shutdown()
+        return
     pipe = SketchPipeline(
         requests,
         batch_size=args.batch_size,
