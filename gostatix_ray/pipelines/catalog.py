@@ -1022,6 +1022,42 @@ def q_order_priority_revenue(sf_dir: str):
     )
 
 
+def q_auto_mktsegment_revenue(sf_dir: str):
+    """SKETCH-GUIDED JOIN PLANNER end-to-end (stages/joins.py:auto_join):
+    the planner profiles the customer key column with the engine's own
+    sketches (Top-K CMS all_sum = exact row count, HLL distinct) in one
+    projected pass, sees it fits the broadcast threshold, and dispatches
+    broadcast_hash_join — the TRUE m×n broadcast join (hash_join's exact
+    contract, zero shuffle).  orders ⨝ customer on custkey, rolled up to
+    per-mktsegment order count + exact integer-cents revenue through the
+    streaming combiner (5 groups — no sort-Aggregate tail).  The
+    reference exposes Top-K/HLL as a library (`top_k.go:95-134`,
+    `hyperloglog.go:67-76`); here they pick the physical join plan."""
+    from ..stages.joins import auto_join
+    from ..stages.reduce import small_group_agg
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"o_custkey": batch["o_custkey"], "price_cents": pa.array(cents)})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = auto_join(
+        orders.map_batches(_cents, batch_format="pyarrow"),
+        cust,
+        key="o_custkey",
+        right_key="c_custkey",
+        left_cols={"price_cents": "price_cents"},
+        right_cols={"c_mktsegment": "c_mktsegment"},
+    )
+    return small_group_agg(
+        j, "c_mktsegment",
+        {"n_orders": ("price_cents", "count"), "revenue_cents": ("price_cents", "sum")},
+    )
+
+
 def q_bucketed_priority_revenue(sf_dir: str):
     """The SAME rollup as order_priority_revenue through the BUCKETED
     STORAGE path (stages/bucketed.py): both tables are persisted once
@@ -2400,6 +2436,7 @@ QUERIES = {
     "ann_pq_cosine": q_ann_pq_cosine,
     "ann_ivfpq_cosine": q_ann_ivfpq_cosine,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
+    "auto_mktsegment_revenue": q_auto_mktsegment_revenue,
     "transcript_flagship": q_transcript_flagship,
 }
 
@@ -2881,5 +2918,12 @@ ORACLE_SQL = {
         "FROM embeddings ORDER BY vec_id LIMIT 3) "
         "SELECT q.query_id, e.vec_id FROM embeddings e CROSS JOIN q "
         "WHERE list_cosine_similarity(e.embedding, q.qe) >= 0.32"
+    ),
+    "auto_mktsegment_revenue": (
+        "SELECT c.c_mktsegment, count(*) AS n_orders, "
+        "CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
     ),
 }

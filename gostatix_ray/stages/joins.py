@@ -447,3 +447,244 @@ def hash_join(
     match = _HashJoinBucketMatch(key, key, left_cols, right_cols, how)
     # plain-function wrapper: map_groups reads fn.__name__ for its label
     return tagged.groupby("__bucket").map_groups(lambda t: match(t), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sketch-guided join planning
+# ---------------------------------------------------------------------------
+
+
+def join_profile(ds, key: str, *, k: int = 32, m: int = 1 << 12, concurrency=2) -> dict:
+    """ONE cheap pass over ``ds[key]`` -> ``{rows, distinct, hot}``.
+
+    The sketch library serving the query planner: a single projected
+    scan of the key column builds a Top-K (heavy hitters + exact row
+    count via the CMS ``all_sum``) and a standard-mode HLL (distinct-key
+    estimate, ±1.04/sqrt(m)) in the same actor pass; the shuffle moves
+    two tiny sketch states, never keys.  ``hot`` is ``[(key_str, frac)]``
+    for the k heaviest keys (CMS overestimates only — conservative).
+    The reference exposes these sketches as a library
+    (`top_k.go:95-134`, `hyperloglog.go:67-76`); here they drive
+    physical join selection in :func:`auto_join`.
+    """
+    from ..kernels import hll as hll_kernel
+    from ..kernels import topk as topk_kernel
+    from .build import SketchRequest, build_partials
+    from .merge import collect_final, merge_partials_streaming
+
+    def _proj(b, c=key):
+        return pc.cast(b[c], pa.string())
+
+    reqs = [
+        SketchRequest(
+            "jp_hot", "topk",
+            topk_kernel.TopKSpec(k=k, error_rate=0.0005, accuracy=0.01), on=_proj,
+        ),
+        SketchRequest("jp_distinct", "hll", hll_kernel.HLLSpec(m=m), on=_proj),
+    ]
+    partials = build_partials(ds, reqs, concurrency=concurrency)
+    merged = merge_partials_streaming(partials)
+    final = collect_final(merged)
+    tk = topk_kernel.from_bytes(final[("jp_hot", "")])
+    hstate = hll_kernel.from_bytes(final[("jp_distinct", "")])
+    rows = int(tk.cms.all_sum)
+    total = max(rows, 1)
+    hot = [(elem, cnt / total) for elem, cnt in topk_kernel.values(tk)]
+    return {"rows": rows, "distinct": float(hll_kernel.count(hstate)), "hot": hot}
+
+
+class _BroadcastMultiJoin:
+    """Task callable: TRUE m×n broadcast equi-join of one probe batch
+    against the broadcast build table, with :func:`hash_join`'s exact
+    output contract (inner/left/semi/anti, SQL NULL-never-matches,
+    duplicate-key multiplicity).  Differs from :class:`_BroadcastJoin`,
+    which is dimension-join (first-match) semantics.
+
+    The build table resolves lazily ONCE per worker (ray.get of the
+    broadcast ref — pickled-instance stateless dispatch, no actor
+    pool), and its key codes are factorized + sorted once; each probe
+    batch is one ``index_in`` + two ``searchsorted`` calls.
+    """
+
+    def __init__(self, ref, key, right_key, left_cols, right_cols, how, key_type):
+        self._ref = ref
+        self._key, self._rkey = key, right_key
+        self._left_cols, self._right_cols = left_cols, right_cols
+        self._how, self._key_type = how, key_type
+        self._prep = None
+
+    def _prepare(self):
+        small = self._ref
+        if not isinstance(small, pa.Table):
+            import ray
+
+            small = ray.get(small)
+        skeys = small[self._rkey]
+        if isinstance(skeys, pa.ChunkedArray):
+            skeys = skeys.combine_chunks()
+        skeys = skeys.cast(self._key_type)
+        valid = pc.is_valid(skeys)
+        if not pc.all(valid).as_py():
+            # NULL build keys never match in inner/left/semi/anti —
+            # drop them up front (outer is routed to the shuffle path)
+            small = small.filter(valid)
+            skeys = skeys.filter(valid)
+        uniq = pc.unique(skeys)
+        codes = pc.index_in(skeys, value_set=uniq)
+        r_codes = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(r_codes, kind="stable")
+        self._prep = (small, uniq, r_codes[order], order)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._prep is None:
+            self._prepare()
+        small, uniq, r_codes_s, order = self._prep
+        keys = batch[self._key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = pc.index_in(keys, value_set=uniq)
+        # null = probe key absent from the build side (or NULL) -> a
+        # code below every build code, i.e. guaranteed miss
+        kl = codes.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.searchsorted(r_codes_s, kl, side="left")
+        hi = np.searchsorted(r_codes_s, kl, side="right")
+        counts = hi - lo
+        if self._how in ("semi", "anti"):
+            keep = np.flatnonzero(counts > 0 if self._how == "semi" else counts == 0)
+            out = {self._key: keys.take(pa.array(keep))}
+            for src, name in self._left_cols.items():
+                out[name] = batch[src].take(pa.array(keep))
+            return pa.table(out)
+        total = int(counts.sum())
+        n = len(kl)
+        rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+        starts = np.repeat(lo, counts)
+        csum = (np.concatenate(([0], np.cumsum(counts)[:-1]))
+                if n else np.empty(0, np.int64))
+        offs = np.arange(total, dtype=np.int64) - np.repeat(csum, counts)
+        left_rows = rep
+        right_rows = order[starts + offs] if total else np.empty(0, np.int64)
+        rvalid = None
+        if self._how == "left":
+            miss = np.flatnonzero(counts == 0)
+            if len(miss):
+                left_rows = np.concatenate((left_rows, miss))
+                right_rows = np.concatenate((right_rows, np.zeros(len(miss), np.int64)))
+                rvalid = np.concatenate((np.ones(total, bool), np.zeros(len(miss), bool)))
+        out = {self._key: keys.take(pa.array(left_rows))}
+        for src, name in self._left_cols.items():
+            out[name] = batch[src].take(pa.array(left_rows))
+        for src, name in self._right_cols.items():
+            col = small[src]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = col.take(pa.array(right_rows)) if len(small) else pa.nulls(
+                len(right_rows), type=col.type)
+            if rvalid is not None:
+                vals = pc.if_else(pa.array(rvalid), vals, pa.scalar(None, type=vals.type))
+            out[name] = vals
+        return pa.table(out)
+
+
+def broadcast_hash_join(left, right_table: pa.Table, *, key: str,
+                        right_key: str | None = None, left_cols: dict,
+                        right_cols: dict, how: str = "inner"):
+    """BIG ⨝ SMALL with :func:`hash_join`'s exact semantics and ZERO
+    shuffle: the small side ships to the object store once and every
+    probe task joins against it in place.  Same column contract as
+    ``hash_join`` (``{src -> out_name}``, key emitted once under the
+    left name); ``outer`` is unsupported (right-only rows need global
+    knowledge — use the shuffle path)."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
+    if how in ("semi", "anti") and right_cols:
+        raise ValueError(f"how={how!r} emits left columns only; right_cols must be empty")
+    import ray
+
+    rkey = right_key or key
+    key_type = _arrow_schema(left).field(key).type
+    need = [rkey] + list(right_cols)
+    ref = ray.put(right_table.select(need))
+    return left.map_batches(
+        _BroadcastMultiJoin(ref, key, rkey, dict(left_cols), dict(right_cols), how, key_type),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def auto_join(
+    left,
+    right,
+    *,
+    key: str,
+    right_key: str | None = None,
+    left_cols: dict,
+    right_cols: dict,
+    how: str = "inner",
+    broadcast_threshold: int = 200_000,
+    skew_frac: float = 0.02,
+    n_salts: int = 8,
+    num_buckets: int | None = None,
+    profile_k: int = 32,
+    explain: bool = False,
+):
+    """SKETCH-GUIDED JOIN PLANNER: profile the key columns with the
+    engine's own sketches, then dispatch the cheapest physical join.
+
+    Decision procedure (each profile is one projected scan of a key
+    column, moving only two sketch states):
+
+    1. Profile the RIGHT side (:func:`join_profile`: exact row count
+       from the Top-K CMS ``all_sum``, HLL distinct estimate, heavy
+       hitters).  If it holds ≤ ``broadcast_threshold`` rows (and
+       ``how`` != outer), materialize it and run
+       :func:`broadcast_hash_join` — zero shuffle.
+    2. Otherwise profile the LEFT side too.  Keys whose frequency on
+       EITHER side ≥ ``skew_frac`` become ``hot_keys`` for the salted
+       shuffle join (hot build rows replicate ×``n_salts``, hot probe
+       rows scatter); with no hot keys it is a plain :func:`hash_join`.
+       ``num_buckets`` defaults from the profiled row counts
+       (~250k rows/bucket, clamped to [16, 256]).
+
+    All three physical plans produce the identical output SET (tested);
+    ``outer`` always takes the unsalted shuffle path.  At 100 TB the
+    profile pass is the cheap insurance that keeps a mis-sized
+    broadcast or an unsalted zipf key from dominating the job.  With
+    ``explain=True`` returns ``(dataset, plan_dict)``.
+    """
+    rkey = right_key or key
+    rprof = join_profile(right, rkey, k=profile_k)
+    plan = {"right_rows": rprof["rows"], "right_distinct": rprof["distinct"]}
+    if how != "outer" and rprof["rows"] <= broadcast_threshold:
+        import ray
+
+        need = [rkey] + list(right_cols)
+        refs = right.select_columns(need).to_arrow_refs()
+        tbls = [t for t in ray.get(refs) if t.num_rows] if refs else []
+        if tbls:
+            tbl = pa.concat_tables(tbls)
+        else:
+            rschema = _arrow_schema(right)
+            tbl = pa.table({c: pa.nulls(0, type=rschema.field(c).type) for c in need})
+        plan["strategy"] = "broadcast"
+        out = broadcast_hash_join(
+            left, tbl, key=key, right_key=rkey,
+            left_cols=left_cols, right_cols=right_cols, how=how,
+        )
+    else:
+        lprof = join_profile(left, key, k=profile_k)
+        plan["left_rows"] = lprof["rows"]
+        hot = sorted({h for h, f in lprof["hot"] + rprof["hot"] if f >= skew_frac})
+        if num_buckets is None:
+            num_buckets = int(min(256, max(16, (lprof["rows"] + rprof["rows"]) // 250_000 + 1)))
+        plan.update(hot_keys=hot, num_buckets=num_buckets)
+        use_salt = bool(hot) and how != "outer"
+        plan["strategy"] = "salted" if use_salt else "shuffle"
+        out = hash_join(
+            left, right, key=key, right_key=right_key,
+            left_cols=left_cols, right_cols=right_cols, how=how,
+            num_buckets=num_buckets,
+            hot_keys=hot if use_salt else None,
+            n_salts=n_salts,
+        )
+    return (out, plan) if explain else out

@@ -1,0 +1,164 @@
+"""Sketch-guided join planner (stages/joins.py: join_profile /
+broadcast_hash_join / auto_join): every physical plan must produce the
+identical output SET, and the planner must pick the documented strategy
+for each input shape."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gostatix_ray.stages.joins import (
+    auto_join,
+    broadcast_hash_join,
+    hash_join,
+    join_profile,
+)
+
+
+def _frame_set(df: pd.DataFrame) -> list:
+    cols = sorted(df.columns)
+    return sorted(map(tuple, df[cols].astype(object).where(df[cols].notna(), None).values.tolist()))
+
+
+def _mk(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 40, size=500).tolist()
+    left = rd.from_items(
+        [{"k": int(k), "v": float(i)} for i, k in enumerate(lk)]
+    ).repartition(4)
+    rk = [int(x) for x in rng.integers(0, 50, size=120)]
+    right = rd.from_items(
+        [{"rk": k, "name": f"n{k}"} for k in rk]
+    ).repartition(3)
+    return left, right
+
+
+def test_join_profile_counts(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"k": i % 10} for i in range(1000)]).repartition(4)
+    prof = join_profile(ds, "k")
+    assert prof["rows"] == 1000
+    assert abs(prof["distinct"] - 10) <= 2
+    # every key holds exactly 10% of the rows -> all hot at 5%
+    hot = [h for h, frac in prof["hot"] if frac >= 0.05]
+    assert sorted(int(h) for h in hot) == list(range(10))
+
+
+def test_broadcast_hash_join_matches_shuffle(ray_session):
+    left, right = _mk(ray_session)
+    import ray
+
+    tbl = pa.concat_tables(ray.get(right.to_arrow_refs()))
+    for how in ("inner", "left"):
+        b = broadcast_hash_join(
+            left, tbl, key="k", right_key="rk",
+            left_cols={"v": "v"}, right_cols={"name": "name"}, how=how,
+        ).to_pandas()
+        s = hash_join(
+            left, right, key="k", right_key="rk",
+            left_cols={"v": "v"}, right_cols={"name": "name"}, how=how,
+        ).to_pandas()
+        assert _frame_set(b) == _frame_set(s), how
+    for how in ("semi", "anti"):
+        b = broadcast_hash_join(left, tbl, key="k", right_key="rk",
+                                left_cols={"v": "v"}, right_cols={}, how=how).to_pandas()
+        s = hash_join(left, right, key="k", right_key="rk",
+                      left_cols={"v": "v"}, right_cols={}, how=how).to_pandas()
+        assert _frame_set(b) == _frame_set(s), how
+
+
+def test_broadcast_hash_join_nulls_and_dups(ray_session):
+    import ray.data as rd
+
+    left = rd.from_items(
+        [{"k": 1, "v": 1.0}, {"k": 1, "v": 2.0}, {"k": None, "v": 3.0}, {"k": 9, "v": 4.0}]
+    )
+    tbl = pa.table({"rk": pa.array([1, 1, 1, None], pa.int64()),
+                    "name": ["a", "b", "c", "z"]})
+    inner = broadcast_hash_join(left, tbl, key="k", right_key="rk",
+                                left_cols={"v": "v"}, right_cols={"name": "name"}).to_pandas()
+    # m×n multiplicity: 2 left rows × 3 build rows; NULL keys never match
+    assert len(inner) == 6
+    assert set(inner["name"]) == {"a", "b", "c"}
+    lj = broadcast_hash_join(left, tbl, key="k", right_key="rk",
+                             left_cols={"v": "v"}, right_cols={"name": "name"},
+                             how="left").to_pandas()
+    assert len(lj) == 8  # 6 matches + NULL-key row + k=9 miss
+    assert lj[lj["v"] == 3.0]["name"].isna().all()
+    assert lj[lj["v"] == 4.0]["name"].isna().all()
+
+
+def test_auto_join_picks_broadcast_and_matches(ray_session):
+    left, right = _mk(ray_session)
+    out, plan = auto_join(
+        left, right, key="k", right_key="rk",
+        left_cols={"v": "v"}, right_cols={"name": "name"}, explain=True,
+    )
+    assert plan["strategy"] == "broadcast"
+    assert plan["right_rows"] == 120
+    ref = hash_join(left, right, key="k", right_key="rk",
+                    left_cols={"v": "v"}, right_cols={"name": "name"}).to_pandas()
+    assert _frame_set(out.to_pandas()) == _frame_set(ref)
+
+
+def test_auto_join_picks_shuffle_and_salted(ray_session):
+    import ray.data as rd
+
+    left, right = _mk(ray_session)
+    # force the shuffle path: tiny broadcast threshold, no skew
+    out, plan = auto_join(
+        left, right, key="k", right_key="rk",
+        left_cols={"v": "v"}, right_cols={"name": "name"},
+        broadcast_threshold=10, skew_frac=0.5, explain=True,
+    )
+    assert plan["strategy"] == "shuffle"
+    assert plan["left_rows"] == 500 and plan["hot_keys"] == []
+    ref = hash_join(left, right, key="k", right_key="rk",
+                    left_cols={"v": "v"}, right_cols={"name": "name"}).to_pandas()
+    assert _frame_set(out.to_pandas()) == _frame_set(ref)
+
+    # zipf-hot key 0 on the probe side -> salted plan, identical output
+    skew_left = rd.from_items(
+        [{"k": 0 if i % 2 == 0 else int(i % 37), "v": float(i)} for i in range(600)]
+    ).repartition(4)
+    out2, plan2 = auto_join(
+        skew_left, right, key="k", right_key="rk",
+        left_cols={"v": "v"}, right_cols={"name": "name"},
+        broadcast_threshold=10, skew_frac=0.2, explain=True,
+    )
+    assert plan2["strategy"] == "salted"
+    assert "0" in plan2["hot_keys"]
+    ref2 = hash_join(skew_left, right, key="k", right_key="rk",
+                     left_cols={"v": "v"}, right_cols={"name": "name"}).to_pandas()
+    assert _frame_set(out2.to_pandas()) == _frame_set(ref2)
+
+
+def test_auto_join_outer_routes_to_shuffle(ray_session):
+    left, right = _mk(ray_session)
+    out, plan = auto_join(
+        left, right, key="k", right_key="rk",
+        left_cols={"v": "v"}, right_cols={"name": "name"},
+        how="outer", explain=True,
+    )
+    assert plan["strategy"] == "shuffle"
+    ref = hash_join(left, right, key="k", right_key="rk",
+                    left_cols={"v": "v"}, right_cols={"name": "name"},
+                    how="outer").to_pandas()
+    assert _frame_set(out.to_pandas()) == _frame_set(ref)
+
+
+def test_broadcast_hash_join_empty_build(ray_session):
+    import ray.data as rd
+
+    left = rd.from_items([{"k": 1, "v": 1.0}, {"k": 2, "v": 2.0}])
+    tbl = pa.table({"rk": pa.array([], pa.int64()), "name": pa.array([], pa.string())})
+    inner = broadcast_hash_join(left, tbl, key="k", right_key="rk",
+                                left_cols={"v": "v"}, right_cols={"name": "name"}).to_pandas()
+    assert len(inner) == 0
+    lj = broadcast_hash_join(left, tbl, key="k", right_key="rk",
+                             left_cols={"v": "v"}, right_cols={"name": "name"},
+                             how="left").to_pandas()
+    assert len(lj) == 2 and lj["name"].isna().all()
