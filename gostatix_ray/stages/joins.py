@@ -493,6 +493,22 @@ def join_profile(ds, key: str, *, k: int = 32, m: int = 1 << 12, concurrency=2) 
     return {"rows": rows, "distinct": float(hll_kernel.count(hstate)), "hot": hot}
 
 
+def _build_key_bloom(ds, key: str, spec) -> bytes:
+    """One projected pass over ``ds[key]`` -> merged Bloom state bytes
+    (the join runtime filter).  Same string-cast projection as
+    :func:`join_profile`, so probe-side ``contains`` (which casts
+    non-string columns through ``pa.string()`` in ``to_padded_bytes``)
+    hashes identically."""
+    from .build import SketchRequest, build_partials
+    from .merge import collect_final, merge_partials_streaming
+
+    req = SketchRequest(
+        "jp_bloom", "bloom", spec, on=lambda b, c=key: pc.cast(b[c], pa.string())
+    )
+    partials = build_partials(ds, [req], concurrency=2)
+    return collect_final(merge_partials_streaming(partials))[("jp_bloom", "")]
+
+
 class _BroadcastMultiJoin:
     """Task callable: TRUE m×n broadcast equi-join of one probe batch
     against the broadcast build table, with :func:`hash_join`'s exact
@@ -626,6 +642,9 @@ def auto_join(
     n_salts: int = 8,
     num_buckets: int | None = None,
     profile_k: int = 32,
+    bloom_prune: bool = True,
+    bloom_ratio: float = 0.5,
+    bloom_max_distinct: int = 8_000_000,
     explain: bool = False,
 ):
     """SKETCH-GUIDED JOIN PLANNER: profile the key columns with the
@@ -640,11 +659,24 @@ def auto_join(
        ``how`` != outer), materialize it and run
        :func:`broadcast_hash_join` — zero shuffle.
     2. Otherwise profile the LEFT side too.  Keys whose frequency on
-       EITHER side ≥ ``skew_frac`` become ``hot_keys`` for the salted
-       shuffle join (hot build rows replicate ×``n_salts``, hot probe
-       rows scatter); with no hot keys it is a plain :func:`hash_join`.
+       EITHER side reaches ``max(skew_frac, 4/num_buckets)`` — i.e.
+       they would overload a shuffle bucket; a uniform small key domain
+       is not skew — become ``hot_keys`` for the salted shuffle join
+       (hot build rows replicate ×``n_salts``, hot probe rows
+       scatter); with no hot keys it is a plain :func:`hash_join`.
        ``num_buckets`` defaults from the profiled row counts
        (~250k rows/bucket, clamped to [16, 256]).
+    3. BLOOM RUNTIME FILTER (shuffle path, ``inner``/``semi`` only —
+       the joins where a probe row without a build-side key cannot
+       reach the output): when the build side's HLL distinct estimate
+       is both ≤ ``bloom_ratio`` × the probe side's (most probe keys
+       can't match) and ≤ ``bloom_max_distinct`` (the filter stays
+       broadcastable — ~1.2 bytes/key at 1% FPP), build a Bloom over
+       the build keys (one extra key-only scan) and prune the probe
+       side BEFORE its shuffle.  False positives flow through and are
+       dropped by the exact match — output unchanged; the win is probe
+       bytes that never cross the wire.  ``left``/``anti``/``outer``
+       never prune (unmatched probe rows ARE output).
 
     All three physical plans produce the identical output SET (tested);
     ``outer`` always takes the unsalted shuffle path.  At 100 TB the
@@ -674,10 +706,34 @@ def auto_join(
     else:
         lprof = join_profile(left, key, k=profile_k)
         plan["left_rows"] = lprof["rows"]
-        hot = sorted({h for h, f in lprof["hot"] + rprof["hot"] if f >= skew_frac})
         if num_buckets is None:
             num_buckets = int(min(256, max(16, (lprof["rows"] + rprof["rows"]) // 250_000 + 1)))
+        # a key is hot only if it would OVERLOAD a bucket: its share of
+        # either side exceeds 4x the average bucket's (and the caller's
+        # skew_frac floor) — a uniform small key domain is NOT skew
+        hot_threshold = max(skew_frac, 4.0 / num_buckets)
+        hot = sorted({h for h, f in lprof["hot"] + rprof["hot"] if f >= hot_threshold})
         plan.update(hot_keys=hot, num_buckets=num_buckets)
+        plan["bloom_prune"] = None
+        if (
+            bloom_prune
+            and how in ("inner", "semi")
+            and rprof["distinct"] <= bloom_max_distinct
+            and rprof["distinct"] < bloom_ratio * max(lprof["distinct"], 1.0)
+        ):
+            import ray
+
+            from ..kernels.bloom import BloomSpec
+            from .membership import MembershipFilter
+
+            n_items = max(1024, int(rprof["distinct"] * 1.3))
+            state = _build_key_bloom(right, rkey, BloomSpec.from_params(n_items, 0.01))
+            left = left.map_batches(
+                MembershipFilter(ray.put(state), "bloom", key),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            plan["bloom_prune"] = {"num_items": n_items}
         use_salt = bool(hot) and how != "outer"
         plan["strategy"] = "salted" if use_salt else "shuffle"
         out = hash_join(

@@ -162,3 +162,39 @@ def test_broadcast_hash_join_empty_build(ray_session):
                              left_cols={"v": "v"}, right_cols={"name": "name"},
                              how="left").to_pandas()
     assert len(lj) == 2 and lj["name"].isna().all()
+
+
+def test_auto_join_bloom_runtime_filter(ray_session):
+    import ray.data as rd
+
+    # selective build side: 20 distinct right keys vs 1000 distinct left
+    left = rd.from_items(
+        [{"k": i, "v": float(i)} for i in range(1000)]
+    ).repartition(4)
+    right = rd.from_items(
+        [{"rk": int(i % 20), "name": f"n{i % 20}"} for i in range(300)]
+    ).repartition(3)
+    out, plan = auto_join(
+        left, right, key="k", right_key="rk",
+        left_cols={"v": "v"}, right_cols={"name": "name"},
+        broadcast_threshold=10, explain=True,
+    )
+    assert plan["strategy"] == "shuffle"
+    assert plan["bloom_prune"] is not None and plan["bloom_prune"]["num_items"] >= 1024
+    ref = hash_join(left, right, key="k", right_key="rk",
+                    left_cols={"v": "v"}, right_cols={"name": "name"}).to_pandas()
+    got = out.to_pandas()
+    assert len(got) == 20 * 15  # 20 matched keys x 15 dup build rows each
+    assert _frame_set(got) == _frame_set(ref)
+
+    # semi may prune; anti must NOT (misses are the output)
+    semi, plan_s = auto_join(left, right, key="k", right_key="rk",
+                             left_cols={"v": "v"}, right_cols={}, how="semi",
+                             broadcast_threshold=10, explain=True)
+    assert plan_s["bloom_prune"] is not None
+    assert sorted(semi.to_pandas()["k"]) == list(range(20))
+    anti, plan_a = auto_join(left, right, key="k", right_key="rk",
+                             left_cols={"v": "v"}, right_cols={}, how="anti",
+                             broadcast_threshold=10, explain=True)
+    assert plan_a["bloom_prune"] is None
+    assert sorted(anti.to_pandas()["k"]) == list(range(20, 1000))
