@@ -454,19 +454,26 @@ def hash_join(
 # ---------------------------------------------------------------------------
 
 
-def join_profile(ds, key: str, *, k: int = 32, m: int = 1 << 12, concurrency=2) -> dict:
-    """ONE cheap pass over ``ds[key]`` -> ``{rows, distinct, hot}``.
+def join_profile(ds, key: str, *, k: int = 32, m: int = 1 << 12,
+                 freq_eps: float | None = 0.0005, concurrency=2) -> dict:
+    """ONE cheap pass over ``ds[key]`` -> ``{rows, distinct, hot, cms}``.
 
     The sketch library serving the query planner: a single projected
     scan of the key column builds a Top-K (heavy hitters + exact row
-    count via the CMS ``all_sum``) and a standard-mode HLL (distinct-key
-    estimate, ±1.04/sqrt(m)) in the same actor pass; the shuffle moves
-    two tiny sketch states, never keys.  ``hot`` is ``[(key_str, frac)]``
-    for the k heaviest keys (CMS overestimates only — conservative).
-    The reference exposes these sketches as a library
-    (`top_k.go:95-134`, `hyperloglog.go:67-76`); here they drive
-    physical join selection in :func:`auto_join`.
+    count via its CMS ``all_sum``), a standard-mode HLL (distinct-key
+    estimate, ±1.04/sqrt(m)) and — unless ``freq_eps`` is None — a
+    standalone CMS frequency sketch in the same actor pass; the shuffle
+    moves three tiny sketch states, never keys.  ``hot`` is
+    ``[(key_str, frac)]`` for the k heaviest keys (CMS overestimates
+    only — conservative).  ``cms`` is the frequency-vector state whose
+    INNER PRODUCT with another side's profile estimates the join output
+    cardinality Σ_x f_L(x)·f_R(x) (Cormode & Muthukrishnan 2005 §4.2 —
+    see :func:`estimate_join_size`).  The reference exposes these
+    sketches as a library (`top_k.go:95-134`, `hyperloglog.go:67-76`,
+    `count_min_sketch.go:76-92`); here they drive physical join
+    selection in :func:`auto_join`.
     """
+    from ..kernels import cms as cms_kernel
     from ..kernels import hll as hll_kernel
     from ..kernels import topk as topk_kernel
     from .build import SketchRequest, build_partials
@@ -482,6 +489,11 @@ def join_profile(ds, key: str, *, k: int = 32, m: int = 1 << 12, concurrency=2) 
         ),
         SketchRequest("jp_distinct", "hll", hll_kernel.HLLSpec(m=m), on=_proj),
     ]
+    if freq_eps is not None:
+        reqs.append(SketchRequest(
+            "jp_freq", "cms", cms_kernel.CMSSpec.from_error_rate(freq_eps, 0.01),
+            on=_proj,
+        ))
     partials = build_partials(ds, reqs, concurrency=concurrency)
     merged = merge_partials_streaming(partials)
     final = collect_final(merged)
@@ -490,7 +502,27 @@ def join_profile(ds, key: str, *, k: int = 32, m: int = 1 << 12, concurrency=2) 
     rows = int(tk.cms.all_sum)
     total = max(rows, 1)
     hot = [(elem, cnt / total) for elem, cnt in topk_kernel.values(tk)]
-    return {"rows": rows, "distinct": float(hll_kernel.count(hstate)), "hot": hot}
+    return {
+        "rows": rows,
+        "distinct": float(hll_kernel.count(hstate)),
+        "hot": hot,
+        "cms": final[("jp_freq", "")] if freq_eps is not None else None,
+    }
+
+
+def estimate_join_size(left_profile: dict, right_profile: dict) -> int:
+    """Estimated inner-join output cardinality from two
+    :func:`join_profile` results: the CMS inner product
+    Σ_x f_L(x)·f_R(x) — overestimate-only, error ≤ ε·|L|·|R| with prob
+    1-δ (Cormode & Muthukrishnan 2005 §4.2).  The classic sketch-driven
+    planner statistic: whether a join explodes (many-to-many) or
+    contracts is known BEFORE any shuffle is scheduled."""
+    from ..kernels import cms as cms_kernel
+
+    lc, rc = left_profile.get("cms"), right_profile.get("cms")
+    if lc is None or rc is None:
+        raise ValueError("estimate_join_size needs profiles built with freq_eps set")
+    return cms_kernel.inner_product(cms_kernel.from_bytes(lc), cms_kernel.from_bytes(rc))
 
 
 def _build_key_bloom(ds, key: str, spec) -> bytes:
@@ -706,6 +738,11 @@ def auto_join(
     else:
         lprof = join_profile(left, key, k=profile_k)
         plan["left_rows"] = lprof["rows"]
+        if lprof.get("cms") is not None and rprof.get("cms") is not None:
+            # CMS inner product = estimated inner-join output rows —
+            # surfaced so callers can veto an exploding many-to-many
+            # join before any shuffle is scheduled
+            plan["est_output_rows"] = estimate_join_size(lprof, rprof)
         if num_buckets is None:
             num_buckets = int(min(256, max(16, (lprof["rows"] + rprof["rows"]) // 250_000 + 1)))
         # a key is hot only if it would OVERLOAD a bucket: its share of

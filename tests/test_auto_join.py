@@ -198,3 +198,25 @@ def test_auto_join_bloom_runtime_filter(ray_session):
                              broadcast_threshold=10, explain=True)
     assert plan_a["bloom_prune"] is None
     assert sorted(anti.to_pandas()["k"]) == list(range(20, 1000))
+
+
+def test_estimate_join_size(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.joins import estimate_join_size
+
+    left = rd.from_items([{"k": i % 25} for i in range(500)]).repartition(3)
+    right = rd.from_items([{"k": i % 50} for i in range(200)]).repartition(2)
+    lp = join_profile(left, "k")
+    rp = join_profile(right, "k")
+    exact = 25 * 20 * 4  # matched keys 0..24, 20 left x 4 right rows each
+    est = estimate_join_size(lp, rp)
+    assert est >= exact  # CMS inner product never underestimates
+    assert est <= exact + 2 * 0.0005 * 500 * 200  # within the eps*|L|*|R| bound
+
+    # auto_join surfaces it on the shuffle path
+    out, plan = auto_join(left, right, key="k",
+                          left_cols={}, right_cols={},
+                          broadcast_threshold=10, explain=True)
+    assert plan["est_output_rows"] >= exact
+    assert len(out.to_pandas()) == exact
