@@ -174,10 +174,17 @@ def test_auto_join_bloom_runtime_filter(ray_session):
     right = rd.from_items(
         [{"rk": int(i % 20), "name": f"n{i % 20}"} for i in range(300)]
     ).repartition(3)
-    out, plan = auto_join(
+    # default probe floor (2M rows) declines to prune a 1000-row probe
+    _, plan_floor = auto_join(
         left, right, key="k", right_key="rk",
         left_cols={"v": "v"}, right_cols={"name": "name"},
         broadcast_threshold=10, explain=True,
+    )
+    assert plan_floor["bloom_prune"] is None
+    out, plan = auto_join(
+        left, right, key="k", right_key="rk",
+        left_cols={"v": "v"}, right_cols={"name": "name"},
+        broadcast_threshold=10, bloom_min_probe_rows=0, explain=True,
     )
     assert plan["strategy"] == "shuffle"
     assert plan["bloom_prune"] is not None and plan["bloom_prune"]["num_items"] >= 1024
@@ -190,12 +197,14 @@ def test_auto_join_bloom_runtime_filter(ray_session):
     # semi may prune; anti must NOT (misses are the output)
     semi, plan_s = auto_join(left, right, key="k", right_key="rk",
                              left_cols={"v": "v"}, right_cols={}, how="semi",
-                             broadcast_threshold=10, explain=True)
+                             broadcast_threshold=10, bloom_min_probe_rows=0,
+                             explain=True)
     assert plan_s["bloom_prune"] is not None
     assert sorted(semi.to_pandas()["k"]) == list(range(20))
     anti, plan_a = auto_join(left, right, key="k", right_key="rk",
                              left_cols={"v": "v"}, right_cols={}, how="anti",
-                             broadcast_threshold=10, explain=True)
+                             broadcast_threshold=10, bloom_min_probe_rows=0,
+                             explain=True)
     assert plan_a["bloom_prune"] is None
     assert sorted(anti.to_pandas()["k"]) == list(range(20, 1000))
 
