@@ -2059,6 +2059,18 @@ def q_value_quantiles_exact(sf_dir: str):
     return exact_quantiles(ds, "value", _QS)
 
 
+def q_value_quantiles_cont(sf_dir: str):
+    """EXACT distributed INTERPOLATED quantiles (percentile_cont):
+    two-histogram-pass selection of BOTH bracketing order statistics per
+    q, interpolated with the formula DuckDB's quantile_cont uses
+    (stages/quantiles.py:exact_quantiles_cont) — bit-identical to the
+    SQL twin with no global sort."""
+    from ..stages.quantiles import exact_quantiles_cont
+
+    ds = _read(sf_dir, "events", ["value"])
+    return exact_quantiles_cont(ds, "value", _QS)
+
+
 def q_events_value_winsorized(sf_dir: str):
     """Winsorization: clip event values to the EXACT [p01, p99] of the
     column (stages/quantiles.py two-histogram-pass selection gives the
@@ -2390,6 +2402,7 @@ QUERIES = {
     "props_field_stats": q_props_field_stats,
     "user_top_event_type": q_user_top_event_type,
     "value_quantiles_exact": q_value_quantiles_exact,
+    "value_quantiles_cont": q_value_quantiles_cont,
     "events_value_winsorized": q_events_value_winsorized,
     "value_quantiles_by_type_exact": q_value_quantiles_by_type_exact,
     "ann_topk_ids": q_ann_topk_ids,
@@ -2893,6 +2906,12 @@ ORACLE_SQL = {
     "value_quantiles_exact": (  # quantile_disc requires constant q -> UNION
         " UNION ALL ".join(
             f"SELECT {q} AS q, quantile_disc(value, {q}) AS value_exact FROM events"
+            for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        )
+    ),
+    "value_quantiles_cont": (  # quantile_cont requires constant q -> UNION
+        " UNION ALL ".join(
+            f"SELECT {q} AS q, quantile_cont(value, {q}) AS value_cont FROM events"
             for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
         )
     ),

@@ -108,6 +108,79 @@ def exact_quantiles(ds, col: str, qs, *, bins: int = 1 << 16) -> pd.DataFrame:
     return pd.DataFrame({"q": qs, "value_exact": vals})
 
 
+def exact_quantiles_cont(ds, col: str, qs, *, bins: int = 1 << 16) -> pd.DataFrame:
+    """DataFrame[q, value_cont]: exact INTERPOLATED quantiles
+    (``percentile_cont`` / DuckDB ``quantile_cont``).
+
+    Same two-histogram-pass selection as :func:`exact_quantiles`, but
+    each q needs the TWO bracketing order statistics at 0-based ranks
+    floor(h) and ceil(h) of h = q·(n−1), interpolated as
+    ``lower·(ceil(h)−h) + upper·(h−floor(h))`` — the formula DuckDB's
+    quantile_cont uses (verified bit-identical empirically; the
+    algebraically-equal ``lower + frac·(upper−lower)`` form is NOT
+    always bit-identical in float64).  Pass-2 volume is still
+    ~n·|ranks|/bins rows; NaNs excluded (SQL NULL semantics)."""
+    from ray.data.aggregate import Max, Min
+
+    qs = list(qs)
+    agg = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    if not np.isfinite(lo) or lo == hi:
+        return pd.DataFrame({"q": qs, "value_cont": [lo] * len(qs)})
+
+    partials = ds.map_batches(_hist_stage(col, lo, hi, bins), batch_format="pyarrow")
+    for _ in range(2):
+        partials = partials.map_batches(_sum_hists, batch_format="pandas", batch_size=64)
+    hist = None
+    for batch in partials.iter_batches(batch_size=64, batch_format="pandas"):
+        part = _sum_hists(batch)
+        h = np.frombuffer(part["hist"].iloc[0], dtype=np.uint64)
+        hist = h.copy() if hist is None else hist + h
+    n = int(hist.sum())
+    if n == 0:
+        return pd.DataFrame({"q": qs, "value_cont": [float("nan")] * len(qs)})
+
+    cum = np.cumsum(hist)
+    rn = np.array([q * (n - 1) for q in qs], dtype=np.float64)
+    frn = np.floor(rn).astype(np.int64)
+    crn = np.ceil(rn).astype(np.int64)
+    ranks = np.unique(np.concatenate([frn, crn]))
+    target_bins = np.searchsorted(cum, ranks, side="right")
+    offsets = ranks - np.concatenate([[0], cum])[target_bins]
+    needed = np.unique(target_bins)
+
+    scale = bins / (hi - lo)
+
+    def _gather(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.clip(((v - lo) * scale).astype(np.int64), 0, bins - 1)
+        keep = np.isin(idx, needed)
+        return pa.table({"v": pa.array(v[keep]), "b": pa.array(idx[keep])})
+
+    by_bin: dict[int, list[np.ndarray]] = {int(b): [] for b in needed}
+    for batch in ds.map_batches(_gather, batch_format="pyarrow").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        for bb in np.unique(b):
+            by_bin[int(bb)].append(v[b == bb])
+    stat = {}
+    for j, r in enumerate(ranks):
+        arr = np.concatenate(by_bin[int(target_bins[j])])
+        k = int(offsets[j])
+        stat[int(r)] = float(np.partition(arr, k)[k])
+    vals = []
+    for j in range(len(qs)):
+        f, c = int(frn[j]), int(crn[j])
+        if f == c:
+            vals.append(stat[f])
+        else:
+            vals.append(stat[f] * (c - rn[j]) + stat[c] * (rn[j] - f))
+    return pd.DataFrame({"q": qs, "value_cont": vals})
+
+
 # ---------------------------------------------------------------------------
 # grouped variant
 # ---------------------------------------------------------------------------

@@ -79,3 +79,35 @@ def test_grouped_high_cardinality_guard(ray_session):
     ds = rd.from_items(rows)
     with pytest.raises(ValueError, match="distinct"):
         exact_quantiles_grouped(ds, "value", "g", [0.5], bins=64, max_groups=10)
+
+
+def test_cont_matches_duckdb(values_ds):
+    """percentile_cont: bit-identical to DuckDB quantile_cont, incl. qs
+    that land exactly on an order statistic (no interpolation) and ones
+    that bracket two (interpolated with DuckDB's formula)."""
+    import duckdb
+
+    from gostatix_ray.stages.quantiles import exact_quantiles_cont
+
+    ds, srt = values_ds
+    qs = [0.0, 0.01, 0.25, 0.5, 0.733, 0.9, 1.0]
+    out = exact_quantiles_cont(ds, "value", qs, bins=1 << 12)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (SELECT unnest(?) AS v)",
+                [srt.tolist()])
+    for q, got in zip(out["q"], out["value_cont"]):
+        exp = con.execute(f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
+        assert float(got) == float(exp), (q, got, exp)
+
+
+def test_cont_constant_and_small(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.quantiles import exact_quantiles_cont
+
+    const = rd.from_items([{"value": 5.0}] * 100)
+    out = exact_quantiles_cont(const, "value", [0.1, 0.9])
+    assert list(out["value_cont"]) == [5.0, 5.0]
+    two = rd.from_items([{"value": 1.0}, {"value": 3.0}])
+    out2 = exact_quantiles_cont(two, "value", [0.5])
+    assert float(out2["value_cont"].iloc[0]) == 2.0  # true interpolation
