@@ -309,14 +309,14 @@ def detect_hot_keys(ds, key: str, *, k: int = 32, min_frac: float = 0.01) -> lis
 
     from ..kernels import topk as topk_kernel
     from .build import SketchRequest, build_partials
-    from .merge import collect_final, merge_partials_streaming
+    from .merge import collect_final, full_throttle_dataset, merge_partials_streaming
 
     req = SketchRequest(
         "hot", "topk", topk_kernel.TopKSpec(k=k, error_rate=0.0005, accuracy=0.01),
         on=lambda b, c=key: pc.cast(b[c], pa.string()),
     )
-    partials = build_partials(ds, [req], concurrency=2)
-    merged = merge_partials_streaming(partials)
+    partials = build_partials(full_throttle_dataset(ds), [req], concurrency=None)
+    merged = merge_partials_streaming(partials, final="single")
     final = collect_final(merged)
     state = topk_kernel.from_bytes(final[("hot", "")])
     total = max(int(state.cms.all_sum), 1)
@@ -455,7 +455,8 @@ def hash_join(
 
 
 def join_profile(ds, key: str, *, k: int = 32, m: int = 1 << 12,
-                 freq_eps: float | None = 0.0005, concurrency=2) -> dict:
+                 freq_eps: float | None = 0.0005, concurrency=None,
+                 cast_to: pa.DataType | None = None) -> dict:
     """ONE cheap pass over ``ds[key]`` -> ``{rows, distinct, hot, cms}``.
 
     The sketch library serving the query planner: a single projected
@@ -472,15 +473,22 @@ def join_profile(ds, key: str, *, k: int = 32, m: int = 1 << 12,
     sketches as a library (`top_k.go:95-134`, `hyperloglog.go:67-76`,
     `count_min_sketch.go:76-92`); here they drive physical join
     selection in :func:`auto_join`.
+
+    ``cast_to``: normalize keys to this Arrow type before the string
+    cast — REQUIRED when comparing two sides' profiles whose key
+    columns differ in type (the join matches after casting the right
+    side to the left's type, so cross-side statistics must sketch the
+    same representation: '1' and '1.00' are different sketch keys).
     """
     from ..kernels import cms as cms_kernel
     from ..kernels import hll as hll_kernel
     from ..kernels import topk as topk_kernel
     from .build import SketchRequest, build_partials
-    from .merge import collect_final, merge_partials_streaming
+    from .merge import collect_final, full_throttle_dataset, merge_partials_streaming
 
-    def _proj(b, c=key):
-        return pc.cast(b[c], pa.string())
+    def _proj(b, c=key, t=cast_to):
+        col = b[c] if t is None else pc.cast(b[c], t)
+        return pc.cast(col, pa.string())
 
     reqs = [
         SketchRequest(
@@ -494,8 +502,10 @@ def join_profile(ds, key: str, *, k: int = 32, m: int = 1 << 12,
             "jp_freq", "cms", cms_kernel.CMSSpec.from_error_rate(freq_eps, 0.01),
             on=_proj,
         ))
-    partials = build_partials(ds, reqs, concurrency=concurrency)
-    merged = merge_partials_streaming(partials)
+    # group-free funnel: throttle off per-op reservation, unbounded task
+    # dispatch (concurrency=None), ONE final combine task (no sort)
+    partials = build_partials(full_throttle_dataset(ds), reqs, concurrency=concurrency)
+    merged = merge_partials_streaming(partials, final="single")
     final = collect_final(merged)
     tk = topk_kernel.from_bytes(final[("jp_hot", "")])
     hstate = hll_kernel.from_bytes(final[("jp_distinct", "")])
@@ -525,20 +535,23 @@ def estimate_join_size(left_profile: dict, right_profile: dict) -> int:
     return cms_kernel.inner_product(cms_kernel.from_bytes(lc), cms_kernel.from_bytes(rc))
 
 
-def _build_key_bloom(ds, key: str, spec) -> bytes:
+def _build_key_bloom(ds, key: str, spec, cast_to: pa.DataType | None = None) -> bytes:
     """One projected pass over ``ds[key]`` -> merged Bloom state bytes
-    (the join runtime filter).  Same string-cast projection as
-    :func:`join_profile`, so probe-side ``contains`` (which casts
-    non-string columns through ``pa.string()`` in ``to_padded_bytes``)
-    hashes identically."""
+    (the join runtime filter).  ``cast_to`` MUST be the probe side's key
+    type when the sides differ: the probe's ``contains`` casts its
+    column through ``pa.string()`` (``to_padded_bytes``), so the filter
+    must be built from the same representation or true matches hash
+    differently and get pruned (silent row loss)."""
     from .build import SketchRequest, build_partials
-    from .merge import collect_final, merge_partials_streaming
+    from .merge import collect_final, full_throttle_dataset, merge_partials_streaming
 
-    req = SketchRequest(
-        "jp_bloom", "bloom", spec, on=lambda b, c=key: pc.cast(b[c], pa.string())
-    )
-    partials = build_partials(ds, [req], concurrency=2)
-    return collect_final(merge_partials_streaming(partials))[("jp_bloom", "")]
+    def _proj(b, c=key, t=cast_to):
+        col = b[c] if t is None else pc.cast(b[c], t)
+        return pc.cast(col, pa.string())
+
+    req = SketchRequest("jp_bloom", "bloom", spec, on=_proj)
+    partials = build_partials(full_throttle_dataset(ds), [req], concurrency=None)
+    return collect_final(merge_partials_streaming(partials, final="single"))[("jp_bloom", "")]
 
 
 class _BroadcastMultiJoin:
@@ -650,6 +663,10 @@ def broadcast_hash_join(left, right_table: pa.Table, *, key: str,
     import ray
 
     rkey = right_key or key
+    if key in left_cols or rkey in right_cols:
+        # same guard as hash_join — the planner must not make this
+        # error plan-dependent
+        raise ValueError("broadcast_hash_join: the key rides along automatically; do not list it")
     key_type = _arrow_schema(left).field(key).type
     need = [rkey] + list(right_cols)
     ref = ray.put(right_table.select(need))
@@ -722,7 +739,14 @@ def auto_join(
     ``explain=True`` returns ``(dataset, plan_dict)``.
     """
     rkey = right_key or key
-    rprof = join_profile(right, rkey, k=profile_k)
+    # profile the right side in the LEFT key's representation — the join
+    # casts right->left before matching, so cross-side statistics (hot
+    # keys, CMS inner product, the Bloom filter) must sketch post-cast
+    # key strings or mixed-type keys silently stop matching
+    key_type = _arrow_schema(left).field(key).type
+    rkey_type = _arrow_schema(right).field(rkey).type
+    norm = key_type if rkey_type != key_type else None
+    rprof = join_profile(right, rkey, k=profile_k, cast_to=norm)
     plan = {"right_rows": rprof["rows"], "right_distinct": rprof["distinct"]}
     if how != "outer" and rprof["rows"] <= broadcast_threshold:
         import ray
@@ -770,7 +794,8 @@ def auto_join(
             from .membership import MembershipFilter
 
             n_items = max(1024, int(rprof["distinct"] * 1.3))
-            state = _build_key_bloom(right, rkey, BloomSpec.from_params(n_items, 0.01))
+            state = _build_key_bloom(
+                right, rkey, BloomSpec.from_params(n_items, 0.01), cast_to=norm)
             left = left.map_batches(
                 MembershipFilter(ray.put(state), "bloom", key),
                 batch_format="pyarrow",

@@ -54,15 +54,22 @@ def _sum_hists(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"hist": [total.tobytes()]})
 
 
-def exact_quantiles(ds, col: str, qs, *, bins: int = 1 << 16) -> pd.DataFrame:
-    """DataFrame[q, value_exact] with the exact quantile_disc values."""
+def _order_statistics(ds, col: str, ranks_from_n, *, bins: int):
+    """Shared engine of the two-histogram-pass selection: min/max pass,
+    histogram reduce, then gather ONLY the bins holding the requested
+    0-based ranks and select each exact order statistic in place.
+
+    ``ranks_from_n``: callable ``n -> iterable of 0-based ranks`` (n =
+    non-NaN row count).  Returns ``(n, lo, stats)`` where ``stats`` maps
+    each requested rank to its exact value — or ``(0, lo, None)`` for
+    the degenerate cases (empty/all-NaN input: lo is NaN; constant
+    column: lo is the constant)."""
     from ray.data.aggregate import Max, Min
 
-    qs = list(qs)
     agg = ds.aggregate(Min(col), Max(col))
     lo, hi = float(agg[f"min({col})"]), float(agg[f"max({col})"])
     if not np.isfinite(lo) or lo == hi:
-        return pd.DataFrame({"q": qs, "value_exact": [lo] * len(qs)})
+        return 0, lo, None
 
     partials = ds.map_batches(_hist_stage(col, lo, hi, bins), batch_format="pyarrow")
     for _ in range(2):  # shuffle-free bundled reduction (cf. merge.py)
@@ -74,11 +81,10 @@ def exact_quantiles(ds, col: str, qs, *, bins: int = 1 << 16) -> pd.DataFrame:
         hist = h.copy() if hist is None else hist + h
     n = int(hist.sum())
     if n == 0:
-        return pd.DataFrame({"q": qs, "value_exact": [float("nan")] * len(qs)})
+        return 0, float("nan"), None
 
     cum = np.cumsum(hist)
-    ranks = np.array([max(int(np.ceil(q * n)) - 1, 0) for q in qs], dtype=np.int64)
-    ranks = np.minimum(ranks, n - 1)
+    ranks = np.unique(np.asarray(list(ranks_from_n(n)), dtype=np.int64))
     target_bins = np.searchsorted(cum, ranks, side="right")
     offsets = ranks - np.concatenate([[0], cum])[target_bins]
     needed = np.unique(target_bins)
@@ -100,12 +106,28 @@ def exact_quantiles(ds, col: str, qs, *, bins: int = 1 << 16) -> pd.DataFrame:
         b = batch["b"].to_numpy(zero_copy_only=False)
         for bb in np.unique(b):
             by_bin[int(bb)].append(v[b == bb])
-    vals = []
-    for j, q in enumerate(qs):
+    stats = {}
+    for j, r in enumerate(ranks):
         arr = np.concatenate(by_bin[int(target_bins[j])])
         k = int(offsets[j])
-        vals.append(float(np.partition(arr, k)[k]))
-    return pd.DataFrame({"q": qs, "value_exact": vals})
+        stats[int(r)] = float(np.partition(arr, k)[k])
+    return n, lo, stats
+
+
+def _disc_rank(q: float, n: int) -> int:
+    """0-based quantile_disc rank: max(ceil(q*n) - 1, 0), clamped."""
+    return min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+
+
+def exact_quantiles(ds, col: str, qs, *, bins: int = 1 << 16) -> pd.DataFrame:
+    """DataFrame[q, value_exact] with the exact quantile_disc values."""
+    qs = list(qs)
+    n, lo, stats = _order_statistics(
+        ds, col, lambda n: (_disc_rank(q, n) for q in qs), bins=bins)
+    if stats is None:
+        return pd.DataFrame({"q": qs, "value_exact": [lo] * len(qs)})
+    return pd.DataFrame(
+        {"q": qs, "value_exact": [stats[_disc_rank(q, n)] for q in qs]})
 
 
 def exact_quantiles_cont(ds, col: str, qs, *, bins: int = 1 << 16) -> pd.DataFrame:
@@ -120,64 +142,20 @@ def exact_quantiles_cont(ds, col: str, qs, *, bins: int = 1 << 16) -> pd.DataFra
     algebraically-equal ``lower + frac·(upper−lower)`` form is NOT
     always bit-identical in float64).  Pass-2 volume is still
     ~n·|ranks|/bins rows; NaNs excluded (SQL NULL semantics)."""
-    from ray.data.aggregate import Max, Min
-
     qs = list(qs)
-    agg = ds.aggregate(Min(col), Max(col))
-    lo, hi = float(agg[f"min({col})"]), float(agg[f"max({col})"])
-    if not np.isfinite(lo) or lo == hi:
+
+    def _ranks(n):
+        rn = np.array([q * (n - 1) for q in qs], dtype=np.float64)
+        return np.concatenate([np.floor(rn), np.ceil(rn)]).astype(np.int64)
+
+    n, lo, stats = _order_statistics(ds, col, _ranks, bins=bins)
+    if stats is None:
         return pd.DataFrame({"q": qs, "value_cont": [lo] * len(qs)})
-
-    partials = ds.map_batches(_hist_stage(col, lo, hi, bins), batch_format="pyarrow")
-    for _ in range(2):
-        partials = partials.map_batches(_sum_hists, batch_format="pandas", batch_size=64)
-    hist = None
-    for batch in partials.iter_batches(batch_size=64, batch_format="pandas"):
-        part = _sum_hists(batch)
-        h = np.frombuffer(part["hist"].iloc[0], dtype=np.uint64)
-        hist = h.copy() if hist is None else hist + h
-    n = int(hist.sum())
-    if n == 0:
-        return pd.DataFrame({"q": qs, "value_cont": [float("nan")] * len(qs)})
-
-    cum = np.cumsum(hist)
-    rn = np.array([q * (n - 1) for q in qs], dtype=np.float64)
-    frn = np.floor(rn).astype(np.int64)
-    crn = np.ceil(rn).astype(np.int64)
-    ranks = np.unique(np.concatenate([frn, crn]))
-    target_bins = np.searchsorted(cum, ranks, side="right")
-    offsets = ranks - np.concatenate([[0], cum])[target_bins]
-    needed = np.unique(target_bins)
-
-    scale = bins / (hi - lo)
-
-    def _gather(batch: pa.Table) -> pa.Table:
-        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = v[~np.isnan(v)]
-        idx = np.clip(((v - lo) * scale).astype(np.int64), 0, bins - 1)
-        keep = np.isin(idx, needed)
-        return pa.table({"v": pa.array(v[keep]), "b": pa.array(idx[keep])})
-
-    by_bin: dict[int, list[np.ndarray]] = {int(b): [] for b in needed}
-    for batch in ds.map_batches(_gather, batch_format="pyarrow").iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        v = batch["v"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        for bb in np.unique(b):
-            by_bin[int(bb)].append(v[b == bb])
-    stat = {}
-    for j, r in enumerate(ranks):
-        arr = np.concatenate(by_bin[int(target_bins[j])])
-        k = int(offsets[j])
-        stat[int(r)] = float(np.partition(arr, k)[k])
     vals = []
-    for j in range(len(qs)):
-        f, c = int(frn[j]), int(crn[j])
-        if f == c:
-            vals.append(stat[f])
-        else:
-            vals.append(stat[f] * (c - rn[j]) + stat[c] * (rn[j] - f))
+    for q in qs:
+        h = q * (n - 1)
+        f, c = int(np.floor(h)), int(np.ceil(h))
+        vals.append(stats[f] if f == c else stats[f] * (c - h) + stats[c] * (h - f))
     return pd.DataFrame({"q": qs, "value_cont": vals})
 
 

@@ -229,3 +229,29 @@ def test_estimate_join_size(ray_session):
                           broadcast_threshold=10, explain=True)
     assert plan["est_output_rows"] >= exact
     assert len(out.to_pandas()) == exact
+
+
+def test_auto_join_bloom_mixed_key_types(ray_session):
+    """Regression: the runtime filter must be built from the PROBE key's
+    representation.  decimal build keys stringify as '1.00' but the join
+    casts them to the probe's int64 ('1') before matching — an
+    unnormalized bloom would hash-miss every true match and silently
+    drop all output rows."""
+    from decimal import Decimal
+
+    import ray.data as rd
+
+    left = rd.from_items([{"k": i, "v": float(i)} for i in range(100)]).repartition(2)
+    tbl = pa.table({
+        "rk": pa.array([Decimal(f"{i}.00") for i in range(10)], pa.decimal128(10, 2)),
+        "name": [f"n{i}" for i in range(10)],
+    })
+    right = rd.from_arrow(tbl)
+    out, plan = auto_join(left, right, key="k", right_key="rk",
+                          left_cols={"v": "v"}, right_cols={"name": "name"},
+                          broadcast_threshold=1, bloom_min_probe_rows=0, explain=True)
+    assert plan["strategy"] == "shuffle" and plan["bloom_prune"] is not None
+    got = out.to_pandas()
+    assert len(got) == 10 and sorted(got["k"]) == list(range(10))
+    # the CMS join-size estimate also sketches the normalized form
+    assert plan["est_output_rows"] >= 10
