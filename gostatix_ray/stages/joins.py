@@ -694,7 +694,7 @@ def auto_join(
     bloom_prune: bool = True,
     bloom_ratio: float = 0.5,
     bloom_max_distinct: int = 8_000_000,
-    bloom_min_probe_rows: int = 2_000_000,
+    bloom_min_probe_rows: int = 8_000_000,
     explain: bool = False,
 ):
     """SKETCH-GUIDED JOIN PLANNER: profile the key columns with the
@@ -727,10 +727,12 @@ def auto_join(
        dropped by the exact match — output unchanged; the win is probe
        bytes that never cross the wire.  ``left``/``anti``/``outer``
        never prune (unmatched probe rows ARE output), and probes under
-       ``bloom_min_probe_rows`` skip it — measured single-node: the
-       filter build costs more than a 1M-row in-memory shuffle saves
-       (3.7 s vs 3.0 s) but wins 27% at a 4M-row probe (7.5 s vs
-       10.3 s); on a real network the crossover is lower.
+       ``bloom_min_probe_rows`` skip it — measured single-node
+       (BASELINE.md): the prune loses at a 1M-row probe (filter build >
+       in-memory shuffle saved), is noise-neutral at 4M, and wins 1.9×
+       at 64M (8.7 s vs 16.8 s — the unpruned 64M shuffle also risks
+       object-store spill blowups the prune avoids entirely); on a real
+       network the crossover is lower, so lower the floor there.
 
     All three physical plans produce the identical output SET (tested);
     ``outer`` always takes the unsalted shuffle path.  At 100 TB the
@@ -796,9 +798,14 @@ def auto_join(
             n_items = max(1024, int(rprof["distinct"] * 1.3))
             state = _build_key_bloom(
                 right, rkey, BloomSpec.from_params(n_items, 0.01), cast_to=norm)
+            # batch_size=None: whole-block batches AND read->filter
+            # fusion (the default 1024 would re-batch a multi-million
+            # row probe into thousands of tiny batches and force an
+            # extra object-store hop)
             left = left.map_batches(
                 MembershipFilter(ray.put(state), "bloom", key),
                 batch_format="pyarrow",
+                batch_size=None,
                 zero_copy_batch=True,
             )
             plan["bloom_prune"] = {"num_items": n_items}
