@@ -2102,6 +2102,17 @@ def q_value_quantiles_by_type_exact(sf_dir: str):
     return out.rename(columns={"event_type": "event_type"})
 
 
+def q_value_quantiles_by_type_cont(sf_dir: str):
+    """Exact per-event_type INTERPOLATED quantiles (percentile_cont):
+    the grouped two-histogram-pass selection gathers both bracketing
+    order statistics per (group, q) and interpolates with DuckDB's
+    quantile_cont formula — bit-identical per group, no global sort."""
+    from ..stages.quantiles import exact_quantiles_grouped
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return exact_quantiles_grouped(ds, "value", "event_type", [0.25, 0.5, 0.9], mode="cont")
+
+
 def q_ann_topk_ids(sf_dir: str):
     """Exact cosine top-10 per query, ids only — oracle-checkable: the
     sf data's rank-10/11 similarity gaps (>=2.4e-4) dwarf the float32
@@ -2403,6 +2414,7 @@ QUERIES = {
     "user_top_event_type": q_user_top_event_type,
     "value_quantiles_exact": q_value_quantiles_exact,
     "value_quantiles_cont": q_value_quantiles_cont,
+    "value_quantiles_by_type_cont": q_value_quantiles_by_type_cont,
     "events_value_winsorized": q_events_value_winsorized,
     "value_quantiles_by_type_exact": q_value_quantiles_by_type_exact,
     "ann_topk_ids": q_ann_topk_ids,
@@ -2913,6 +2925,13 @@ ORACLE_SQL = {
         " UNION ALL ".join(
             f"SELECT {q} AS q, quantile_cont(value, {q}) AS value_cont FROM events"
             for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        )
+    ),
+    "value_quantiles_by_type_cont": (
+        " UNION ALL ".join(
+            f"SELECT event_type, {q} AS q, quantile_cont(value, {q}) AS value_cont "
+            "FROM events GROUP BY event_type"
+            for q in (0.25, 0.5, 0.9)
         )
     ),
     "value_quantiles_by_type_exact": (

@@ -164,8 +164,11 @@ def exact_quantiles_cont(ds, col: str, qs, *, bins: int = 1 << 16) -> pd.DataFra
 # ---------------------------------------------------------------------------
 
 def exact_quantiles_grouped(ds, col: str, group_col: str, qs, *, bins: int = 1 << 14,
-                            max_groups: int = 10_000) -> pd.DataFrame:
-    """DataFrame[group, q, value_exact]: exact per-group quantile_disc.
+                            max_groups: int = 10_000, mode: str = "disc") -> pd.DataFrame:
+    """DataFrame[group, q, value_exact|value_cont]: exact per-group
+    quantiles — ``mode="disc"`` (quantile_disc, an element of the
+    column) or ``mode="cont"`` (percentile_cont, interpolated with the
+    same DuckDB-bit-identical formula as :func:`exact_quantiles_cont`).
 
     Same two-histogram-pass selection as :func:`exact_quantiles`, with
     one histogram blob per (block, group).  Designed for LOW-cardinality
@@ -175,6 +178,8 @@ def exact_quantiles_grouped(ds, col: str, group_col: str, qs, *, bins: int = 1 <
     column (G in the millions belongs in a sketch — t-digest/KLL per
     group — not here).
     """
+    if mode not in ("disc", "cont"):
+        raise ValueError(f"mode must be disc|cont, got {mode!r}")
     from ray.data.aggregate import Max, Min
 
     qs = list(qs)
@@ -239,10 +244,14 @@ def exact_quantiles_grouped(ds, col: str, group_col: str, qs, *, bins: int = 1 <
         hist = hists[g]
         n = int(hist.sum())
         cum = np.cumsum(hist)
-        ranks = np.minimum([max(int(np.ceil(q * n)) - 1, 0) for q in qs], n - 1)
+        if mode == "disc":
+            ranks = np.minimum([max(int(np.ceil(q * n)) - 1, 0) for q in qs], n - 1)
+        else:  # both bracketing order statistics of h = q*(n-1) per q
+            rn = np.array([q * (n - 1) for q in qs], dtype=np.float64)
+            ranks = np.unique(np.concatenate([np.floor(rn), np.ceil(rn)]).astype(np.int64))
         tbins = np.searchsorted(cum, ranks, side="right")
         offs = ranks - np.concatenate([[0], cum])[tbins]
-        plan[g] = (tbins, offs)
+        plan[g] = (n, ranks, tbins, offs)
         needed[g] = set(int(b) for b in tbins)
 
     def _gather(batch: pa.Table) -> pa.Table:
@@ -274,11 +283,21 @@ def exact_quantiles_grouped(ds, col: str, group_col: str, qs, *, bins: int = 1 <
         for (g, b), sub in batch.groupby(["g", "b"], sort=False):
             by_gb.setdefault((g, int(b)), []).append(sub["v"].to_numpy())
 
+    out_name = "value_exact" if mode == "disc" else "value_cont"
     rows = []
     for g in groups:
-        tbins, offs = plan[g]
-        for q, tb, off in zip(qs, tbins, offs):
+        n, ranks, tbins, offs = plan[g]
+        stat = {}
+        for r, tb, off in zip(ranks, tbins, offs):
             arr = np.concatenate(by_gb[(g, int(tb))])
             k = int(off)
-            rows.append({group_col: g, "q": q, "value_exact": float(np.partition(arr, k)[k])})
+            stat[int(r)] = float(np.partition(arr, k)[k])
+        for j, q in enumerate(qs):
+            if mode == "disc":
+                val = stat[int(ranks[j])]
+            else:
+                h = q * (n - 1)
+                f, c = int(np.floor(h)), int(np.ceil(h))
+                val = stat[f] if f == c else stat[f] * (c - h) + stat[c] * (h - f)
+            rows.append({group_col: g, "q": q, out_name: val})
     return pd.DataFrame(rows)

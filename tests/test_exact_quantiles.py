@@ -111,3 +111,28 @@ def test_cont_constant_and_small(ray_session):
     two = rd.from_items([{"value": 1.0}, {"value": 3.0}])
     out2 = exact_quantiles_cont(two, "value", [0.5])
     assert float(out2["value_cont"].iloc[0]) == 2.0  # true interpolation
+
+
+def test_grouped_cont_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from gostatix_ray.stages.quantiles import exact_quantiles_grouped
+
+    rng = np.random.default_rng(11)
+    gs = rng.integers(0, 4, 5000)
+    vs = rng.normal(0, 100, 5000)
+    ds = rd.from_items(
+        [{"g": f"g{g}", "value": float(v)} for g, v in zip(gs, vs)]
+    ).repartition(6)
+    out = exact_quantiles_grouped(ds, "value", "g", [0.25, 0.5, 0.733], mode="cont")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (SELECT unnest(?) AS g, unnest(?) AS v)",
+        [[f"g{g}" for g in gs], vs.tolist()],
+    )
+    for _, row in out.iterrows():
+        exp = con.execute(
+            "SELECT quantile_cont(v, ?) FROM t WHERE g = ?", [row["q"], row["g"]]
+        ).fetchone()[0]
+        assert float(row["value_cont"]) == float(exp), (row["g"], row["q"])
