@@ -1058,6 +1058,75 @@ def q_auto_mktsegment_revenue(sf_dir: str):
     )
 
 
+def q_building_orders_top_revenue(sf_dir: str):
+    """TPC-H-Q3-shaped composite, physically planned by the engine's
+    own sketches end-to-end: date predicates PUSHED INTO both parquet
+    scans (row-group pruning), customer(BUILDING) semi-gates orders via
+    auto_join (the profiler sees the small side and broadcasts — zero
+    shuffle), filtered lineitem inner-joins the surviving orders via a
+    second auto_join, per-(orderkey, orderdate) revenue reduces through
+    ONE coarse-bucket shuffle (bucketed_groupby — never a per-group
+    Python call), and the global top-10 ranks with a map-side prune
+    instead of a global sort.  Money as exact integer cents ->
+    hash-stable vs the row_number() SQL twin."""
+    import datetime as dt
+
+    import pyarrow.compute as pac
+
+    from ..sources.pq_read import clean_read_parquet
+    from ..stages.dedup import bucketed_groupby
+    from ..stages.joins import auto_join
+    from ..stages.rank import global_topn
+
+    cut = dt.datetime(1998, 1, 1)
+    cust = clean_read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"],
+        filter=pac.field("c_mktsegment") == "BUILDING",
+        filter_columns=["c_mktsegment"],
+    )
+    orders = clean_read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pac.field("o_orderdate") < cut,
+    )
+    gated = auto_join(
+        orders, cust, key="o_custkey", right_key="c_custkey",
+        left_cols={"o_orderkey": "o_orderkey", "o_orderdate": "o_orderdate"},
+        right_cols={}, how="semi",
+    )
+    li = clean_read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pac.field("l_shipdate") > cut,
+        filter_columns=["l_shipdate"],
+    )
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev_cents": pa.array(rev)})
+
+    joined = auto_join(
+        li.map_batches(_cents, batch_format="pyarrow"),
+        gated,
+        key="l_orderkey", right_key="o_orderkey",
+        left_cols={"rev_cents": "rev_cents"},
+        right_cols={"o_orderdate": "o_orderdate"},
+    )
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_orderkey", "o_orderdate"], sort=False, as_index=False)[
+            "rev_cents"].sum()
+        g = g.rename(columns={"rev_cents": "revenue_cents"})
+        g["revenue_cents"] = g["revenue_cents"].astype("int64")
+        return g
+
+    agg = bucketed_groupby(joined, ["l_orderkey", "o_orderdate"], _agg, num_buckets=32)
+    return global_topn(agg, order_col="revenue_cents", tiebreak="l_orderkey", n=10)
+
+
 def q_bucketed_priority_revenue(sf_dir: str):
     """The SAME rollup as order_priority_revenue through the BUCKETED
     STORAGE path (stages/bucketed.py): both tables are persisted once
@@ -2462,6 +2531,7 @@ QUERIES = {
     "ann_ivfpq_cosine": q_ann_ivfpq_cosine,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "auto_mktsegment_revenue": q_auto_mktsegment_revenue,
+    "building_orders_top_revenue": q_building_orders_top_revenue,
     "transcript_flagship": q_transcript_flagship,
 }
 
@@ -2956,6 +3026,22 @@ ORACLE_SQL = {
         "FROM embeddings ORDER BY vec_id LIMIT 3) "
         "SELECT q.query_id, e.vec_id FROM embeddings e CROSS JOIN q "
         "WHERE list_cosine_similarity(e.embedding, q.qe) >= 0.32"
+    ),
+    "building_orders_top_revenue": (
+        "WITH agg AS ("
+        "SELECT l.l_orderkey, o.o_orderdate, "
+        "CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+        "AND l.l_shipdate > TIMESTAMP '1998-01-01' "
+        "GROUP BY l.l_orderkey, o.o_orderdate), "
+        "ranked AS (SELECT l_orderkey, o_orderdate, revenue_cents, "
+        "CAST(row_number() OVER (ORDER BY revenue_cents DESC, l_orderkey) AS BIGINT) AS rank "
+        "FROM agg) "
+        "SELECT * FROM ranked WHERE rank <= 10"
     ),
     "auto_mktsegment_revenue": (
         "SELECT c.c_mktsegment, count(*) AS n_orders, "
