@@ -1469,6 +1469,41 @@ def q_user_running_value(sf_dir: str):
     )
 
 
+def q_user_event_lead_ntile(sf_dir: str):
+    """LEAD + NTILE window columns (stages/window_fns.py): per-user
+    ordered by (ts, event_id), next event's integer cents (typed NULL
+    at each user's last event) and the SQL-standard NTILE(4) positional
+    quartile — same single coarse-bucket shuffle + one lexsort pass as
+    the other window functions; bit-exact vs the OVER twins."""
+    from ..stages.window_fns import window_over
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    return window_over(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        part_col="user_id",
+        order_col="ts",
+        tiebreak="event_id",
+        gap_name=None,
+        lead_col="cents",
+        lead_name="next_cents",
+        ntile_n=4,
+        ntile_name="quartile",
+        keep=["event_id", "user_id"],
+    )
+
+
 def q_decontaminated_docs(sf_dir: str):
     """Benchmark decontamination: flag corpus docs sharing any word
     8-gram with the benchmark subset (doc_id % 7 == 0), excluding a
@@ -2504,6 +2539,7 @@ QUERIES = {
     "docs_above_quality_cutoff": q_docs_above_quality_cutoff,
     "doc_hash_sample": q_doc_hash_sample,
     "user_running_value": q_user_running_value,
+    "user_event_lead_ntile": q_user_event_lead_ntile,
     "lang_doc_stats": q_lang_doc_stats,
     "events_daily_active_users": q_events_daily_active_users,
     "distinct_users_day_range_exact": q_distinct_users_day_range_exact,
@@ -2692,6 +2728,12 @@ ORACLE_SQL = {
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq, "
         "CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS ts_rank "
         "FROM events"
+    ),
+    "user_event_lead_ntile": (
+        "SELECT event_id, user_id, "
+        "lead(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS next_cents, "
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
     ),
     "user_running_value": (
         "SELECT event_id, user_id, "

@@ -32,12 +32,16 @@ class _WindowBucket:
     """pyarrow map_groups callable: one co-partitioned bucket."""
 
     def __init__(self, part_col, order_col, tiebreak, sum_col, running_name,
-                 gap_name, gap_default, keep, seq_name=None, dense_rank_name=None):
+                 gap_name, gap_default, keep, seq_name=None, dense_rank_name=None,
+                 lead_col=None, lead_name="next_value", ntile_n=None,
+                 ntile_name="ntile"):
         self._part, self._order, self._tb = part_col, order_col, tiebreak
         self._sum_col, self._running_name = sum_col, running_name
         self._gap_name, self._gap_default = gap_name, gap_default
         self._keep = keep
         self._seq_name, self._dense_rank_name = seq_name, dense_rank_name
+        self._lead_col, self._lead_name = lead_col, lead_name
+        self._ntile_n, self._ntile_name = ntile_n, ntile_name
 
     def __call__(self, table: pa.Table) -> pa.Table:
         import pandas as pd
@@ -77,6 +81,39 @@ class _WindowBucket:
                 gap[1:] = ov[1:] - ov[:-1]
                 gap[newg] = self._gap_default
             out[self._gap_name] = pa.array(gap)
+        if self._lead_col is not None and n:
+            # LEAD(col): next ordered row's value within the partition,
+            # typed NULL on each partition's last row (SQL semantics)
+            import pyarrow.compute as pc
+
+            colv = table[self._lead_col].take(pa.array(order))
+            if isinstance(colv, pa.ChunkedArray):
+                colv = colv.combine_chunks()
+            last = np.empty(n, dtype=bool)
+            last[-1] = True
+            last[:-1] = newg[1:]
+            nxt = np.where(last, 0, np.arange(1, n + 1, dtype=np.int64))
+            vals = colv.take(pa.array(nxt))
+            out[self._lead_name] = pc.if_else(
+                pa.array(~last), vals, pa.scalar(None, type=colv.type))
+        if self._ntile_n is not None and n:
+            # NTILE(k): first (n_part % k) buckets get ceil(n_part/k)
+            # rows, the rest floor(n_part/k) — the SQL-standard split
+            k = int(self._ntile_n)
+            starts = np.flatnonzero(newg)
+            sizes = np.diff(np.append(starts, n))
+            npart = np.repeat(sizes, sizes)
+            gstart = np.maximum.accumulate(np.where(newg, idx, 0))
+            i0 = idx - gstart
+            q, r = npart // k, npart % k
+            thresh = r * (q + 1)
+            small = np.maximum(q, 1)  # parts with n<k: q=0, each row its own tile
+            tile = np.where(
+                i0 < thresh,
+                i0 // np.maximum(q + 1, 1) + 1,
+                r + (i0 - thresh) // small + 1,
+            )
+            out[self._ntile_name] = pa.array(tile.astype(np.int64))
         if self._sum_col is not None:
             v = table[self._sum_col].to_numpy(zero_copy_only=False)
             if v.dtype.kind not in "iu":
@@ -96,6 +133,8 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
                 sum_col: str | None = None, running_name: str = "running_sum",
                 gap_name: str | None = "gap", gap_default: int = -1,
                 seq_name: str | None = None, dense_rank_name: str | None = None,
+                lead_col: str | None = None, lead_name: str = "next_value",
+                ntile_n: int | None = None, ntile_name: str = "ntile",
                 keep: list | None = None, num_buckets: int = 64):
     """Per-partition ordered window columns over a Dataset.
 
@@ -107,7 +146,11 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
       ``gap_default`` for each partition's first row (a sentinel, not
       null, so cross-engine hashes stay unambiguous);
     * ``running_name``: running sum of integer ``sum_col`` including
-      the current row (``ROWS UNBOUNDED PRECEDING`` semantics).
+      the current row (``ROWS UNBOUNDED PRECEDING`` semantics);
+    * ``lead_name`` (when ``lead_col`` given): LEAD(lead_col) — the
+      next ordered row's value, typed NULL at each partition's end;
+    * ``ntile_name`` (when ``ntile_n`` given): NTILE(ntile_n) — the
+      SQL-standard positional split (first n%k tiles one row larger).
 
     ``keep``: passthrough columns (default: part, tiebreak).  Output row
     SET is partition-independent; row order follows bucket scheduling.
@@ -125,7 +168,8 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
         return batch.append_column("__bucket", pa.array((h1 % nb).astype(np.int64)))
 
     fn = _WindowBucket(part_col, order_col, tiebreak, sum_col, running_name,
-                       gap_name, gap_default, keep, seq_name, dense_rank_name)
+                       gap_name, gap_default, keep, seq_name, dense_rank_name,
+                       lead_col, lead_name, ntile_n, ntile_name)
     return (
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("__bucket")

@@ -169,3 +169,29 @@ def test_window_over_seq_and_dense_rank(ray_session):
     exp = srt.assign(seq=exp_seq, drank=exp_dr).sort_values("id").reset_index(drop=True)
     assert list(got["seq"]) == list(exp["seq"])
     assert list(got["drank"]) == list(exp["drank"])
+
+
+def test_window_lead_ntile(ray_session):
+    """LEAD: next ordered value, NULL at partition end; NTILE: the
+    SQL-standard split incl. partitions smaller than k."""
+    import ray.data as rd
+
+    from gostatix_ray.stages.window_fns import window_over
+
+    rows = (
+        [{"g": "a", "o": i, "v": i * 10} for i in range(5)]   # n=5, k=4: sizes 2,1,1,1
+        + [{"g": "b", "o": i, "v": i} for i in range(2)]      # n=2 < k: tiles 1,2
+    )
+    ds = rd.from_items(rows).repartition(3)
+    out = (
+        window_over(ds, part_col="g", order_col="o", tiebreak="o",
+                    gap_name=None, lead_col="v", lead_name="nxt",
+                    ntile_n=4, ntile_name="tile", keep=["g", "o"])
+        .to_pandas().sort_values(["g", "o"]).reset_index(drop=True)
+    )
+    a = out[out["g"] == "a"]
+    assert list(a["nxt"])[:-1] == [10, 20, 30, 40] and pd.isna(a["nxt"].iloc[-1])
+    assert list(a["tile"]) == [1, 1, 2, 3, 4]
+    b = out[out["g"] == "b"]
+    assert list(b["tile"]) == [1, 2] and pd.isna(b["nxt"].iloc[-1])
+    assert b["nxt"].iloc[0] == 1
