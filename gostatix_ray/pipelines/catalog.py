@@ -13,6 +13,7 @@ check; their error bounds are asserted in tests/ instead.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -2096,6 +2097,55 @@ def q_value_stats_by_type(sf_dir: str):
     })
 
 
+def q_lineitem_qty_price_corr(sf_dir: str):
+    """EXACT distributed bivariate stats: per-returnflag Pearson
+    correlation of quantity vs (floored) price, from integer co-moment
+    partials (n, Σx, Σy, Σx², Σy², Σxy as int64 — all < 2^53 here, so
+    their float64 casts are exact) reduced through the streaming
+    combiner, then ONE fixed float64 evaluation order
+    (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²)) that any SQL
+    engine reproduces bit-for-bit on the same integers.  The same
+    partial+merge shape as the moments sketch, extended to co-moments;
+    prices floored to whole units to keep Σy² < 2^53 at bench scale."""
+    from ..stages.reduce import small_group_agg
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_numpy(zero_copy_only=False),
+            "x": batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "y": np.floor(batch["l_extendedprice"].to_numpy(zero_copy_only=False)).astype(np.int64),
+        })
+        df["one"] = np.int64(1)
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        df["xy"] = df["x"] * df["y"]
+        g = df.groupby("l_returnflag", sort=False, as_index=False).agg(
+            n=("one", "sum"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    agg = small_group_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        "l_returnflag",
+        {c: (c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")},
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in df.iterrows():
+            fn_, fx, fy = float(r["n"]), float(r["sx"]), float(r["sy"])
+            fxx, fyy, fxy = float(r["sxx"]), float(r["syy"]), float(r["sxy"])
+            corr = (fn_ * fxy - fx * fy) / (
+                math.sqrt(fn_ * fxx - fx * fx) * math.sqrt(fn_ * fyy - fy * fy))
+            out.append({"l_returnflag": r["l_returnflag"],
+                        "n": np.int64(r["n"]), "corr_qty_price": corr})
+        return pd.DataFrame(out)
+
+    return agg.map_batches(_final, batch_format="pandas", batch_size=None)
+
+
 def q_events_sliding_window(sf_dir: str):
     """Sliding window: per-user event counts over 1h windows sliding 30min.
 
@@ -2540,6 +2590,7 @@ QUERIES = {
     "doc_hash_sample": q_doc_hash_sample,
     "user_running_value": q_user_running_value,
     "user_event_lead_ntile": q_user_event_lead_ntile,
+    "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
     "lang_doc_stats": q_lang_doc_stats,
     "events_daily_active_users": q_events_daily_active_users,
     "distinct_users_day_range_exact": q_distinct_users_day_range_exact,
@@ -2728,6 +2779,20 @@ ORACLE_SQL = {
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq, "
         "CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS ts_rank "
         "FROM events"
+    ),
+    "lineitem_qty_price_corr": (
+        "WITH s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx, "
+        "CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy, "
+        "CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx, "
+        "CAST(sum(CAST(floor(l_extendedprice) AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy, "
+        "CAST(sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, n, "
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+        "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) "
+        "AS corr_qty_price FROM s"
     ),
     "user_event_lead_ntile": (
         "SELECT event_id, user_id, "
