@@ -668,19 +668,14 @@ def q_revenue_by_nation(sf_dir: str):
     return agg.map_batches(_ints, batch_format="pyarrow")
 
 
-def q_revenue_rollup(sf_dir: str):
-    """GROUP BY ROLLUP(region, nation) via stages/rollup.py: the fact
-    table is scanned ONCE (chained broadcast dim joins + map-side
-    integer-cents partials), the partials materialize once, and all
-    three levels — (region, nation), (region), grand total — derive
-    from that same handle as tiny distributed groupbys.  Rolled-up
-    keys are the 'ALL' sentinel, matching the oracle's COALESCE."""
+def _revenue_partials(sf_dir: str):
+    """Shared fact scan for the rollup/cube queries: chained broadcast
+    dim joins + map-side integer-cents partials keyed (region, nation)."""
     import os as _os
 
     import pyarrow.parquet as pq
 
     from ..stages.joins import broadcast_join
-    from ..stages.rollup import rollup
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = pq.read_table(_os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"])
@@ -712,9 +707,31 @@ def q_revenue_rollup(sf_dir: str):
             pn=("cents", "size"), pc_=("cents", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    partials = j.map_batches(_partial, batch_format="pyarrow")
-    return rollup(partials, keys=["r_name", "n_name"],
+    return j.map_batches(_partial, batch_format="pyarrow")
+
+
+def q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation) via stages/rollup.py: the fact
+    table is scanned ONCE (chained broadcast dim joins + map-side
+    integer-cents partials), the partials materialize once, and all
+    three levels — (region, nation), (region), grand total — derive
+    from that same handle as tiny distributed groupbys.  Rolled-up
+    keys are the 'ALL' sentinel, matching the oracle's COALESCE."""
+    from ..stages.rollup import rollup
+
+    return rollup(_revenue_partials(sf_dir), keys=["r_name", "n_name"],
                   value_cols={"pn": "n_items", "pc_": "revenue_cents"})
+
+
+def q_revenue_cube(sf_dir: str):
+    """GROUP BY CUBE(region, nation): all four grouping sets —
+    (region, nation), (region), (nation), grand total — from the SAME
+    single fact scan and materialized partials as the rollup (the
+    nation-only marginal is the set ROLLUP can't produce)."""
+    from ..stages.rollup import cube
+
+    return cube(_revenue_partials(sf_dir), keys=["r_name", "n_name"],
+                value_cols={"pn": "n_items", "pc_": "revenue_cents"})
 
 
 def q_embedding_similarity_join(sf_dir: str):
@@ -2536,6 +2553,7 @@ QUERIES = {
     "curated_corpus": q_curated_corpus,
     "orders_by_customer_nation": q_orders_by_customer_nation,
     "revenue_rollup": q_revenue_rollup,
+    "revenue_cube": q_revenue_cube,
     "embedding_similarity_join": q_embedding_similarity_join,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "clicks_asof_purchase": q_clicks_asof_purchase,
@@ -2812,6 +2830,17 @@ ORACLE_SQL = {
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+    ),
+    "revenue_cube": (
+        "SELECT COALESCE(r.r_name, 'ALL') AS r_name, "
+        "COALESCE(n.n_name, 'ALL') AS n_name, "
+        "CAST(count(*) AS BIGINT) AS n_items, "
+        "CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY CUBE(r.r_name, n.n_name)"
     ),
     "revenue_rollup": (
         "SELECT COALESCE(r.r_name, 'ALL') AS r_name, "

@@ -94,3 +94,15 @@ def rollup(partials, *, keys: list[str], value_cols: dict[str, str], fill="ALL")
     sets = [keys[:i] for i in range(len(keys), -1, -1)]
     return grouping_sets(partials, keys=keys, value_cols=value_cols,
                          sets=sets, fill=fill)
+
+
+def cube(partials, *, keys: list[str], value_cols: dict[str, str], fill="ALL"):
+    """``GROUP BY CUBE(keys...)``: every subset of ``keys`` — 2^k
+    grouping sets from the same single scan (the materialized partials
+    are shared across all levels, like :func:`rollup`)."""
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets(partials, keys=keys, value_cols=value_cols,
+                         sets=sets, fill=fill)
