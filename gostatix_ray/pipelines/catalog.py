@@ -1112,7 +1112,10 @@ def q_building_orders_top_revenue(sf_dir: str):
         orders, cust, key="o_custkey", right_key="c_custkey",
         left_cols={"o_orderkey": "o_orderkey", "o_orderdate": "o_orderdate"},
         right_cols={}, how="semi",
-    )
+        # pin the gated (post-filter, small) order set: the next
+        # auto_join consumes it twice (profile pass + the join itself)
+        # and a lazy handle would re-run the semi join each time
+    ).materialize()
     li = clean_read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
