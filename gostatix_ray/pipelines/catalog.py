@@ -1525,6 +1525,46 @@ def q_user_event_lead_ntile(sf_dir: str):
     )
 
 
+def q_user_event_rank_dist(sf_dir: str):
+    """RANK / PERCENT_RANK / CUME_DIST with TRUE PEER TIES + FIRST_VALUE
+    (stages/window_fns.py): per-user, ordered by event DAY — same-day
+    events are peers, so rank gaps / fractional ranks / cumulative
+    distribution are exercised with real ties; first_cents is the
+    user's first event's integer cents under the deterministic
+    (day, event_id) order.  Same one-bucket-shuffle + single-lexsort
+    pass; bit-exact vs the OVER twins (the float percent_rank and
+    cume_dist divide the same small ints both sides)."""
+    from ..stages.window_fns import window_over
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "day": pa.array(us // 86_400_000_000),
+                "cents": pa.array(cents),
+            }
+        )
+
+    return window_over(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        part_col="user_id",
+        order_col="day",
+        tiebreak="event_id",
+        gap_name=None,
+        rank_name="rnk",
+        pct_rank_name="pct_rank",
+        cume_name="cume",
+        first_col="cents",
+        first_name="first_cents",
+        keep=["event_id", "user_id"],
+    )
+
+
 def q_decontaminated_docs(sf_dir: str):
     """Benchmark decontamination: flag corpus docs sharing any word
     8-gram with the benchmark subset (doc_id % 7 == 0), excluding a
@@ -2612,6 +2652,7 @@ QUERIES = {
     "user_running_value": q_user_running_value,
     "user_event_lead_ntile": q_user_event_lead_ntile,
     "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
+    "user_event_rank_dist": q_user_event_rank_dist,
     "lang_doc_stats": q_lang_doc_stats,
     "events_daily_active_users": q_events_daily_active_users,
     "distinct_users_day_range_exact": q_distinct_users_day_range_exact,
@@ -2800,6 +2841,18 @@ ORACLE_SQL = {
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq, "
         "CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS ts_rank "
         "FROM events"
+    ),
+    "user_event_rank_dist": (
+        "WITH e AS (SELECT event_id, user_id, "
+        "CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS day, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events) "
+        "SELECT event_id, user_id, "
+        "CAST(rank() OVER wo AS BIGINT) AS rnk, "
+        "percent_rank() OVER wo AS pct_rank, "
+        "cume_dist() OVER wo AS cume, "
+        "first_value(cents) OVER wt AS first_cents "
+        "FROM e WINDOW wo AS (PARTITION BY user_id ORDER BY day), "
+        "wt AS (PARTITION BY user_id ORDER BY day, event_id)"
     ),
     "lineitem_qty_price_corr": (
         "WITH s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "

@@ -34,7 +34,8 @@ class _WindowBucket:
     def __init__(self, part_col, order_col, tiebreak, sum_col, running_name,
                  gap_name, gap_default, keep, seq_name=None, dense_rank_name=None,
                  lead_col=None, lead_name="next_value", ntile_n=None,
-                 ntile_name="ntile"):
+                 ntile_name="ntile", rank_name=None, pct_rank_name=None,
+                 cume_name=None, first_col=None, first_name="first_value"):
         self._part, self._order, self._tb = part_col, order_col, tiebreak
         self._sum_col, self._running_name = sum_col, running_name
         self._gap_name, self._gap_default = gap_name, gap_default
@@ -42,6 +43,9 @@ class _WindowBucket:
         self._seq_name, self._dense_rank_name = seq_name, dense_rank_name
         self._lead_col, self._lead_name = lead_col, lead_name
         self._ntile_n, self._ntile_name = ntile_n, ntile_name
+        self._rank_name, self._pct_rank_name = rank_name, pct_rank_name
+        self._cume_name = cume_name
+        self._first_col, self._first_name = first_col, first_name
 
     def __call__(self, table: pa.Table) -> pa.Table:
         import pandas as pd
@@ -81,6 +85,39 @@ class _WindowBucket:
                 gap[1:] = ov[1:] - ov[:-1]
                 gap[newg] = self._gap_default
             out[self._gap_name] = pa.array(gap)
+        if n and (self._rank_name or self._pct_rank_name or self._cume_name
+                  or self._first_col):
+            # peer groups = equal ORDER values within the partition
+            # (SQL RANK/PERCENT_RANK/CUME_DIST semantics — the tiebreak
+            # only stabilizes physical order, it does not split peers)
+            import pyarrow.compute as pc
+
+            gstart = np.maximum.accumulate(np.where(newg, idx, 0))
+            psizes = np.diff(np.append(np.flatnonzero(newg), n))
+            npart = np.repeat(psizes, psizes)
+            ov = o[order]
+            newval = newg.copy()
+            if n > 1:
+                newval[1:] |= ov[1:] != ov[:-1]
+            vstart = np.maximum.accumulate(np.where(newval, idx, 0))
+            rank = vstart - gstart + 1
+            if self._rank_name:
+                out[self._rank_name] = pa.array(rank.astype(np.int64))
+            if self._pct_rank_name:
+                # (rank-1)/(n-1); defined 0 for single-row partitions
+                pr = np.where(npart > 1,
+                              (rank - 1) / np.maximum(npart - 1, 1), 0.0)
+                out[self._pct_rank_name] = pa.array(pr.astype(np.float64))
+            if self._cume_name:
+                # rows through the END of the peer group, over n_part
+                vs = np.flatnonzero(newval)
+                vend = np.repeat(np.append(vs[1:], n), np.diff(np.append(vs, n)))
+                out[self._cume_name] = pa.array((vend - gstart) / npart)
+            if self._first_col is not None:
+                colv = table[self._first_col].take(pa.array(order))
+                if isinstance(colv, pa.ChunkedArray):
+                    colv = colv.combine_chunks()
+                out[self._first_name] = colv.take(pa.array(gstart))
         if self._lead_col is not None and n:
             # LEAD(col): next ordered row's value within the partition,
             # typed NULL on each partition's last row (SQL semantics)
@@ -135,6 +172,9 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
                 seq_name: str | None = None, dense_rank_name: str | None = None,
                 lead_col: str | None = None, lead_name: str = "next_value",
                 ntile_n: int | None = None, ntile_name: str = "ntile",
+                rank_name: str | None = None, pct_rank_name: str | None = None,
+                cume_name: str | None = None, first_col: str | None = None,
+                first_name: str = "first_value",
                 keep: list | None = None, num_buckets: int = 64):
     """Per-partition ordered window columns over a Dataset.
 
@@ -150,7 +190,13 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
     * ``lead_name`` (when ``lead_col`` given): LEAD(lead_col) — the
       next ordered row's value, typed NULL at each partition's end;
     * ``ntile_name`` (when ``ntile_n`` given): NTILE(ntile_n) — the
-      SQL-standard positional split (first n%k tiles one row larger).
+      SQL-standard positional split (first n%k tiles one row larger);
+    * ``rank_name`` / ``pct_rank_name`` / ``cume_name``: RANK /
+      PERCENT_RANK / CUME_DIST with TRUE PEER semantics — rows with
+      equal ``order_col`` values are peers regardless of tiebreak
+      (matching ``OVER (ORDER BY order_col)`` alone);
+    * ``first_name`` (when ``first_col`` given): FIRST_VALUE(first_col)
+      at the partition's first (order, tiebreak) row — deterministic.
 
     ``keep``: passthrough columns (default: part, tiebreak).  Output row
     SET is partition-independent; row order follows bucket scheduling.
@@ -169,7 +215,8 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
 
     fn = _WindowBucket(part_col, order_col, tiebreak, sum_col, running_name,
                        gap_name, gap_default, keep, seq_name, dense_rank_name,
-                       lead_col, lead_name, ntile_n, ntile_name)
+                       lead_col, lead_name, ntile_n, ntile_name,
+                       rank_name, pct_rank_name, cume_name, first_col, first_name)
     return (
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("__bucket")

@@ -195,3 +195,31 @@ def test_window_lead_ntile(ray_session):
     b = out[out["g"] == "b"]
     assert list(b["tile"]) == [1, 2] and pd.isna(b["nxt"].iloc[-1])
     assert b["nxt"].iloc[0] == 1
+
+
+def test_window_rank_pct_cume_first(ray_session):
+    """RANK/PERCENT_RANK/CUME_DIST with true peer ties (equal order
+    values) and deterministic FIRST_VALUE."""
+    import ray.data as rd
+
+    from gostatix_ray.stages.window_fns import window_over
+
+    # partition a: order values [1, 1, 2, 2, 2] -> ranks 1,1,3,3,3
+    rows = [{"g": "a", "o": o, "id": i, "v": 100 + i}
+            for i, o in enumerate([1, 1, 2, 2, 2])]
+    rows += [{"g": "b", "o": 7, "id": 9, "v": 5}]  # single-row partition
+    ds = rd.from_items(rows).repartition(3)
+    out = (
+        window_over(ds, part_col="g", order_col="o", tiebreak="id",
+                    gap_name=None, rank_name="rnk", pct_rank_name="pr",
+                    cume_name="cd", first_col="v", first_name="fv",
+                    keep=["g", "id"])
+        .to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+    )
+    a = out[out["g"] == "a"]
+    assert list(a["rnk"]) == [1, 1, 3, 3, 3]
+    assert list(a["pr"]) == [0.0, 0.0, 0.5, 0.5, 0.5]
+    assert list(a["cd"]) == [0.4, 0.4, 1.0, 1.0, 1.0]
+    assert list(a["fv"]) == [100] * 5
+    b = out[out["g"] == "b"]
+    assert list(b["rnk"]) == [1] and list(b["pr"]) == [0.0] and list(b["cd"]) == [1.0]
