@@ -2163,7 +2163,7 @@ def q_lineitem_qty_price_corr(sf_dir: str):
     partials (n, Σx, Σy, Σx², Σy², Σxy as int64 — all < 2^53 here, so
     their float64 casts are exact) reduced through the streaming
     combiner, then ONE fixed float64 evaluation order
-    (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²)) that any SQL
+    (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) that any SQL
     engine reproduces bit-for-bit on the same integers.  The same
     partial+merge shape as the moments sketch, extended to co-moments;
     prices floored to whole units to keep Σy² < 2^53 at bench scale."""

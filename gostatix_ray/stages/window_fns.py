@@ -64,41 +64,39 @@ class _WindowBucket:
         out: dict = {}
         for src in self._keep:
             out[src] = table[src].take(pa.array(order))
-        if self._seq_name is not None or self._dense_rank_name is not None:
-            gstart = np.maximum.accumulate(np.where(newg, idx, 0))
-            if self._seq_name is not None:
-                # ROW_NUMBER(): 1-based position within the partition
-                out[self._seq_name] = pa.array(idx - gstart + 1)
-            if self._dense_rank_name is not None:
-                # DENSE_RANK() on the order column within the partition
-                ov = o[order]
-                newval = newg.copy()
-                if n > 1:
-                    newval[1:] |= ov[1:] != ov[:-1]
-                d = np.cumsum(newval.astype(np.int64))
-                out[self._dense_rank_name] = pa.array(d - d[gstart] + 1)
-        if self._gap_name is not None:
-            ov = o[order].astype(np.int64)
-            gap = np.empty(n, dtype=np.int64)
-            if n:
-                gap[0] = self._gap_default
-                gap[1:] = ov[1:] - ov[:-1]
-                gap[newg] = self._gap_default
-            out[self._gap_name] = pa.array(gap)
-        if n and (self._rank_name or self._pct_rank_name or self._cume_name
-                  or self._first_col):
-            # peer groups = equal ORDER values within the partition
-            # (SQL RANK/PERCENT_RANK/CUME_DIST semantics — the tiebreak
-            # only stabilizes physical order, it does not split peers)
-            import pyarrow.compute as pc
-
-            gstart = np.maximum.accumulate(np.where(newg, idx, 0))
-            psizes = np.diff(np.append(np.flatnonzero(newg), n))
-            npart = np.repeat(psizes, psizes)
-            ov = o[order]
+        # shared fences, derived once per bucket call:
+        #   gstart — each row's partition-start index;
+        #   newval — peer-group boundaries (equal ORDER values are
+        #     peers; the tiebreak only stabilizes physical order);
+        #   npart  — each row's partition size
+        gstart = np.maximum.accumulate(np.where(newg, idx, 0))
+        ov = o[order]
+        newval = None
+        if (self._dense_rank_name is not None or self._rank_name
+                or self._pct_rank_name or self._cume_name):
             newval = newg.copy()
             if n > 1:
                 newval[1:] |= ov[1:] != ov[:-1]
+        npart = None
+        if self._pct_rank_name or self._cume_name or self._ntile_n is not None:
+            psizes = np.diff(np.append(np.flatnonzero(newg), n))
+            npart = np.repeat(psizes, psizes)
+        if self._seq_name is not None:
+            # ROW_NUMBER(): 1-based position within the partition
+            out[self._seq_name] = pa.array(idx - gstart + 1)
+        if self._dense_rank_name is not None:
+            # DENSE_RANK() on the order column within the partition
+            d = np.cumsum(newval.astype(np.int64))
+            out[self._dense_rank_name] = pa.array(d - d[gstart] + 1)
+        if self._gap_name is not None:
+            ovi = ov.astype(np.int64)
+            gap = np.empty(n, dtype=np.int64)
+            if n:
+                gap[0] = self._gap_default
+                gap[1:] = ovi[1:] - ovi[:-1]
+                gap[newg] = self._gap_default
+            out[self._gap_name] = pa.array(gap)
+        if n and (self._rank_name or self._pct_rank_name or self._cume_name):
             vstart = np.maximum.accumulate(np.where(newval, idx, 0))
             rank = vstart - gstart + 1
             if self._rank_name:
@@ -113,11 +111,12 @@ class _WindowBucket:
                 vs = np.flatnonzero(newval)
                 vend = np.repeat(np.append(vs[1:], n), np.diff(np.append(vs, n)))
                 out[self._cume_name] = pa.array((vend - gstart) / npart)
-            if self._first_col is not None:
-                colv = table[self._first_col].take(pa.array(order))
-                if isinstance(colv, pa.ChunkedArray):
-                    colv = colv.combine_chunks()
-                out[self._first_name] = colv.take(pa.array(gstart))
+        if self._first_col is not None and n:
+            # FIRST_VALUE at the partition's first (order, tiebreak) row
+            colv = table[self._first_col].take(pa.array(order))
+            if isinstance(colv, pa.ChunkedArray):
+                colv = colv.combine_chunks()
+            out[self._first_name] = colv.take(pa.array(gstart))
         if self._lead_col is not None and n:
             # LEAD(col): next ordered row's value within the partition,
             # typed NULL on each partition's last row (SQL semantics)
@@ -137,10 +136,6 @@ class _WindowBucket:
             # NTILE(k): first (n_part % k) buckets get ceil(n_part/k)
             # rows, the rest floor(n_part/k) — the SQL-standard split
             k = int(self._ntile_n)
-            starts = np.flatnonzero(newg)
-            sizes = np.diff(np.append(starts, n))
-            npart = np.repeat(sizes, sizes)
-            gstart = np.maximum.accumulate(np.where(newg, idx, 0))
             i0 = idx - gstart
             q, r = npart // k, npart % k
             thresh = r * (q + 1)
@@ -160,7 +155,6 @@ class _WindowBucket:
                 )
             vs = v[order].astype(np.int64)
             c = np.cumsum(vs)
-            gstart = np.maximum.accumulate(np.where(newg, idx, 0))
             base = c[gstart] - vs[gstart]
             out[self._running_name] = pa.array(c - base)
         return pa.table(out)
