@@ -51,11 +51,12 @@ class _AsofBucketMatch:
     the match even runs.
     """
 
-    def __init__(self, key, on, left_cols, right_cols, direction):
+    def __init__(self, key, on, left_cols, right_cols, direction, tolerance=None):
         self._key, self._on = key, on
         self._left_cols = left_cols  # {src: out_name}
         self._right_cols = right_cols  # {src: out_name}
         self._direction = direction
+        self._tolerance = tolerance
 
     def __call__(self, table: pa.Table) -> pa.Table:
         n = table.num_rows
@@ -70,6 +71,7 @@ class _AsofBucketMatch:
         # the cummax below) — fully deterministic for any block order.
         order = np.lexsort((tb, side, on_v, k))
         k_s, side_s = k[order], side[order]
+        on_s = on_v[order]
         idx = np.arange(n, dtype=np.int64)
         last_right = np.maximum.accumulate(np.where(side_s == 0, idx, -1))
         newg = np.empty(n, dtype=bool)
@@ -78,8 +80,37 @@ class _AsofBucketMatch:
             newg[1:] = k_s[1:] != k_s[:-1]
         gstart = np.maximum.accumulate(np.where(newg, idx, 0))
         is_left = side_s == 1
+        lpos = idx[is_left]
         match = last_right[is_left]
         valid = match >= gstart[is_left]
+        if self._direction == "nearest":
+            # forward candidate: nearest STRICTLY-after right row (exact
+            # matches are already the backward candidate at distance 0),
+            # fenced to the key group; equal-(key,on) rights resolve to
+            # the smallest tiebreak here (backward: greatest) — both
+            # deterministic for any partitioning
+            nxt = np.minimum.accumulate(
+                np.where(side_s == 0, idx, n)[::-1])[::-1]
+            starts = np.flatnonzero(newg)
+            gend = np.repeat(np.append(starts[1:], n),
+                             np.diff(np.append(starts, n)))
+            match_f = nxt[lpos]
+            valid_f = match_f < gend[lpos]
+            on_l = on_s[lpos]
+            d_b = on_l - on_s[np.where(valid, match, 0)]
+            d_f = on_s[np.where(valid_f, match_f, 0)] - on_l
+            if self._tolerance is not None:
+                valid &= d_b <= self._tolerance
+                valid_f &= d_f <= self._tolerance
+            use_b = valid & (~valid_f | (d_b <= d_f))
+            match = np.where(use_b, match, match_f)
+            valid = valid | valid_f
+        elif self._tolerance is not None:
+            # bounded staleness: |left_on - right_on| <= tolerance (the
+            # transformed axis makes the signed distance >= 0 for both
+            # backward and forward)
+            d = on_s[lpos] - on_s[np.where(valid, match, 0)]
+            valid &= d <= self._tolerance
         left_rows = order[is_left]
         right_rows = order[np.where(valid, match, 0)]
 
@@ -105,6 +136,7 @@ def asof_join(
     right_cols: dict,
     tiebreak: str | None = None,
     direction: str = "backward",
+    tolerance: int | float | None = None,
     num_buckets: int = 64,
 ):
     """LEFT as-of join of two Datasets (nulls where no right row
@@ -115,9 +147,18 @@ def asof_join(
     avoid.  ``tiebreak``: right-side column breaking (key, on) ties
     (greatest wins); REQUIRED whenever right rows can share (key, on),
     else results depend on block order.
+
+    ``direction="nearest"``: the closer of the at-or-before and
+    strictly-after matches (ties to backward — pandas ``merge_asof``
+    semantics).  ``tolerance``: maximum |left_on − right_on| for a
+    match, in the ``on`` column's storage unit (µs for timestamp[us]);
+    farther rows fall to null like a miss — the bounded-staleness
+    feature join.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("tolerance must be >= 0")
     from ..hashing import hash128
 
     left_cols = dict(left_cols)
@@ -166,7 +207,7 @@ def asof_join(
         _tag(1, list(left_cols), payload), batch_format="pyarrow"
     ).union(right.map_batches(_tag(0, list(right_cols), payload), batch_format="pyarrow"))
 
-    match = _AsofBucketMatch(key, on, left_cols, right_cols, direction)
+    match = _AsofBucketMatch(key, on, left_cols, right_cols, direction, tolerance)
     # plain-function wrapper: map_groups reads fn.__name__ for its
     # operator label, which a callable instance lacks.
     return tagged.groupby("__bucket").map_groups(

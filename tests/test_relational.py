@@ -342,3 +342,46 @@ def test_global_topn_funnel_width_same_result(ray_session):
         funneled.sort_values("rank").reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_asof_nearest_and_tolerance_match_pandas(ray_session):
+    """direction='nearest' and tolerance vs pandas merge_asof on random
+    data with dup keys (unique (k, t) on the right)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    n_l, n_r = 300, 120
+    left_df = pd.DataFrame({
+        "k": rng.integers(0, 9, n_l),
+        "t": rng.integers(0, 500, n_l),
+        "lid": np.arange(n_l),
+    })
+    right_df = pd.DataFrame({
+        "k": rng.integers(0, 9, n_r),
+        "t": rng.integers(0, 500, n_r),
+        "rid": np.arange(n_r),
+    }).drop_duplicates(["k", "t"]).reset_index(drop=True)
+
+    for direction, tol in (("nearest", None), ("nearest", 25),
+                           ("backward", 25), ("forward", 25)):
+        out = (
+            asof_join(
+                rd.from_arrow(pa.Table.from_pandas(left_df)).repartition(4),
+                rd.from_arrow(pa.Table.from_pandas(right_df)).repartition(3),
+                key="k", on="t",
+                left_cols={"lid": "lid"}, right_cols={"rid": "rid"},
+                tiebreak="rid", direction=direction, tolerance=tol,
+                num_buckets=8,
+            )
+            .to_pandas().sort_values("lid").reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            left_df.sort_values("t", kind="stable"),
+            right_df.sort_values("t", kind="stable"),
+            on="t", by="k", direction=direction,
+            **({"tolerance": tol} if tol is not None else {}),
+        ).sort_values("lid").reset_index(drop=True)
+        ours = out["rid"].astype("float64").to_numpy()
+        theirs = exp["rid"].astype("float64").to_numpy()
+        assert ((ours == theirs) | (np.isnan(ours) & np.isnan(theirs))).all(), \
+            (direction, tol)
