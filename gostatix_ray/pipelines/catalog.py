@@ -1565,6 +1565,26 @@ def q_user_event_rank_dist(sf_dir: str):
     )
 
 
+def q_user_event_paths(sf_dir: str):
+    """Grouped ORDERED STRING_AGG (the behavior-sequence materializer):
+    per user, the comma-joined event_type sequence in (ts, event_id)
+    order — one coarse-bucket shuffle co-locates each user's rows
+    (complete groups per bucket), one pandas sort + join per bucket.
+    Per-group output is a single string, so the reduce output is tiny
+    regardless of input scale.  Bit-exact vs string_agg(... ORDER BY)."""
+    from ..stages.dedup import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def _paths(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", sort=False)["event_type"].agg(",".join)
+        return pd.DataFrame({"user_id": g.index.to_numpy(), "path": g.to_numpy(),
+                             "n_events": df.groupby("user_id", sort=False).size().to_numpy().astype(np.int64)})
+
+    return bucketed_groupby(ds, ["user_id"], _paths, num_buckets=32)
+
+
 def q_decontaminated_docs(sf_dir: str):
     """Benchmark decontamination: flag corpus docs sharing any word
     8-gram with the benchmark subset (doc_id % 7 == 0), excluding a
@@ -2653,6 +2673,7 @@ QUERIES = {
     "user_event_lead_ntile": q_user_event_lead_ntile,
     "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
     "user_event_rank_dist": q_user_event_rank_dist,
+    "user_event_paths": q_user_event_paths,
     "lang_doc_stats": q_lang_doc_stats,
     "events_daily_active_users": q_events_daily_active_users,
     "distinct_users_day_range_exact": q_distinct_users_day_range_exact,
@@ -2841,6 +2862,12 @@ ORACLE_SQL = {
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq, "
         "CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS ts_rank "
         "FROM events"
+    ),
+    "user_event_paths": (
+        "SELECT user_id, "
+        "string_agg(event_type, ',' ORDER BY ts, event_id) AS path, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM events GROUP BY user_id"
     ),
     "user_event_rank_dist": (
         "WITH e AS (SELECT event_id, user_id, "
