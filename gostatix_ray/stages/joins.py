@@ -313,7 +313,8 @@ def detect_hot_keys(ds, key: str, *, k: int = 32, min_frac: float = 0.01) -> lis
 
     req = SketchRequest(
         "hot", "topk", topk_kernel.TopKSpec(k=k, error_rate=0.0005, accuracy=0.01),
-        on=lambda b, c=key: pc.cast(b[c], pa.string()),
+        # NULL keys never join and would crash the value_counts path
+        on=lambda b, c=key: pc.drop_null(pc.cast(b[c], pa.string())),
     )
     partials = build_partials(full_throttle_dataset(ds), [req], concurrency=None)
     merged = merge_partials_streaming(partials, final="single")
@@ -488,7 +489,10 @@ def join_profile(ds, key: str, *, k: int = 32, m: int = 1 << 12,
 
     def _proj(b, c=key, t=cast_to):
         col = b[c] if t is None else pc.cast(b[c], t)
-        return pc.cast(col, pa.string())
+        # NULL keys never join — drop them from the sketches (so
+        # ``rows`` counts joinable rows; a null distinct entry would
+        # also crash the Top-K value_counts path)
+        return pc.drop_null(pc.cast(col, pa.string()))
 
     reqs = [
         SketchRequest(
@@ -547,7 +551,8 @@ def _build_key_bloom(ds, key: str, spec, cast_to: pa.DataType | None = None) -> 
 
     def _proj(b, c=key, t=cast_to):
         col = b[c] if t is None else pc.cast(b[c], t)
-        return pc.cast(col, pa.string())
+        # NULL build keys never match — keep them out of the filter
+        return pc.drop_null(pc.cast(col, pa.string()))
 
     req = SketchRequest("jp_bloom", "bloom", spec, on=_proj)
     partials = build_partials(full_throttle_dataset(ds), [req], concurrency=None)

@@ -17,7 +17,12 @@ from gostatix_ray.stages.joins import (
 
 def _frame_set(df: pd.DataFrame) -> list:
     cols = sorted(df.columns)
-    return sorted(map(tuple, df[cols].astype(object).where(df[cols].notna(), None).values.tolist()))
+    rows = df[cols].astype(object).where(df[cols].notna(), None).values.tolist()
+    # None-safe ordering: nulls sort after values within each column
+    return sorted(
+        map(tuple, rows),
+        key=lambda t: tuple((v is None, v if v is not None else 0) for v in t),
+    )
 
 
 def _mk(ray_session):
@@ -255,3 +260,43 @@ def test_auto_join_bloom_mixed_key_types(ray_session):
     assert len(got) == 10 and sorted(got["k"]) == list(range(10))
     # the CMS join-size estimate also sketches the normalized form
     assert plan["est_output_rows"] >= 10
+
+
+def test_auto_join_randomized_parity(ray_session):
+    """Randomized parity sweep: across varied shapes (null fractions,
+    dup rates, skew, key-domain overlap) every planner path must equal
+    hash_join's output set for every how it supports."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(42)
+    for trial in range(4):
+        n_l = int(rng.integers(50, 400))
+        n_r = int(rng.integers(20, 200))
+        dom = int(rng.integers(5, 60))
+        lk = rng.integers(0, dom, n_l).astype(object)
+        rk = rng.integers(0, dom + 10, n_r).astype(object)
+        # inject nulls on both sides
+        lk[rng.random(n_l) < 0.1] = None
+        rk[rng.random(n_r) < 0.1] = None
+        left = rd.from_items(
+            [{"k": (int(k) if k is not None else None), "v": float(i)}
+             for i, k in enumerate(lk)]).repartition(3)
+        right = rd.from_items(
+            [{"rk": (int(k) if k is not None else None), "p": i}
+             for i, k in enumerate(rk)]).repartition(2)
+        for how in ("inner", "left", "semi", "anti"):
+            rcols = {} if how in ("semi", "anti") else {"p": "p"}
+            ref = hash_join(left, right, key="k", right_key="rk",
+                            left_cols={"v": "v"}, right_cols=rcols,
+                            how=how).to_pandas()
+            # broadcast plan
+            got_b = auto_join(left, right, key="k", right_key="rk",
+                              left_cols={"v": "v"}, right_cols=rcols, how=how,
+                              broadcast_threshold=10**6).to_pandas()
+            assert _frame_set(got_b) == _frame_set(ref), (trial, how, "broadcast")
+            # shuffle plan with the bloom prune forced on
+            got_s = auto_join(left, right, key="k", right_key="rk",
+                              left_cols={"v": "v"}, right_cols=rcols, how=how,
+                              broadcast_threshold=0, bloom_min_probe_rows=0,
+                              bloom_ratio=10.0).to_pandas()
+            assert _frame_set(got_s) == _frame_set(ref), (trial, how, "shuffle")
