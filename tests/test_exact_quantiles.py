@@ -136,3 +136,30 @@ def test_grouped_cont_matches_duckdb(ray_session):
             "SELECT quantile_cont(v, ?) FROM t WHERE g = ?", [row["q"], row["g"]]
         ).fetchone()[0]
         assert float(row["value_cont"]) == float(exp), (row["g"], row["q"])
+
+
+def test_cont_pathological_distributions(ray_session):
+    """percentile_cont stays bit-identical to DuckDB on adversarial
+    shapes: heavy ties, lognormal tails, constant runs, negatives."""
+    import duckdb
+    import ray.data as rd
+
+    from gostatix_ray.stages.quantiles import exact_quantiles_cont
+
+    rng = np.random.default_rng(23)
+    shapes = [
+        np.repeat([1.0, 2.0, 3.0], [100, 1, 99]),
+        rng.lognormal(0, 2, 3000),
+        np.concatenate([np.full(500, -7.25), rng.normal(0, 1, 500)]),
+        rng.integers(-5, 5, 999).astype(float),
+    ]
+    qs = [0.0, 0.123, 0.5, 0.877, 1.0]
+    for trial, vals in enumerate(shapes):
+        ds = rd.from_items([{"value": float(v)} for v in vals]).repartition(4)
+        out = exact_quantiles_cont(ds, "value", qs, bins=1 << 10)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT * FROM (SELECT unnest(?) AS v)",
+                    [vals.tolist()])
+        for q, got in zip(out["q"], out["value_cont"]):
+            exp = con.execute(f"SELECT quantile_cont(v, {q}) FROM t").fetchone()[0]
+            assert float(got) == float(exp), (trial, q, got, exp)
