@@ -1576,11 +1576,18 @@ def q_user_event_paths(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
 
+    def _join_skip_null(s: pd.Series):
+        # string_agg semantics: NULL elements are skipped; an all-NULL
+        # group aggregates to NULL (count(*) still counts every row)
+        vals = [v for v in s if isinstance(v, str)]
+        return ",".join(vals) if vals else None
+
     def _paths(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        g = df.groupby("user_id", sort=False)["event_type"].agg(",".join)
+        gb = df.groupby("user_id", sort=False, dropna=False)["event_type"]
+        g = gb.agg(_join_skip_null)
         return pd.DataFrame({"user_id": g.index.to_numpy(), "path": g.to_numpy(),
-                             "n_events": df.groupby("user_id", sort=False).size().to_numpy().astype(np.int64)})
+                             "n_events": gb.size().to_numpy().astype(np.int64)})
 
     return bucketed_groupby(ds, ["user_id"], _paths, num_buckets=32)
 

@@ -83,19 +83,29 @@ class _AsofBucketMatch:
         lpos = idx[is_left]
         match = last_right[is_left]
         valid = match >= gstart[is_left]
-        if self._direction == "nearest":
+        if self._direction == "nearest" and n:
             # forward candidate: nearest STRICTLY-after right row (exact
             # matches are already the backward candidate at distance 0),
             # fenced to the key group; equal-(key,on) rights resolve to
-            # the smallest tiebreak here (backward: greatest) — both
-            # deterministic for any partitioning
+            # the GREATEST tiebreak (the documented contract, same as
+            # backward/forward) by jumping from the run's first right to
+            # its last — rights of one (key, on) value are contiguous
+            # and tb-ascending under the lexsort
             nxt = np.minimum.accumulate(
                 np.where(side_s == 0, idx, n)[::-1])[::-1]
             starts = np.flatnonzero(newg)
             gend = np.repeat(np.append(starts[1:], n),
                              np.diff(np.append(starts, n)))
+            runb = np.empty(n, dtype=bool)
+            runb[0] = True
+            runb[1:] = ((k_s[1:] != k_s[:-1]) | (on_s[1:] != on_s[:-1])
+                        | (side_s[1:] != side_s[:-1]))
+            rstarts = np.flatnonzero(runb)
+            rlens = np.diff(np.append(rstarts, n))
+            rend = np.repeat(rstarts + rlens - 1, rlens)
             match_f = nxt[lpos]
             valid_f = match_f < gend[lpos]
+            match_f = rend[np.where(valid_f, match_f, 0)]
             on_l = on_s[lpos]
             d_b = on_l - on_s[np.where(valid, match, 0)]
             d_f = on_s[np.where(valid_f, match_f, 0)] - on_l

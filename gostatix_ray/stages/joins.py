@@ -458,14 +458,17 @@ def hash_join(
 def join_profile(ds, key: str, *, k: int = 32, m: int = 1 << 12,
                  freq_eps: float | None = 0.0005, concurrency=None,
                  cast_to: pa.DataType | None = None) -> dict:
-    """ONE cheap pass over ``ds[key]`` -> ``{rows, distinct, hot, cms}``.
+    """ONE cheap pass over ``ds[key]`` ->
+    ``{rows, rows_total, distinct, hot, cms}``.
 
     The sketch library serving the query planner: a single projected
-    scan of the key column builds a Top-K (heavy hitters + exact row
-    count via its CMS ``all_sum``), a standard-mode HLL (distinct-key
-    estimate, ±1.04/sqrt(m)) and — unless ``freq_eps`` is None — a
-    standalone CMS frequency sketch in the same actor pass; the shuffle
-    moves three tiny sketch states, never keys.  ``hot`` is
+    scan of the key column builds a Top-K (heavy hitters + exact
+    JOINABLE row count via its CMS ``all_sum``; ``rows_total``
+    additionally counts null-key rows — the honest materialization
+    gate), a standard-mode HLL (distinct-key estimate, ±1.04/sqrt(m))
+    and — unless ``freq_eps`` is None — a standalone CMS frequency
+    sketch in the same actor pass; the shuffle moves a few tiny sketch
+    states, never keys.  ``hot`` is
     ``[(key_str, frac)]`` for the k heaviest keys (CMS overestimates
     only — conservative).  ``cms`` is the frequency-vector state whose
     INNER PRODUCT with another side's profile estimates the join output
@@ -494,12 +497,21 @@ def join_profile(ds, key: str, *, k: int = 32, m: int = 1 << 12,
         # also crash the Top-K value_counts path)
         return pc.drop_null(pc.cast(col, pa.string()))
 
+    def _const(b):
+        # constant projection: counts EVERY row (incl. null keys) so
+        # rows_total can gate broadcast materialization honestly
+        return pa.array(np.zeros(b.num_rows, dtype=np.int64)).cast(pa.string())
+
     reqs = [
         SketchRequest(
             "jp_hot", "topk",
             topk_kernel.TopKSpec(k=k, error_rate=0.0005, accuracy=0.01), on=_proj,
         ),
         SketchRequest("jp_distinct", "hll", hll_kernel.HLLSpec(m=m), on=_proj),
+        SketchRequest(
+            "jp_total", "topk",
+            topk_kernel.TopKSpec(k=1, error_rate=0.01, accuracy=0.01), on=_const,
+        ),
     ]
     if freq_eps is not None:
         reqs.append(SketchRequest(
@@ -513,11 +525,12 @@ def join_profile(ds, key: str, *, k: int = 32, m: int = 1 << 12,
     final = collect_final(merged)
     tk = topk_kernel.from_bytes(final[("jp_hot", "")])
     hstate = hll_kernel.from_bytes(final[("jp_distinct", "")])
-    rows = int(tk.cms.all_sum)
+    rows = int(tk.cms.all_sum)  # JOINABLE (non-null-key) rows
     total = max(rows, 1)
     hot = [(elem, cnt / total) for elem, cnt in topk_kernel.values(tk)]
     return {
         "rows": rows,
+        "rows_total": int(topk_kernel.from_bytes(final[("jp_total", "")]).cms.all_sum),
         "distinct": float(hll_kernel.count(hstate)),
         "hot": hot,
         "cms": final[("jp_freq", "")] if freq_eps is not None else None,
@@ -754,8 +767,11 @@ def auto_join(
     rkey_type = _arrow_schema(right).field(rkey).type
     norm = key_type if rkey_type != key_type else None
     rprof = join_profile(right, rkey, k=profile_k, cast_to=norm)
-    plan = {"right_rows": rprof["rows"], "right_distinct": rprof["distinct"]}
-    if how != "outer" and rprof["rows"] <= broadcast_threshold:
+    plan = {"right_rows": rprof["rows"], "right_rows_total": rprof["rows_total"],
+            "right_distinct": rprof["distinct"]}
+    # gate on TOTAL rows (incl. null keys): broadcast materializes the
+    # whole table before nulls are filtered
+    if how != "outer" and rprof["rows_total"] <= broadcast_threshold:
         import ray
 
         need = [rkey] + list(right_cols)
@@ -791,7 +807,7 @@ def auto_join(
         if (
             bloom_prune
             and how in ("inner", "semi")
-            and lprof["rows"] >= bloom_min_probe_rows
+            and lprof["rows_total"] >= bloom_min_probe_rows
             and rprof["distinct"] <= bloom_max_distinct
             and rprof["distinct"] < bloom_ratio * max(lprof["distinct"], 1.0)
         ):

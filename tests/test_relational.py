@@ -385,3 +385,23 @@ def test_asof_nearest_and_tolerance_match_pandas(ray_session):
         theirs = exp["rid"].astype("float64").to_numpy()
         assert ((ours == theirs) | (np.isnan(ours) & np.isnan(theirs))).all(), \
             (direction, tol)
+
+
+def test_asof_nearest_forward_tiebreak_greatest(ray_session):
+    """When nearest selects the forward side and several right rows
+    share (key, on), the GREATEST tiebreak must win — the same
+    documented contract as backward/forward."""
+    left = _events([{"k": 1, "t": 14, "lid": 1}])
+    right = _events([
+        {"k": 1, "t": 20, "rid": 1, "val": 1.0},  # forward, dist 6
+        {"k": 1, "t": 20, "rid": 2, "val": 2.0},  # forward, dist 6
+        {"k": 1, "t": 1, "rid": 0, "val": 0.5},   # backward, dist 13
+    ])
+    out = asof_join(left, right, key="k", on="t",
+                    left_cols={"lid": "lid"}, right_cols={"rid": "rid"},
+                    tiebreak="rid", direction="nearest").to_pandas()
+    assert list(out["rid"]) == [2]
+    fwd = asof_join(left, right, key="k", on="t",
+                    left_cols={"lid": "lid"}, right_cols={"rid": "rid"},
+                    tiebreak="rid", direction="forward").to_pandas()
+    assert list(fwd["rid"]) == [2]
