@@ -198,3 +198,59 @@ def test_interval_join_dense_path_equals_loop(ray_session):
     key = lambda df: sorted(map(tuple, df[["row_id", "iv_id"]].itertuples(index=False)))
     assert key(dense) == key(loop)
     assert len(dense) > 0
+
+
+def test_hash_join_randomized_vs_duckdb(ray_session):
+    """Absolute-correctness fuzz: hash_join vs DuckDB on random frames
+    with duplicate keys and NULLs, all five hows, plain AND salted."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gostatix_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(77)
+
+    def _frame_set(df):
+        cols = sorted(df.columns)
+        rows = df[cols].astype(object).where(df[cols].notna(), None).values.tolist()
+        return sorted(map(tuple, rows),
+                      key=lambda t: tuple((v is None, v if v is not None else 0) for v in t))
+
+    for trial in range(3):
+        n_l, n_r = int(rng.integers(40, 250)), int(rng.integers(30, 150))
+        lk = rng.integers(0, 30, n_l).astype(object)
+        rk = rng.integers(0, 40, n_r).astype(object)
+        lk[rng.random(n_l) < 0.08] = None
+        rk[rng.random(n_r) < 0.08] = None
+        ldf = pd.DataFrame({"k": [int(x) if x is not None else None for x in lk],
+                            "v": np.arange(n_l, dtype=np.int64)})
+        rdf = pd.DataFrame({"rk": [int(x) if x is not None else None for x in rk],
+                            "p": np.arange(n_r, dtype=np.int64)})
+        con = duckdb.connect()
+        con.register("l", ldf)
+        con.register("r", rdf)
+        sqls = {
+            "inner": "SELECT l.k, l.v, r.p FROM l JOIN r ON l.k = r.rk",
+            "left": "SELECT l.k, l.v, r.p FROM l LEFT JOIN r ON l.k = r.rk",
+            "outer": ("SELECT COALESCE(l.k, r.rk) AS k, l.v, r.p "
+                      "FROM l FULL OUTER JOIN r ON l.k = r.rk"),
+            "semi": "SELECT l.k, l.v FROM l SEMI JOIN r ON l.k = r.rk",
+            "anti": "SELECT l.k, l.v FROM l ANTI JOIN r ON l.k = r.rk",
+        }
+        left = rd.from_arrow(pa.Table.from_pandas(ldf)).repartition(3)
+        right = rd.from_arrow(pa.Table.from_pandas(rdf)).repartition(2)
+        for how, sql in sqls.items():
+            rcols = {} if how in ("semi", "anti") else {"p": "p"}
+            got = hash_join(left, right, key="k", right_key="rk",
+                            left_cols={"v": "v"}, right_cols=rcols,
+                            how=how, num_buckets=8).to_pandas()
+            exp = con.execute(sql).df()
+            assert _frame_set(got) == _frame_set(exp), (trial, how)
+            if how in ("inner", "left", "semi", "anti"):
+                salted = hash_join(left, right, key="k", right_key="rk",
+                                   left_cols={"v": "v"}, right_cols=rcols,
+                                   how=how, num_buckets=8,
+                                   hot_keys=["3", "7"], n_salts=3).to_pandas()
+                assert _frame_set(salted) == _frame_set(exp), (trial, how, "salted")
