@@ -223,3 +223,60 @@ def test_window_rank_pct_cume_first(ray_session):
     assert list(a["fv"]) == [100] * 5
     b = out[out["g"] == "b"]
     assert list(b["rnk"]) == [1] and list(b["pr"]) == [0.0] and list(b["cd"]) == [1.0]
+
+
+def test_window_over_randomized_vs_duckdb(ray_session):
+    """Absolute-correctness fuzz: every window column at once vs the
+    DuckDB OVER twins on random data with heavy order-value ties."""
+    import duckdb
+    import ray.data as rd
+
+    from gostatix_ray.stages.window_fns import window_over
+
+    rng = np.random.default_rng(31)
+    for trial in range(3):
+        n = 300
+        df = pd.DataFrame({
+            "g": rng.integers(0, 8, n).astype(np.int64),
+            "o": rng.integers(0, 20, n).astype(np.int64),  # heavy ties
+            "id": np.arange(n, dtype=np.int64),
+            "x": rng.integers(-100, 100, n).astype(np.int64),
+        })
+        out = (
+            window_over(
+                rd.from_arrow(pa.Table.from_pandas(df)).repartition(4),
+                part_col="g", order_col="o", tiebreak="id",
+                sum_col="x", running_name="rs",
+                gap_name="gap", gap_default=-1,
+                seq_name="rn", dense_rank_name="dr",
+                rank_name="rk", pct_rank_name="pr", cume_name="cd",
+                lead_col="x", lead_name="nx",
+                ntile_n=3, ntile_name="nt",
+                first_col="x", first_name="fv",
+                keep=["g", "id"], num_buckets=8,
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(
+            "SELECT g, id, "
+            "CAST(row_number() OVER wt AS BIGINT) AS rn, "
+            "CAST(dense_rank() OVER wo AS BIGINT) AS dr, "
+            "CAST(rank() OVER wo AS BIGINT) AS rk, "
+            "percent_rank() OVER wo AS pr, "
+            "cume_dist() OVER wo AS cd, "
+            "CAST(sum(x) OVER wt AS BIGINT) AS rs, "
+            "CAST(coalesce(o - lag(o) OVER wt, -1) AS BIGINT) AS gap, "
+            "lead(x) OVER wt AS nx, "
+            "CAST(ntile(3) OVER wt AS BIGINT) AS nt, "
+            "first_value(x) OVER wt AS fv "
+            "FROM t WINDOW wo AS (PARTITION BY g ORDER BY o), "
+            "wt AS (PARTITION BY g ORDER BY o, id) ORDER BY id"
+        ).df().reset_index(drop=True)
+        for col in ("rn", "dr", "rk", "pr", "cd", "rs", "gap", "nt", "fv"):
+            assert list(out[col]) == list(exp[col]), (trial, col)
+        ours_nx = out["nx"].astype("float64").to_numpy()
+        theirs_nx = exp["nx"].astype("float64").to_numpy()
+        assert ((ours_nx == theirs_nx)
+                | (np.isnan(ours_nx) & np.isnan(theirs_nx))).all(), (trial, "nx")
