@@ -280,3 +280,35 @@ def test_window_over_randomized_vs_duckdb(ray_session):
         theirs_nx = exp["nx"].astype("float64").to_numpy()
         assert ((ours_nx == theirs_nx)
                 | (np.isnan(ours_nx) & np.isnan(theirs_nx))).all(), (trial, "nx")
+
+
+def test_user_event_paths_null_semantics(ray_session, tmp_path):
+    """The string_agg query under NULLs: null event_type skipped (but
+    counted by n_events), all-null group -> NULL path, null user_id
+    kept as its own group — matching DuckDB string_agg exactly."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from gostatix_ray.pipelines.catalog import q_user_event_paths
+
+    tbl = pa.table({
+        "event_id": pa.array(list(range(7)), pa.int64()),
+        "ts": pa.array([np.datetime64("2025-01-01T00:00:00", "us")] * 7,
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2, None, None], pa.int64()),
+        "event_type": pa.array(["a", None, "b", None, None, "z", None]),
+        "value": pa.array([0.0] * 7),
+        "props": pa.array(["{}"] * 7),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = (q_user_event_paths(str(tmp_path)).to_pandas()
+           .sort_values("user_id", na_position="last").reset_index(drop=True))
+    exp = duckdb.sql(
+        f"SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS path, "
+        f"CAST(count(*) AS BIGINT) AS n_events "
+        f"FROM '{tmp_path}/events.parquet' GROUP BY user_id "
+        f"ORDER BY user_id NULLS LAST"
+    ).df().reset_index(drop=True)
+    assert list(out["n_events"]) == list(exp["n_events"]) == [3, 2, 2]
+    for o, e in zip(out["path"], exp["path"]):
+        assert (o == e) or (pd.isna(o) and pd.isna(e)), (o, e)
