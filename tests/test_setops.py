@@ -96,3 +96,49 @@ def test_distinct_count_with_nulls(ray_session):
 
     df = pd.DataFrame({"g": [1, 1, 2, 2, 2], "d": ["x", None, "x", None, None]})
     assert distinct_count(rd.from_pandas(df).repartition(2), ["g", "d"]) == 4
+
+
+def test_setops_randomized_vs_duckdb(ray_session):
+    """Absolute-correctness fuzz: INTERSECT/EXCEPT/UNION on random
+    composite keys with NULLs vs DuckDB (SQL set ops treat NULLs as
+    equal — the round-3 null-factorization fix under load)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+
+    def _null_some(a, frac):
+        a = a.astype(object)
+        a[rng.random(len(a)) < frac] = None
+        return list(a)
+
+    for trial in range(3):
+        n_a, n_b = int(rng.integers(50, 250)), int(rng.integers(50, 250))
+        adf = pd.DataFrame({
+            "g": _null_some(rng.integers(0, 5, n_a), 0.1),
+            "k": _null_some(rng.integers(0, 15, n_a), 0.1),
+        })
+        bdf = pd.DataFrame({
+            "g": _null_some(rng.integers(0, 5, n_b), 0.1),
+            "k": _null_some(rng.integers(0, 20, n_b), 0.1),
+        })
+        con = duckdb.connect()
+        con.register("a", adf)
+        con.register("b", bdf)
+        da = rd.from_arrow(pa.Table.from_pandas(adf)).repartition(3)
+        db = rd.from_arrow(pa.Table.from_pandas(bdf)).repartition(2)
+        for op, sql in (("intersect", "SELECT g, k FROM a INTERSECT SELECT g, k FROM b"),
+                        ("except", "SELECT g, k FROM a EXCEPT SELECT g, k FROM b"),
+                        ("union", "SELECT g, k FROM a UNION SELECT g, k FROM b")):
+            got = key_set_op(da, db, key=["g", "k"], op=op, num_buckets=8).to_pandas()
+            exp = con.execute(sql).df()
+
+            def canon(df):
+                rows = df[["g", "k"]].astype(object).where(df[["g", "k"]].notna(), None).values.tolist()
+                return sorted(map(tuple, rows),
+                              key=lambda t: tuple((v is None, v if v is not None else 0) for v in t))
+
+            assert canon(got) == canon(exp), (trial, op)
