@@ -103,3 +103,34 @@ def test_histogram_sum_exact_above_2_53(ray_session):
            .to_pandas().sort_values("bin").reset_index(drop=True))
     assert list(got["bin"]) == [1, 7]
     assert list(got["sum_amt"]) == [big + 1, 3]
+
+
+def test_histogram_randomized_vs_duckdb(ray_session):
+    """Cross-engine fuzz: random float ranges (non-exact widths) vs the
+    DuckDB twin carrying the same floor + clamp expression."""
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(19)
+    for trial in range(3):
+        lo, hi = sorted(rng.normal(0, 10, 2))
+        if hi - lo < 1e-6:
+            hi = lo + 1.0
+        n_bins = int(rng.integers(2, 40))
+        vals = rng.normal((lo + hi) / 2, (hi - lo), 2000)
+        vals[:5] = [lo, hi, (lo + hi) / 2, np.nextafter(hi, lo), lo - 1]
+        ds = rd.from_items([{"v": float(v)} for v in vals]).repartition(4)
+        out = (fixed_width_histogram(ds, col="v", lo=lo, hi=hi, n_bins=n_bins)
+               .to_pandas().sort_values("bin").reset_index(drop=True))
+        width = (hi - lo) / n_bins
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT * FROM (SELECT unnest(?) AS v)",
+                    [vals.tolist()])
+        exp = con.execute(
+            f"SELECT LEAST(CAST(floor((v - {lo!r}) / {width!r}) AS BIGINT), "
+            f"{n_bins - 1}) AS bin, CAST(count(*) AS BIGINT) AS n "
+            f"FROM t WHERE v >= {lo!r} AND v < {hi!r} "
+            f"GROUP BY 1 ORDER BY 1"
+        ).df().reset_index(drop=True)
+        assert list(out["bin"]) == list(exp["bin"]), trial
+        assert list(out["n"]) == list(exp["n"]), trial
