@@ -713,6 +713,8 @@ def auto_join(
     bloom_ratio: float = 0.5,
     bloom_max_distinct: int = 8_000_000,
     bloom_min_probe_rows: int = 8_000_000,
+    left_profile: dict | None = None,
+    right_profile: dict | None = None,
     explain: bool = False,
 ):
     """SKETCH-GUIDED JOIN PLANNER: profile the key columns with the
@@ -766,7 +768,10 @@ def auto_join(
     key_type = _arrow_schema(left).field(key).type
     rkey_type = _arrow_schema(right).field(rkey).type
     norm = key_type if rkey_type != key_type else None
-    rprof = join_profile(right, rkey, k=profile_k, cast_to=norm)
+    # callers joining the same table repeatedly can pass cached
+    # join_profile() results (built with the matching cast_to!) to skip
+    # the profile scans
+    rprof = right_profile or join_profile(right, rkey, k=profile_k, cast_to=norm)
     plan = {"right_rows": rprof["rows"], "right_rows_total": rprof["rows_total"],
             "right_distinct": rprof["distinct"]}
     # gate on TOTAL rows (incl. null keys): broadcast materializes the
@@ -788,7 +793,7 @@ def auto_join(
             left_cols=left_cols, right_cols=right_cols, how=how,
         )
     else:
-        lprof = join_profile(left, key, k=profile_k)
+        lprof = left_profile or join_profile(left, key, k=profile_k)
         plan["left_rows"] = lprof["rows"]
         if lprof.get("cms") is not None and rprof.get("cms") is not None:
             # CMS inner product = estimated inner-join output rows —

@@ -300,3 +300,19 @@ def test_auto_join_randomized_parity(ray_session):
                               broadcast_threshold=0, bloom_min_probe_rows=0,
                               bloom_ratio=10.0).to_pandas()
             assert _frame_set(got_s) == _frame_set(ref), (trial, how, "shuffle")
+
+
+def test_auto_join_cached_profiles(ray_session):
+    """Precomputed profiles skip the profile scans and produce the
+    identical plan and output."""
+    left, right = _mk(ray_session)
+    rp = join_profile(right, "rk")
+    lp = join_profile(left, "k")
+    out, plan = auto_join(left, right, key="k", right_key="rk",
+                          left_cols={"v": "v"}, right_cols={"name": "name"},
+                          broadcast_threshold=10, skew_frac=0.5,
+                          left_profile=lp, right_profile=rp, explain=True)
+    assert plan["strategy"] == "shuffle" and plan["right_rows"] == rp["rows"]
+    ref = hash_join(left, right, key="k", right_key="rk",
+                    left_cols={"v": "v"}, right_cols={"name": "name"}).to_pandas()
+    assert _frame_set(out.to_pandas()) == _frame_set(ref)
