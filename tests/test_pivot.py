@@ -70,3 +70,36 @@ def test_pivot_sum_exact_above_2_53(ray_session):
                        columns="cat", values=["a"], sum_col="amt")
            .to_pandas().sort_values("grp").reset_index(drop=True))
     assert list(out["sum_a"]) == [big + 1, 5]
+
+
+def test_pivot_randomized_vs_duckdb(ray_session):
+    """Cross-engine fuzz: pivot counts + int sums vs DuckDB FILTER
+    aggregates on random long frames (incl. categories absent from some
+    index rows and rows outside the IN-list)."""
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        n = int(rng.integers(100, 500))
+        df = pd.DataFrame({
+            "idx": rng.integers(0, 12, n).astype(np.int64),
+            "cat": rng.choice(list("abcdX"), n),  # X excluded from IN-list
+            "x": rng.integers(-50, 50, n).astype(np.int64),
+        })
+        cats = ["a", "b", "c", "d"]
+        out = (pivot_table(rd.from_pandas(df).repartition(4), index="idx",
+                           columns="cat", values=cats, sum_col="x", num_buckets=4)
+               .to_pandas().sort_values("idx").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", df)
+        exprs = ", ".join(
+            f"CAST(count(*) FILTER (cat = '{c}') AS BIGINT) AS n_{c}, "
+            f"CAST(coalesce(sum(x) FILTER (cat = '{c}'), 0) AS BIGINT) AS sum_{c}"
+            for c in cats)
+        exp = con.execute(
+            f"SELECT idx, {exprs} FROM t WHERE cat IN ('a','b','c','d') "
+            f"GROUP BY idx ORDER BY idx").df().reset_index(drop=True)
+        for c in cats:
+            assert list(out[f"n_{c}"]) == list(exp[f"n_{c}"]), (trial, c)
+            assert list(out[f"sum_{c}"]) == list(exp[f"sum_{c}"]), (trial, c)

@@ -60,3 +60,44 @@ def test_grouping_sets_rejects_unknown_key(ray_session):
     with pytest.raises(ValueError):
         grouping_sets(_partials({"a": ["x"], "pv": [1]}), keys=["a"],
                       value_cols={"pv": "t"}, sets=[["a", "bogus"]])
+
+
+def test_cube_matches_duckdb(ray_session):
+    """cube() vs GROUP BY CUBE on random 3-key partials — all 8
+    grouping sets from one scan."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    n = 400
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], n),
+        "b": rng.choice(["p", "q", "r"], n),
+        "c": rng.integers(0, 3, n).astype(np.int64).astype(str),
+        "m": rng.integers(0, 100, n).astype(np.int64),
+    })
+    # map-side partials: one row per (a, b, c) per block with n/sum
+    parts = (
+        rd.from_pandas(df).repartition(5)
+        .map_batches(
+            lambda t: t.groupby(["a", "b", "c"], as_index=False)
+            .agg(pn=("m", "size"), ps=("m", "sum")),
+            batch_format="pandas",
+        )
+    )
+    from gostatix_ray.stages.rollup import cube
+
+    out = (cube(parts, keys=["a", "b", "c"], value_cols={"pn": "n", "ps": "s"})
+           .to_pandas().sort_values(["a", "b", "c"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT COALESCE(a, 'ALL') AS a, COALESCE(b, 'ALL') AS b, "
+        "COALESCE(c, 'ALL') AS c, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(m) AS BIGINT) AS s FROM t GROUP BY CUBE(a, b, c) "
+        "ORDER BY a, b, c").df().reset_index(drop=True)
+    assert len(out) == len(exp)
+    for col in ("a", "b", "c", "n", "s"):
+        assert list(out[col]) == list(exp[col]), col
