@@ -2079,6 +2079,31 @@ def q_events_daily_type_pivot(sf_dir: str):
     )
 
 
+def q_daily_type_counts_unpivot(sf_dir: str):
+    """UNPIVOT (stages/pivot.py:unpivot): the daily-type PIVOT's count
+    columns melted back to long form — one row per (day, type) incl.
+    zero cells.  The melt is a pure per-batch Arrow transform (no
+    shuffle); the SQL twin materializes the same day×type grid with a
+    LEFT JOIN + COALESCE 0."""
+    from ..stages.pivot import pivot_table, unpivot
+
+    def _prep(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], "%Y-%m-%d")
+        return pa.table({"day": day, "event_type": b["event_type"]})
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+        _prep, batch_format="pyarrow"
+    )
+    wide = pivot_table(
+        ds, index="day", columns="event_type",
+        values=["click", "view", "signup", "purchase", "error"],
+        count_prefix="n_",
+    )
+    return unpivot(wide, id_cols=["day"],
+                   value_cols=["n_click", "n_view", "n_signup", "n_purchase", "n_error"],
+                   var_name="variable", value_name="value")
+
+
 def q_props_field_stats(sf_dir: str):
     """Semi-structured extraction (stages/semistruct.py): the integer
     'k' field of the JSON props string, grouped n/sum/min/max per event
@@ -2681,6 +2706,7 @@ QUERIES = {
     "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
     "user_event_rank_dist": q_user_event_rank_dist,
     "user_event_paths": q_user_event_paths,
+    "daily_type_counts_unpivot": q_daily_type_counts_unpivot,
     "lang_doc_stats": q_lang_doc_stats,
     "events_daily_active_users": q_events_daily_active_users,
     "distinct_users_day_range_exact": q_distinct_users_day_range_exact,
@@ -2869,6 +2895,18 @@ ORACLE_SQL = {
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq, "
         "CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS ts_rank "
         "FROM events"
+    ),
+    "daily_type_counts_unpivot": (
+        "WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events), "
+        "types(event_type) AS (SELECT unnest(['click','view','signup','purchase','error'])), "
+        "counts AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, "
+        "CAST(count(*) AS BIGINT) AS c FROM events "
+        "WHERE event_type IN ('click','view','signup','purchase','error') "
+        "GROUP BY 1, 2) "
+        "SELECT d.day, 'n_' || t.event_type AS variable, "
+        "CAST(COALESCE(c.c, 0) AS BIGINT) AS value "
+        "FROM days d CROSS JOIN types t "
+        "LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type"
     ),
     "user_event_paths": (
         "SELECT user_id, "

@@ -76,3 +76,34 @@ def pivot_table(ds, *, index: str, columns: str, values: list[str],
 
     return bucketed_groupby(ds.map_batches(_partial, batch_format="pyarrow"),
                             [index], _reduce, num_buckets=num_buckets)
+
+
+def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
+            var_name: str = "variable", value_name: str = "value"):
+    """UNPIVOT / melt: wide -> long, one output row per (input row,
+    value column).  Pure per-batch Arrow transform — NO shuffle; the
+    k× row expansion streams through the executor.  All ``value_cols``
+    are cast to the first one's type (SQL UNPIVOT requires a common
+    value type)."""
+    cols = list(value_cols)
+    if not cols:
+        raise ValueError("unpivot needs at least one value column")
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        k = len(cols)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), k))
+        out = {c: batch[c].take(idx) for c in id_cols}
+        out[var_name] = pa.array(np.repeat(cols, n).tolist(), pa.string())
+        vals = []
+        t = None
+        for c in cols:
+            v = batch[c]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            t = t or v.type
+            vals.append(v.cast(t))
+        out[value_name] = pa.concat_arrays(vals)
+        return pa.table(out)
+
+    return ds.map_batches(_melt, batch_format="pyarrow", zero_copy_batch=True)

@@ -103,3 +103,21 @@ def test_pivot_randomized_vs_duckdb(ray_session):
         for c in cats:
             assert list(out[f"n_{c}"]) == list(exp[f"n_{c}"]), (trial, c)
             assert list(out[f"sum_{c}"]) == list(exp[f"sum_{c}"]), (trial, c)
+
+
+def test_unpivot_matches_pandas_melt(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.pivot import unpivot
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3],
+        "a": np.array([10, 20, 30], dtype=np.int64),
+        "b": np.array([-1, -2, -3], dtype=np.int64),
+    })
+    out = (unpivot(rd.from_pandas(df).repartition(2), id_cols=["id"],
+                   value_cols=["a", "b"])
+           .to_pandas().sort_values(["id", "variable"]).reset_index(drop=True))
+    exp = (df.melt(id_vars=["id"], value_vars=["a", "b"])
+           .sort_values(["id", "variable"]).reset_index(drop=True))
+    assert out.equals(exp.astype({"value": "int64"}))
