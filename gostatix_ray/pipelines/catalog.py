@@ -2251,8 +2251,12 @@ def q_lineitem_qty_price_corr(sf_dir: str):
             fxx, fyy, fxy = float(r["sxx"]), float(r["syy"]), float(r["sxy"])
             corr = (fn_ * fxy - fx * fy) / (
                 math.sqrt(fn_ * fxx - fx * fx) * math.sqrt(fn_ * fyy - fy * fy))
+            slope = (fn_ * fxy - fx * fy) / (fn_ * fxx - fx * fx)
+            intercept = fy / fn_ - slope * (fx / fn_)
             out.append({"l_returnflag": r["l_returnflag"],
-                        "n": np.int64(r["n"]), "corr_qty_price": corr})
+                        "n": np.int64(r["n"]), "corr_qty_price": corr,
+                        "slope_price_per_qty": slope,
+                        "intercept_price": intercept})
         return pd.DataFrame(out)
 
     return agg.map_batches(_final, batch_format="pandas", batch_size=None)
@@ -2938,7 +2942,15 @@ ORACLE_SQL = {
         "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
         "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
         "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) "
-        "AS corr_qty_price FROM s"
+        "AS corr_qty_price, "
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "AS slope_price_per_qty, "
+        "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) - "
+        "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * "
+        "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "AS intercept_price FROM s"
     ),
     "user_event_lead_ntile": (
         "SELECT event_id, user_id, "
