@@ -2104,6 +2104,20 @@ def q_daily_type_counts_unpivot(sf_dir: str):
                    var_name="variable", value_name="value")
 
 
+def q_value_equidepth_histogram(sf_dir: str):
+    """Equi-depth histogram of events.value in 4 quantile-boundary
+    buckets (stages/histogram.py:equi_depth_histogram) — boundaries are
+    the exact distributed quantile_disc order statistics, counting is
+    one streamed pass.  The 'hi' cuts and per-bucket counts hash-match
+    the SQL twin's quantile_disc CTE + CASE chain."""
+    from ..stages.histogram import equi_depth_histogram
+
+    ds = _read(sf_dir, "events", ["value"])
+    out = equi_depth_histogram(ds, col="value", n_buckets=4)
+    out = out[["bucket", "n"]]  # +inf upper cut is not SQL-comparable
+    return out
+
+
 def q_props_field_stats(sf_dir: str):
     """Semi-structured extraction (stages/semistruct.py): the integer
     'k' field of the JSON props string, grouped n/sum/min/max per event
@@ -2711,6 +2725,7 @@ QUERIES = {
     "user_event_rank_dist": q_user_event_rank_dist,
     "user_event_paths": q_user_event_paths,
     "daily_type_counts_unpivot": q_daily_type_counts_unpivot,
+    "value_equidepth_histogram": q_value_equidepth_histogram,
     "lang_doc_stats": q_lang_doc_stats,
     "events_daily_active_users": q_events_daily_active_users,
     "distinct_users_day_range_exact": q_distinct_users_day_range_exact,
@@ -2899,6 +2914,14 @@ ORACLE_SQL = {
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq, "
         "CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS ts_rank "
         "FROM events"
+    ),
+    "value_equidepth_histogram": (
+        "WITH c AS (SELECT quantile_disc(value, 0.25) AS c1, "
+        "quantile_disc(value, 0.5) AS c2, quantile_disc(value, 0.75) AS c3 "
+        "FROM events) "
+        "SELECT CAST(CASE WHEN value <= c1 THEN 0 WHEN value <= c2 THEN 1 "
+        "WHEN value <= c3 THEN 2 ELSE 3 END AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n FROM events, c GROUP BY 1"
     ),
     "daily_type_counts_unpivot": (
         "WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events), "

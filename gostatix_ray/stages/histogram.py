@@ -102,3 +102,47 @@ def grouped_mode(ds, *, group_col: str, value_col: str, num_buckets: int = 32):
 
     return bucketed_groupby(ds.map_batches(_partial, batch_format="pyarrow"),
                             [group_col], _reduce, num_buckets=num_buckets)
+
+
+def equi_depth_histogram(ds, *, col: str, n_buckets: int, bins: int = 1 << 16):
+    """Equi-depth (quantile-boundary) histogram — the planner-statistics
+    staple: bucket i spans (cut_{i-1}, cut_i] where cut_i is the EXACT
+    quantile_disc(i/n_buckets) order statistic, so buckets hold ~equal
+    row counts even under arbitrary skew.
+
+    Two phases, both distributed: boundary selection via the exact
+    two-histogram-pass machinery (stages/quantiles.py — no global
+    sort), then ONE streamed counting pass (`searchsorted` per batch,
+    ≤ n_buckets partial rows per block).  Returns a pandas DataFrame
+    [bucket, hi, n] (hi = the bucket's inclusive upper cut; the last
+    bucket's hi is +inf).  NaNs excluded (SQL NULL semantics).
+    Assignment is `first cut >= value` — identical to the SQL twin's
+    CASE WHEN value <= cut_1 ... chain, so counts are bit-stable
+    cross-engine."""
+    import pandas as pd
+
+    from .quantiles import exact_quantiles
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = np.asarray(
+        exact_quantiles(ds, col, qs, bins=bins)["value_exact"], dtype=np.float64)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        b = np.searchsorted(cuts, v, side="left")
+        h = np.bincount(b, minlength=n_buckets).astype(np.int64)
+        return pa.table({"bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+                         "n": pa.array(h)})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    total = np.zeros(n_buckets, dtype=np.int64)
+    for chunk in parts.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        b = chunk["bucket"].to_numpy(zero_copy_only=False)
+        n = chunk["n"].to_numpy(zero_copy_only=False)
+        np.add.at(total, b, n)
+    hi = np.append(cuts, np.inf)
+    return pd.DataFrame({"bucket": np.arange(n_buckets, dtype=np.int64),
+                         "hi": hi, "n": total})

@@ -134,3 +134,22 @@ def test_histogram_randomized_vs_duckdb(ray_session):
         ).df().reset_index(drop=True)
         assert list(out["bin"]) == list(exp["bin"]), trial
         assert list(out["n"]) == list(exp["n"]), trial
+
+
+def test_equi_depth_buckets_balanced_and_exact(ray_session):
+    from gostatix_ray.stages.histogram import equi_depth_histogram
+
+    rng = np.random.default_rng(29)
+    vals = rng.lognormal(0, 2, 8000)  # heavy skew
+    ds = _ds(pd.DataFrame({"value": vals}), parts=6)
+    out = equi_depth_histogram(ds, col="value", n_buckets=4)
+    assert list(out["bucket"]) == [0, 1, 2, 3]
+    assert int(out["n"].sum()) == len(vals)
+    # equi-depth under skew: every bucket within a few rows of n/4
+    # (quantile_disc boundaries put ties in the lower bucket)
+    assert (np.abs(out["n"].to_numpy() - 2000) <= 4).all()
+    # boundaries are exact order statistics
+    srt = np.sort(vals)
+    for i, q in enumerate((0.25, 0.5, 0.75)):
+        k = min(max(int(np.ceil(q * len(srt))) - 1, 0), len(srt) - 1)
+        assert out["hi"].iloc[i] == srt[k]
