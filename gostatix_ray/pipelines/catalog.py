@@ -2118,6 +2118,18 @@ def q_value_equidepth_histogram(sf_dir: str):
     return out
 
 
+def q_events_reservoir_sample(sf_dir: str):
+    """Deterministic exactly-k reservoir sample (stages/sample.py:
+    reservoir_sample): hash-ranked bottom-k over event_id — exactly 200
+    rows, partition-independent, seed-redrawable.  Rows-only check (the
+    murmur ranks are not SQL-expressible; determinism and uniformity
+    are pytest-verified)."""
+    from ..stages.sample import reservoir_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return reservoir_sample(ds, key_col="event_id", k=200)
+
+
 def q_props_field_stats(sf_dir: str):
     """Semi-structured extraction (stages/semistruct.py): the integer
     'k' field of the JSON props string, grouped n/sum/min/max per event
@@ -2754,6 +2766,7 @@ QUERIES = {
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "auto_mktsegment_revenue": q_auto_mktsegment_revenue,
     "building_orders_top_revenue": q_building_orders_top_revenue,
+    "events_reservoir_sample": q_events_reservoir_sample,
     "transcript_flagship": q_transcript_flagship,
 }
 

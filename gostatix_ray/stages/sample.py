@@ -95,3 +95,40 @@ def stratified_sample(ds, *, group_col: str, key_col: str, k: int,
     return out.map_batches(
         lambda b: b.drop_columns([HKEY_COL]), batch_format="pyarrow"
     )
+
+
+def reservoir_sample(ds, *, key_col: str, k: int, seed: int = 0,
+                     drop_rank: bool = True):
+    """Deterministic EXACTLY-k uniform sample without replacement.
+
+    Rank every row by ``murmur128(key ++ seed)`` and keep the global
+    bottom-k ranks — the hash plays the role of the reservoir's random
+    tags, so the result is (a) exactly k rows (when the input has ≥ k
+    distinct keys), (b) independent of partitioning/arrival order, and
+    (c) re-drawable: a different ``seed`` yields an independent sample.
+    Scale shape: per-block bottom-k prune + the global_topn funnel —
+    the exchange carries ≤ k × blocks rows, never the dataset (compare
+    `hash_sample`, which takes a FRACTION; this takes a COUNT — the
+    training-data "give me exactly 10k docs" primitive).  Duplicate
+    keys rank identically: pass a unique id column.
+    """
+    import pyarrow.compute as pc
+
+    from ..hashing import hash128
+    from .rank import global_topn
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        h1, _ = hash128(pc.cast(batch[key_col], pa.string()), 1469598103 + seed)
+        # uint64 -> order-preserving int64 (drop the low bit)
+        return batch.append_column(
+            "__rank", pa.array((h1 >> np.uint64(1)).astype(np.int64)))
+
+    ranked = ds.map_batches(_rank, batch_format="pyarrow", zero_copy_batch=True)
+    out = global_topn(ranked, order_col="__rank", tiebreak=key_col, n=k,
+                      descending=False, rank_col="__pos")
+    if drop_rank:
+        out = out.drop_columns(["__rank", "__pos"])
+    return out

@@ -312,3 +312,29 @@ def test_user_event_paths_null_semantics(ray_session, tmp_path):
     assert list(out["n_events"]) == list(exp["n_events"]) == [3, 2, 2]
     for o, e in zip(out["path"], exp["path"]):
         assert (o == e) or (pd.isna(o) and pd.isna(e)), (o, e)
+
+
+def test_reservoir_sample_exact_k_deterministic(ray_session):
+    """Exactly-k, partition-independent, seed-redrawable, roughly
+    uniform across seeds."""
+    import ray.data as rd
+
+    from gostatix_ray.stages.sample import reservoir_sample
+
+    rows = [{"id": i, "v": float(i)} for i in range(500)]
+    a = rd.from_items(rows).repartition(2)
+    b = rd.from_items(list(reversed(rows))).repartition(7)
+    sa = reservoir_sample(a, key_col="id", k=50).to_pandas()
+    sb = reservoir_sample(b, key_col="id", k=50).to_pandas()
+    assert len(sa) == len(sb) == 50
+    assert sorted(sa["id"]) == sorted(sb["id"])  # partition/order independent
+    s2 = reservoir_sample(a, key_col="id", k=50, seed=1).to_pandas()
+    assert sorted(s2["id"]) != sorted(sa["id"])  # a fresh draw
+    # crude uniformity: over 8 seeds, inclusion counts per id stay in a
+    # sane band (expected 0.8 inclusions/id; bound generously)
+    counts = np.zeros(500, dtype=np.int64)
+    for s in range(8):
+        got = reservoir_sample(a, key_col="id", k=50, seed=s).to_pandas()
+        counts[got["id"].to_numpy()] += 1
+    assert counts.sum() == 400
+    assert counts.max() <= 6  # P(id in >=7 of 8 draws) is astronomically small
