@@ -2114,8 +2114,9 @@ def q_value_equidepth_histogram(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["value"])
     out = equi_depth_histogram(ds, col="value", n_buckets=4)
-    out = out[["bucket", "n"]]  # +inf upper cut is not SQL-comparable
-    return out
+    # GROUP BY omits empty buckets (possible under heavy ties) and the
+    # +inf upper cut is not SQL-comparable — compare populated counts
+    return out.loc[out["n"] > 0, ["bucket", "n"]]
 
 
 def q_events_reservoir_sample(sf_dir: str):
@@ -2934,7 +2935,8 @@ ORACLE_SQL = {
         "FROM events) "
         "SELECT CAST(CASE WHEN value <= c1 THEN 0 WHEN value <= c2 THEN 1 "
         "WHEN value <= c3 THEN 2 ELSE 3 END AS BIGINT) AS bucket, "
-        "CAST(count(*) AS BIGINT) AS n FROM events, c GROUP BY 1"
+        "CAST(count(*) AS BIGINT) AS n FROM events, c "
+        "WHERE value IS NOT NULL GROUP BY 1"
     ),
     "daily_type_counts_unpivot": (
         "WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events), "

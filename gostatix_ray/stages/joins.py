@@ -534,6 +534,9 @@ def join_profile(ds, key: str, *, k: int = 32, m: int = 1 << 12,
         "distinct": float(hll_kernel.count(hstate)),
         "hot": hot,
         "cms": final[("jp_freq", "")] if freq_eps is not None else None,
+        # provenance, so auto_join can validate cached profiles
+        "key": key,
+        "cast_to": str(cast_to) if cast_to is not None else None,
     }
 
 
@@ -769,8 +772,15 @@ def auto_join(
     rkey_type = _arrow_schema(right).field(rkey).type
     norm = key_type if rkey_type != key_type else None
     # callers joining the same table repeatedly can pass cached
-    # join_profile() results (built with the matching cast_to!) to skip
-    # the profile scans
+    # join_profile() results to skip the profile scans; validated
+    # against the cast this join needs (a profile sketched in the wrong
+    # representation silently breaks hot-key/bloom/inner-product stats)
+    want_cast = str(norm) if norm is not None else None
+    if right_profile is not None and right_profile.get("cast_to") != want_cast:
+        raise ValueError(
+            f"auto_join: right_profile was built with cast_to="
+            f"{right_profile.get('cast_to')!r} but this join needs {want_cast!r} "
+            f"(rebuild with join_profile(right, {rkey!r}, cast_to=<left key type>))")
     rprof = right_profile or join_profile(right, rkey, k=profile_k, cast_to=norm)
     plan = {"right_rows": rprof["rows"], "right_rows_total": rprof["rows_total"],
             "right_distinct": rprof["distinct"]}
@@ -793,6 +803,10 @@ def auto_join(
             left_cols=left_cols, right_cols=right_cols, how=how,
         )
     else:
+        if left_profile is not None and left_profile.get("cast_to") is not None:
+            raise ValueError(
+                "auto_join: left_profile must be built without cast_to "
+                "(the left side IS the join's key representation)")
         lprof = left_profile or join_profile(left, key, k=profile_k)
         plan["left_rows"] = lprof["rows"]
         if lprof.get("cms") is not None and rprof.get("cms") is not None:

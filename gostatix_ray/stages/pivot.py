@@ -82,12 +82,24 @@ def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
             var_name: str = "variable", value_name: str = "value"):
     """UNPIVOT / melt: wide -> long, one output row per (input row,
     value column).  Pure per-batch Arrow transform — NO shuffle; the
-    k× row expansion streams through the executor.  All ``value_cols``
-    are cast to the first one's type (SQL UNPIVOT requires a common
-    value type)."""
+    k× row expansion streams through the executor.  ``value_cols`` are
+    promoted to a COMMON type like SQL UNPIVOT (identical types kept;
+    numeric mixes promote — any float → float64, all-int → int64;
+    anything else must already share a type, rejected up front with a
+    clear error rather than a mid-pipeline task failure)."""
     cols = list(value_cols)
     if not cols:
         raise ValueError("unpivot needs at least one value column")
+
+    def _common_type(types: list) -> pa.DataType:
+        if len({str(t) for t in types}) == 1:
+            return types[0]
+        if all(pa.types.is_integer(t) or pa.types.is_floating(t) for t in types):
+            return (pa.float64() if any(pa.types.is_floating(t) for t in types)
+                    else pa.int64())
+        raise TypeError(
+            f"unpivot: value columns have incompatible types "
+            f"{[str(t) for t in types]}; cast them to a common type first")
 
     def _melt(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -96,14 +108,13 @@ def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
         out = {c: batch[c].take(idx) for c in id_cols}
         out[var_name] = pa.array(np.repeat(cols, n).tolist(), pa.string())
         vals = []
-        t = None
         for c in cols:
             v = batch[c]
             if isinstance(v, pa.ChunkedArray):
                 v = v.combine_chunks()
-            t = t or v.type
-            vals.append(v.cast(t))
-        out[value_name] = pa.concat_arrays(vals)
+            vals.append(v)
+        t = _common_type([v.type for v in vals])
+        out[value_name] = pa.concat_arrays([v.cast(t) for v in vals])
         return pa.table(out)
 
     return ds.map_batches(_melt, batch_format="pyarrow", zero_copy_batch=True)

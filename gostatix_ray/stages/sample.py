@@ -110,10 +110,10 @@ def reservoir_sample(ds, *, key_col: str, k: int, seed: int = 0,
     the exchange carries ≤ k × blocks rows, never the dataset (compare
     `hash_sample`, which takes a FRACTION; this takes a COUNT — the
     training-data "give me exactly 10k docs" primitive).  Duplicate
-    keys rank identically: pass a unique id column.
+    keys rank identically: pass a unique NON-NULL id column (null keys
+    all hash to the same rank with a null tiebreak — survivor choice
+    would depend on arrival order — so they are rejected).
     """
-    import pyarrow.compute as pc
-
     from ..hashing import hash128
     from .rank import global_topn
 
@@ -121,7 +121,13 @@ def reservoir_sample(ds, *, key_col: str, k: int, seed: int = 0,
         raise ValueError("k must be >= 1")
 
     def _rank(batch: pa.Table) -> pa.Table:
-        h1, _ = hash128(pc.cast(batch[key_col], pa.string()), 1469598103 + seed)
+        col = batch[key_col]
+        if col.null_count:
+            raise ValueError(
+                f"reservoir_sample: {key_col!r} has NULLs — pass a non-null "
+                "unique id column (null keys would sample order-dependently)")
+        # to_padded_bytes casts non-string columns itself
+        h1, _ = hash128(col, 1469598103 + seed)
         # uint64 -> order-preserving int64 (drop the low bit)
         return batch.append_column(
             "__rank", pa.array((h1 >> np.uint64(1)).astype(np.int64)))

@@ -113,7 +113,7 @@ def test_histogram_randomized_vs_duckdb(ray_session):
 
     rng = np.random.default_rng(19)
     for trial in range(3):
-        lo, hi = sorted(rng.normal(0, 10, 2))
+        lo, hi = (float(x) for x in sorted(rng.normal(0, 10, 2)))
         if hi - lo < 1e-6:
             hi = lo + 1.0
         n_bins = int(rng.integers(2, 40))
