@@ -781,6 +781,11 @@ def auto_join(
             f"auto_join: right_profile was built with cast_to="
             f"{right_profile.get('cast_to')!r} but this join needs {want_cast!r} "
             f"(rebuild with join_profile(right, {rkey!r}, cast_to=<left key type>))")
+    if right_profile is not None and right_profile.get("key") != rkey:
+        raise ValueError(
+            f"auto_join: right_profile was built over column "
+            f"{right_profile.get('key')!r} but this join keys on {rkey!r} "
+            f"(rebuild with join_profile(right, {rkey!r}, ...))")
     rprof = right_profile or join_profile(right, rkey, k=profile_k, cast_to=norm)
     plan = {"right_rows": rprof["rows"], "right_rows_total": rprof["rows_total"],
             "right_distinct": rprof["distinct"]}
@@ -807,6 +812,11 @@ def auto_join(
             raise ValueError(
                 "auto_join: left_profile must be built without cast_to "
                 "(the left side IS the join's key representation)")
+        if left_profile is not None and left_profile.get("key") != key:
+            raise ValueError(
+                f"auto_join: left_profile was built over column "
+                f"{left_profile.get('key')!r} but this join keys on {key!r} "
+                f"(rebuild with join_profile(left, {key!r}))")
         lprof = left_profile or join_profile(left, key, k=profile_k)
         plan["left_rows"] = lprof["rows"]
         if lprof.get("cms") is not None and rprof.get("cms") is not None:

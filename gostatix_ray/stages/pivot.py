@@ -106,7 +106,12 @@ def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
         k = len(cols)
         idx = pa.array(np.tile(np.arange(n, dtype=np.int64), k))
         out = {c: batch[c].take(idx) for c in id_cols}
-        out[var_name] = pa.array(np.repeat(cols, n).tolist(), pa.string())
+        # dictionary-of-k values with repeated codes: no n×k Python
+        # string objects, just an int8/int32 index buffer per batch
+        var_codes = np.repeat(np.arange(k, dtype=np.int32), n)
+        out[var_name] = pa.DictionaryArray.from_arrays(
+            pa.array(var_codes), pa.array(cols, pa.string())
+        ).cast(pa.string())
         vals = []
         for c in cols:
             v = batch[c]

@@ -179,7 +179,7 @@ def test_auto_join_bloom_runtime_filter(ray_session):
     right = rd.from_items(
         [{"rk": int(i % 20), "name": f"n{i % 20}"} for i in range(300)]
     ).repartition(3)
-    # default probe floor (2M rows) declines to prune a 1000-row probe
+    # default probe floor (8M rows) declines to prune a 1000-row probe
     _, plan_floor = auto_join(
         left, right, key="k", right_key="rk",
         left_cols={"v": "v"}, right_cols={"name": "name"},
