@@ -1490,6 +1490,46 @@ def q_user_running_value(sf_dir: str):
     )
 
 
+def q_user_trailing_value(sf_dir: str):
+    """Bounded-frame window aggregates (stages/window_fns.py frame_k):
+    per-user trailing-5-event spend — SUM / AVG / MIN over ``ROWS
+    BETWEEN 4 PRECEDING AND CURRENT ROW`` ordered by (ts, event_id).
+    The sum is a global-cumsum difference clipped at the partition
+    start (exact int64); avg divides the same ints in float64
+    (bit-exact vs DuckDB); min is pandas' C rolling deque.  Same one
+    coarse-bucket shuffle + single lexsort pass as every other window
+    column."""
+    from ..stages.window_fns import window_over
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    return window_over(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        part_col="user_id",
+        order_col="ts",
+        tiebreak="event_id",
+        gap_name=None,
+        frame_k=4,
+        frame_sum_col="cents",
+        frame_sum_name="trailing_cents",
+        frame_avg_name="trailing_avg_cents",
+        frame_min_col="cents",
+        frame_min_name="trailing_min_cents",
+        keep=["event_id", "user_id"],
+    )
+
+
 def q_user_event_lead_ntile(sf_dir: str):
     """LEAD + NTILE window columns (stages/window_fns.py): per-user
     ordered by (ts, event_id), next event's integer cents (typed NULL
@@ -2733,6 +2773,7 @@ QUERIES = {
     "docs_above_quality_cutoff": q_docs_above_quality_cutoff,
     "doc_hash_sample": q_doc_hash_sample,
     "user_running_value": q_user_running_value,
+    "user_trailing_value": q_user_trailing_value,
     "user_event_lead_ntile": q_user_event_lead_ntile,
     "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
     "user_event_rank_dist": q_user_event_rank_dist,
@@ -3001,6 +3042,14 @@ ORACLE_SQL = {
         "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS running_cents, "
         "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT) AS gap_us "
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    "user_trailing_value": (
+        "SELECT event_id, user_id, "
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS trailing_cents, "
+        "avg(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS trailing_avg_cents, "
+        "CAST(min(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS trailing_min_cents "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
     ),
     "revenue_by_nation": (
         "SELECT n.n_name, count(*) AS n_items, "

@@ -35,7 +35,10 @@ class _WindowBucket:
                  gap_name, gap_default, keep, seq_name=None, dense_rank_name=None,
                  lead_col=None, lead_name="next_value", ntile_n=None,
                  ntile_name="ntile", rank_name=None, pct_rank_name=None,
-                 cume_name=None, first_col=None, first_name="first_value"):
+                 cume_name=None, first_col=None, first_name="first_value",
+                 frame_k=None, frame_sum_col=None, frame_sum_name="trailing_sum",
+                 frame_avg_name=None, frame_min_col=None,
+                 frame_min_name="trailing_min"):
         self._part, self._order, self._tb = part_col, order_col, tiebreak
         self._sum_col, self._running_name = sum_col, running_name
         self._gap_name, self._gap_default = gap_name, gap_default
@@ -46,6 +49,10 @@ class _WindowBucket:
         self._rank_name, self._pct_rank_name = rank_name, pct_rank_name
         self._cume_name = cume_name
         self._first_col, self._first_name = first_col, first_name
+        self._frame_k = frame_k
+        self._frame_sum_col, self._frame_sum_name = frame_sum_col, frame_sum_name
+        self._frame_avg_name = frame_avg_name
+        self._frame_min_col, self._frame_min_name = frame_min_col, frame_min_name
 
     def __call__(self, table: pa.Table) -> pa.Table:
         import pandas as pd
@@ -157,6 +164,49 @@ class _WindowBucket:
             c = np.cumsum(vs)
             base = c[gstart] - vs[gstart]
             out[self._running_name] = pa.array(c - base)
+        if self._frame_k is not None and n:
+            # bounded frame ROWS BETWEEN k PRECEDING AND CURRENT ROW:
+            # per-row frame start fs = max(i - k, partition start); the
+            # trailing sum is a global-cumsum difference (cross-partition
+            # terms cancel because fs >= gstart), so the whole frame
+            # family stays one vectorized pass — no per-row loop
+            k = int(self._frame_k)
+            fs = np.maximum(idx - k, gstart)
+            cnt = idx - fs + 1
+            if self._frame_sum_col is not None:
+                fv = table[self._frame_sum_col].to_numpy(zero_copy_only=False)
+                if fv.dtype.kind not in "iu":
+                    raise TypeError(
+                        f"window_over frame sum needs an integer column, got "
+                        f"{fv.dtype} for {self._frame_sum_col!r} (convert to "
+                        f"integer cents/counts first)"
+                    )
+                fvs = fv[order].astype(np.int64)
+                fc = np.cumsum(fvs)
+                tsum = fc - np.where(fs > 0, fc[fs - 1], 0)
+                out[self._frame_sum_name] = pa.array(tsum)
+                if self._frame_avg_name is not None:
+                    # int64 / int64 in float64 — bit-identical to any SQL
+                    # engine doing AVG over the same exact-int frame sum
+                    out[self._frame_avg_name] = pa.array(
+                        tsum.astype(np.float64) / cnt.astype(np.float64))
+            if self._frame_min_col is not None:
+                import pandas as pd
+
+                mv = table[self._frame_min_col].to_numpy(zero_copy_only=False)[order]
+                # pandas C rolling-min (monotonic deque, O(n)); groups are
+                # contiguous post-lexsort so sort=False keeps row order
+                mn = (
+                    pd.Series(mv)
+                    .groupby(ps, sort=False)
+                    .rolling(k + 1, min_periods=1)
+                    .min()
+                    .to_numpy()
+                )
+                if mv.dtype.kind in "iu":
+                    out[self._frame_min_name] = pa.array(mn.astype(np.int64))
+                else:
+                    out[self._frame_min_name] = pa.array(mn.astype(np.float64))
         return pa.table(out)
 
 
@@ -169,6 +219,11 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
                 rank_name: str | None = None, pct_rank_name: str | None = None,
                 cume_name: str | None = None, first_col: str | None = None,
                 first_name: str = "first_value",
+                frame_k: int | None = None, frame_sum_col: str | None = None,
+                frame_sum_name: str = "trailing_sum",
+                frame_avg_name: str | None = None,
+                frame_min_col: str | None = None,
+                frame_min_name: str = "trailing_min",
                 keep: list | None = None, num_buckets: int = 64):
     """Per-partition ordered window columns over a Dataset.
 
@@ -190,7 +245,13 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
       equal ``order_col`` values are peers regardless of tiebreak
       (matching ``OVER (ORDER BY order_col)`` alone);
     * ``first_name`` (when ``first_col`` given): FIRST_VALUE(first_col)
-      at the partition's first (order, tiebreak) row — deterministic.
+      at the partition's first (order, tiebreak) row — deterministic;
+    * bounded-frame aggregates (when ``frame_k`` given): ``ROWS BETWEEN
+      frame_k PRECEDING AND CURRENT ROW`` over the same (order,
+      tiebreak) physical order — ``frame_sum_name`` (exact int64 moving
+      sum of integer ``frame_sum_col``), optional ``frame_avg_name``
+      (float64 sum/count, bit-exact vs SQL AVG of the same ints), and
+      ``frame_min_name`` (moving min of ``frame_min_col``).
 
     ``keep``: passthrough columns (default: part, tiebreak).  Output row
     SET is partition-independent; row order follows bucket scheduling.
@@ -210,7 +271,9 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
     fn = _WindowBucket(part_col, order_col, tiebreak, sum_col, running_name,
                        gap_name, gap_default, keep, seq_name, dense_rank_name,
                        lead_col, lead_name, ntile_n, ntile_name,
-                       rank_name, pct_rank_name, cume_name, first_col, first_name)
+                       rank_name, pct_rank_name, cume_name, first_col, first_name,
+                       frame_k, frame_sum_col, frame_sum_name,
+                       frame_avg_name, frame_min_col, frame_min_name)
     return (
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("__bucket")

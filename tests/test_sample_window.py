@@ -253,6 +253,8 @@ def test_window_over_randomized_vs_duckdb(ray_session):
                 lead_col="x", lead_name="nx",
                 ntile_n=3, ntile_name="nt",
                 first_col="x", first_name="fv",
+                frame_k=2 + trial, frame_sum_col="x", frame_sum_name="ts",
+                frame_avg_name="ta", frame_min_col="x", frame_min_name="tm",
                 keep=["g", "id"], num_buckets=8,
             )
             .to_pandas().sort_values("id").reset_index(drop=True)
@@ -270,11 +272,17 @@ def test_window_over_randomized_vs_duckdb(ray_session):
             "CAST(coalesce(o - lag(o) OVER wt, -1) AS BIGINT) AS gap, "
             "lead(x) OVER wt AS nx, "
             "CAST(ntile(3) OVER wt AS BIGINT) AS nt, "
-            "first_value(x) OVER wt AS fv "
+            "first_value(x) OVER wt AS fv, "
+            "CAST(sum(x) OVER wf AS BIGINT) AS ts, "
+            "avg(x) OVER wf AS ta, "
+            "CAST(min(x) OVER wf AS BIGINT) AS tm "
             "FROM t WINDOW wo AS (PARTITION BY g ORDER BY o), "
-            "wt AS (PARTITION BY g ORDER BY o, id) ORDER BY id"
+            "wt AS (PARTITION BY g ORDER BY o, id), "
+            f"wf AS (PARTITION BY g ORDER BY o, id "
+            f"ROWS BETWEEN {2 + trial} PRECEDING AND CURRENT ROW) ORDER BY id"
         ).df().reset_index(drop=True)
-        for col in ("rn", "dr", "rk", "pr", "cd", "rs", "gap", "nt", "fv"):
+        for col in ("rn", "dr", "rk", "pr", "cd", "rs", "gap", "nt", "fv",
+                    "ts", "ta", "tm"):
             assert list(out[col]) == list(exp[col]), (trial, col)
         ours_nx = out["nx"].astype("float64").to_numpy()
         theirs_nx = exp["nx"].astype("float64").to_numpy()
@@ -338,3 +346,71 @@ def test_reservoir_sample_exact_k_deterministic(ray_session):
         counts[got["id"].to_numpy()] += 1
     assert counts.sum() == 400
     assert counts.max() <= 6  # P(id in >=7 of 8 draws) is astronomically small
+
+
+def test_window_over_frame_aggregates_vs_duckdb(ray_session):
+    """ROWS BETWEEN 4 PRECEDING AND CURRENT ROW moving sum/avg/min,
+    bit-exact vs DuckDB over the same frame order, partition-count
+    independent."""
+    import duckdb
+
+    from gostatix_ray.stages.window_fns import window_over
+
+    rng = np.random.default_rng(11)
+    n = 3_000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 23, n),
+            "o": rng.integers(0, 500, n).astype(np.int64),  # ties in order
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(-100, 100, n).astype(np.int64),
+        }
+    )
+    exp = duckdb.sql(
+        "SELECT g, id, "
+        "CAST(sum(v) OVER w AS BIGINT) AS tsum, "
+        "avg(v) OVER w AS tavg, "
+        "CAST(min(v) OVER w AS BIGINT) AS tmin "
+        "FROM df WINDOW w AS (PARTITION BY g ORDER BY o, id "
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) ORDER BY g, id"
+    ).df().reset_index(drop=True)
+    for parts in (1, 9):
+        got = (
+            window_over(
+                _ds(df, parts),
+                part_col="g", order_col="o", tiebreak="id",
+                gap_name=None,
+                frame_k=4, frame_sum_col="v", frame_sum_name="tsum",
+                frame_avg_name="tavg", frame_min_col="v", frame_min_name="tmin",
+                keep=["g", "id"],
+                num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["g", "id"], kind="stable")
+            .reset_index(drop=True)
+        )
+        assert list(got["tsum"]) == list(exp["tsum"])
+        assert list(got["tmin"]) == list(exp["tmin"])
+        # avg: identical int sums / identical counts divided in float64
+        assert got["tavg"].to_numpy().tobytes() == exp["tavg"].to_numpy().tobytes()
+
+
+def test_window_over_frame_float_min_and_small_partitions(ray_session):
+    from gostatix_ray.stages.window_fns import window_over
+
+    df = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 2, 2, 3],
+            "o": [1, 2, 3, 1, 2, 1],
+            "id": [0, 1, 2, 3, 4, 5],
+            "x": [5.0, 1.0, 9.0, 2.0, 7.0, 4.0],
+        }
+    )
+    got = (
+        window_over(_ds(df), part_col="g", order_col="o", tiebreak="id",
+                    gap_name=None, frame_k=1, frame_min_col="x",
+                    frame_min_name="m", keep=["id"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    # frame = [max(i-1, part_start), i]
+    assert list(got["m"]) == [5.0, 1.0, 1.0, 2.0, 2.0, 4.0]
