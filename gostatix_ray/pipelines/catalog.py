@@ -485,6 +485,29 @@ def q_doc_dedup_exact(sf_dir: str):
     return exact_dedup(ds, text_col="text", id_col="doc_id")
 
 
+def q_substring_dup_pairs(sf_dir: str):
+    """Exact-substring dedup (stages/dedup.py substring_dup_pairs):
+    doc pairs sharing a verbatim 8-word gram, with the distinct shared-
+    gram count — one slim gram-hash bucket shuffle, in-bucket triu
+    pairing, df cap 64 (mirrored in the SQL twin)."""
+    from ..stages.dedup import substring_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_dup_pairs(ds, text_col="text", id_col="doc_id",
+                               n=8, max_df=64)
+
+
+def q_substring_dup_spans(sf_dir: str):
+    """Per-doc verbatim-duplication coverage (stages/dedup.py
+    substring_dup_spans): distinct 8-gram count, how many appear in
+    another doc, and the float64 ratio — exact in-bucket doc-frequency,
+    tiny per-doc partial reduce."""
+    from ..stages.dedup import substring_dup_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_dup_spans(ds, text_col="text", id_col="doc_id", n=8)
+
+
 def q_minhash_dedup_pairs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     # materialize: the pair set is tiny post-LSH, and a lazy count()
@@ -2714,6 +2737,8 @@ QUERIES = {
     "distinct_users_by_type_exact": q_distinct_users_by_type_exact,
     "user_session_stats": q_user_session_stats,
     "doc_dedup_exact": q_doc_dedup_exact,
+    "substring_dup_pairs": q_substring_dup_pairs,
+    "substring_dup_spans": q_substring_dup_spans,
     "near_dup_pairs_verified": q_near_dup_pairs_verified,
     "doc_dup_clusters": q_doc_dup_clusters,
     "curated_corpus": q_curated_corpus,
@@ -3127,6 +3152,26 @@ ORACLE_SQL = {
         "bench AS (SELECT doc_id, g FROM gr WHERE doc_id % 7 = 0) "
         "SELECT d.doc_id FROM gr d JOIN bench b ON d.g = b.g AND d.doc_id <> b.doc_id "
         "GROUP BY d.doc_id"
+    ),
+    "substring_dup_pairs": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "gr AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g "
+        "FROM toks, UNNEST(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)), "
+        "ok AS (SELECT g FROM gr GROUP BY g HAVING count(*) BETWEEN 2 AND 64) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(count(*) AS BIGINT) AS shared_grams "
+        "FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id "
+        "WHERE a.g IN (SELECT g FROM ok) GROUP BY 1, 2"
+    ),
+    "substring_dup_spans": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "gr AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g "
+        "FROM toks, UNNEST(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)), "
+        "freq AS (SELECT g, count(*) AS df FROM gr GROUP BY g) "
+        "SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "CAST(sum(CASE WHEN freq.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams, "
+        "CAST(sum(CASE WHEN freq.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac "
+        "FROM gr JOIN freq ON gr.g = freq.g GROUP BY gr.doc_id"
     ),
     "near_dup_pairs_verified": (
         "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "

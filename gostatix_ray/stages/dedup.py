@@ -1192,3 +1192,122 @@ def embedding_near_dup_pairs(
 
     bucketed = ds.map_batches(stage, batch_format="pyarrow", concurrency=concurrency)
     return bucketed_groupby(bucketed, ["table", "bucket"], _cos_in_bucket)
+
+
+# ---------------------------------------------------------------------------
+# exact substring (word n-gram) dedup — verbatim-inclusion detection
+# ---------------------------------------------------------------------------
+
+def _gram_doc_rows(text_col: str, id_col: str, n: int):
+    """map_batches fn: (id, text) -> distinct (__gh:int64, id) rows, one
+    per distinct word n-gram per doc.  The gram itself never leaves the
+    batch — only its 64-bit hash rides the shuffle (collision odds per
+    corpus ~(G^2)/2^65 for G distinct grams; negligible below ~10^8
+    grams per bucketed key space, and deterministic either way)."""
+    from .text_stats import doc_ngrams
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        grams, doc_idx = doc_ngrams(batch[text_col], n)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
+        h1, _ = hash128(grams, 31)
+        df = pd.DataFrame({"__gh": h1.view(np.int64), id_col: ids})
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    return _rows
+
+
+def substring_dup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 8, max_df: int = 64, num_buckets: int = 64):
+    """Exact-substring duplicate pairs: docs sharing a verbatim word
+    n-gram (the exact-match dedup mode of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the one near-dup
+    misses for short verbatim inclusions).
+
+    Shape: one slim (hash, id) row per distinct doc-gram, ONE coarse
+    bucket shuffle on the gram hash, in-bucket vectorized pairing
+    (distinct-size triu broadcast, same primitive as LSH), then one tiny
+    pair-count shuffle.  Grams held by more than ``max_df`` docs are
+    dropped (boilerplate would otherwise blow up pairs quadratically) —
+    the SQL twin applies the same cap.  Never all-pairs; the corpus text
+    never re-crosses the wire.
+
+    Returns Dataset[id_a, id_b, shared_grams] (id_a < id_b), where
+    shared_grams counts the distinct n-grams the two docs share.
+    """
+    rows = ds.map_batches(_gram_doc_rows(text_col, id_col, n), batch_format="pyarrow")
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "shared_grams": pd.Series([], dtype="int64")})
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        sizes = df.groupby("__gh")[id_col].transform("size")
+        df = df[(sizes >= 2) & (sizes <= max_df)]
+        if df.empty:
+            return empty
+        gh = df["__gh"].to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort([ids, gh])
+        gh, ids = gh[order], ids[order]
+        ra, rb = _group_pairs([gh])
+        if ra.size == 0:
+            return empty
+        p = pd.DataFrame({"id_a": ids[ra], "id_b": ids[rb]})
+        return p.groupby(["id_a", "id_b"], as_index=False).size().rename(
+            columns={"size": "shared_grams"})
+
+    partial = bucketed_groupby(rows, ["__gh"], _pairs, num_buckets=num_buckets)
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        return df.groupby(["id_a", "id_b"], as_index=False)["shared_grams"].sum()
+
+    return bucketed_groupby(partial, ["id_a", "id_b"], _sum,
+                            num_buckets=max(8, num_buckets // 4))
+
+
+def substring_dup_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 8, num_buckets: int = 64):
+    """Per-doc verbatim-duplication coverage: of each doc's distinct word
+    n-grams, how many also appear in at least one OTHER doc.
+
+    Same slim (hash, id) rows and ONE gram-hash bucket shuffle as
+    :func:`substring_dup_pairs`; each bucket holds every holder of its
+    grams, so the doc-frequency test is exact in-bucket, and only tiny
+    per-doc partial counts ride the final reduce.  No pair blow-up, so
+    no df cap is needed.
+
+    Returns Dataset[<id_col>, n_grams, n_dup_grams, dup_frac] — dup_frac
+    is the float64 ratio of the two exact ints (bit-identical to the SQL
+    twin's division).
+    """
+    rows = ds.map_batches(_gram_doc_rows(text_col, id_col, n), batch_format="pyarrow")
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "n_grams": pd.Series([], dtype="int64"),
+                                 "n_dup_grams": pd.Series([], dtype="int64")})
+        dup = (df.groupby("__gh")[id_col].transform("size") > 1).astype(np.int64)
+        return (df.assign(__dup=dup)
+                .groupby(id_col, as_index=False)
+                .agg(n_grams=("__gh", "size"), n_dup_grams=("__dup", "sum")))
+
+    partial = bucketed_groupby(rows, ["__gh"], _partial, num_buckets=num_buckets)
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(id_col, as_index=False)[["n_grams", "n_dup_grams"]].sum()
+
+    out = bucketed_groupby(partial, [id_col], _sum,
+                           num_buckets=max(8, num_buckets // 4))
+
+    def _frac(batch: pa.Table) -> pa.Table:
+        ng = batch["n_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = batch["n_dup_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column("dup_frac", pa.array(nd / ng))
+
+    return out.map_batches(_frac, batch_format="pyarrow")

@@ -219,7 +219,11 @@ def doc_ngrams(texts, n: int) -> tuple[pa.Array, np.ndarray]:
     twin ``t[i:i+n-1]``).  No per-row Python: one split, n shifted
     slices of the flat token array, one element-wise join.
     """
-    toks = pc.split_pattern(_text(texts), pattern=" ")
+    # normalize ONCE so the short-doc path below takes from the same
+    # single-chunk, null-filled array (a chunked column previously broke
+    # concat_arrays whenever any doc had fewer than n tokens)
+    texts = _text(texts)
+    toks = pc.split_pattern(texts, pattern=" ")
     flat = pc.list_flatten(toks)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()

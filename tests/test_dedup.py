@@ -226,3 +226,100 @@ def test_pair_feature_join_paths_agree(docs_ds, monkeypatch):
     bucketed = run()
     pd.testing.assert_frame_equal(fast, bucketed)
     assert len(fast) > 0  # the exact copies guarantee jaccard-1 pairs
+
+
+# ---------------------------------------------------------------------------
+# exact substring (word n-gram) dedup
+# ---------------------------------------------------------------------------
+
+def _substring_corpus():
+    # doc 0 and 1 share a verbatim 5-gram run; doc 2 is unrelated;
+    # doc 3 is a short doc (< n tokens); doc 4 repeats doc 0 verbatim
+    return [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog today"},
+        {"doc_id": 1, "text": "once more the quick brown fox jumps over the hill"},
+        {"doc_id": 2, "text": "completely different words in this unrelated document here now"},
+        {"doc_id": 3, "text": "tiny doc"},
+        {"doc_id": 4, "text": "the quick brown fox jumps over the lazy dog today"},
+    ]
+
+
+def test_substring_dup_pairs_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from gostatix_ray.stages.dedup import substring_dup_pairs
+
+    rows = _substring_corpus()
+    df = pd.DataFrame(rows)
+    n = 5
+    exp = duckdb.sql(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM df), "
+        f"gr AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{n-1}], ' ') AS g "
+        f"FROM toks, UNNEST(range(1, greatest(len(t) - {n-1}, 1) + 1)) AS u(i)), "
+        "ok AS (SELECT g FROM gr GROUP BY g HAVING count(*) BETWEEN 2 AND 64) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared_grams "
+        "FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id "
+        "WHERE a.g IN (SELECT g FROM ok) GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df().reset_index(drop=True)
+    for parts in (1, 3):
+        got = (
+            substring_dup_pairs(rd.from_items(rows).repartition(parts),
+                                n=n, num_buckets=8)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        assert list(got["id_a"]) == list(exp["id_a"])
+        assert list(got["id_b"]) == list(exp["id_b"])
+        assert list(got["shared_grams"]) == list(exp["shared_grams"])
+    # sanity on content: verbatim twin (0,4) shares every gram; (0,1)
+    # shares the overlapping run; unrelated doc 2 pairs with nobody
+    gp = {(a, b): s for a, b, s in got.itertuples(index=False)}
+    assert (0, 4) in gp and gp[(0, 4)] == 6  # 10 tokens -> 6 distinct 5-grams
+    assert (0, 1) in gp
+    assert not any(2 in p for p in gp)
+
+
+def test_substring_dup_pairs_max_df_cap(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.dedup import substring_dup_pairs
+
+    # one boilerplate 4-gram shared by 10 docs: with max_df=4 the gram
+    # is dropped entirely (no pairs); without the cap it pairs all 45
+    rows = [{"doc_id": i, "text": f"unique{i} common legal footer text"} for i in range(10)]
+    ds = rd.from_items(rows).repartition(2)
+    capped = substring_dup_pairs(ds, n=4, max_df=4, num_buckets=8).to_pandas()
+    assert len(capped) == 0
+    full = substring_dup_pairs(ds, n=4, max_df=64, num_buckets=8).to_pandas()
+    assert len(full) == 45 and set(full["shared_grams"]) == {1}
+
+
+def test_substring_dup_spans_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from gostatix_ray.stages.dedup import substring_dup_spans
+
+    rows = _substring_corpus()
+    df = pd.DataFrame(rows)
+    n = 5
+    exp = duckdb.sql(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM df), "
+        f"gr AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{n-1}], ' ') AS g "
+        f"FROM toks, UNNEST(range(1, greatest(len(t) - {n-1}, 1) + 1)) AS u(i)), "
+        "freq AS (SELECT g, count(*) AS df FROM gr GROUP BY g) "
+        "SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "CAST(sum(CASE WHEN freq.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams "
+        "FROM gr JOIN freq ON gr.g = freq.g GROUP BY gr.doc_id ORDER BY gr.doc_id"
+    ).df().reset_index(drop=True)
+    got = (
+        substring_dup_spans(rd.from_items(rows).repartition(3), n=n, num_buckets=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["n_grams"]) == list(exp["n_grams"])
+    assert list(got["n_dup_grams"]) == list(exp["n_dup_grams"])
+    # verbatim twin docs 0/4 are 100% duplicated; short doc 3 is unique
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[0, "dup_frac"] == 1.0 and by_id.loc[4, "dup_frac"] == 1.0
+    assert by_id.loc[3, "dup_frac"] == 0.0
