@@ -83,10 +83,6 @@ class _IntervalJoin:
         self._columns = columns
         self._small = None
 
-    #: above this many intervals the per-interval mask loop loses to the
-    #: sorted-endpoint (elementary segment) path built once per worker
-    DENSE_THRESHOLD = 256
-
     def _build_segments(self, lo, hi):
         """Elementary-segment index: CSR of interval ids active per
         segment between consecutive sorted endpoints.  Exact for
@@ -124,38 +120,29 @@ class _IntervalJoin:
         lo = small[self._lo].to_numpy(zero_copy_only=False)
         hi = small[self._hi].to_numpy(zero_copy_only=False)
 
-        if small.num_rows > self.DENSE_THRESHOLD:
-            # sorted-endpoint path (round-3 verdict #9): O(log N) per row
-            # + output-linear gather instead of N masks per batch.
-            # Output is grouped by INPUT ROW (the loop path groups by
-            # interval); both are sets of (row x interval) matches.
-            if not hasattr(self, "_seg_ptr"):
-                self._build_segments(lo, hi)
-            E, ptr, seg_iv = self._endpoints, self._seg_ptr, self._seg_iv
-            s = np.searchsorted(E, v, side="right") - 1
-            valid = (s >= 0) & (s < len(E) - 1)
-            s_val = np.where(valid, s, 0)
-            cnt = np.where(valid, ptr[s_val + 1] - ptr[s_val], 0)
-            total = int(cnt.sum())
-            row_rep = np.repeat(np.arange(len(v), dtype=np.int64), cnt)
-            base = np.repeat(ptr[s_val], cnt)
-            within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-            iv = seg_iv[base + within]
-            out = batch.take(pa.array(row_rep))
-            iv_arr = pa.array(iv)
-            for col in self._columns:
-                out = out.append_column(col, pc.take(small[col], iv_arr))
-            return out
-
-        pieces = []
-        for i in range(small.num_rows):
-            rows = np.flatnonzero((v >= lo[i]) & (v < hi[i]))
-            sub = batch.take(pa.array(rows))
-            idx = pa.array(np.full(len(rows), i, dtype=np.int64))
-            for col in self._columns:
-                sub = sub.append_column(col, pc.take(small[col], idx))
-            pieces.append(sub)
-        return pa.concat_tables(pieces)
+        # sorted-endpoint elementary-segment path (round-3 verdict #9,
+        # sole path since round 5 — the old per-interval mask loop for
+        # small tables did the same work in N Python iterations):
+        # O(log N) per row + an output-linear gather. Exact for
+        # arbitrary overlapping/nested intervals; output grouped by
+        # INPUT ROW (a set of (row x interval) matches either way).
+        if not hasattr(self, "_seg_ptr"):
+            self._build_segments(lo, hi)
+        E, ptr, seg_iv = self._endpoints, self._seg_ptr, self._seg_iv
+        s = np.searchsorted(E, v, side="right") - 1
+        valid = (s >= 0) & (s < len(E) - 1)
+        s_val = np.where(valid, s, 0)
+        cnt = np.where(valid, ptr[s_val + 1] - ptr[s_val], 0)
+        total = int(cnt.sum())
+        row_rep = np.repeat(np.arange(len(v), dtype=np.int64), cnt)
+        base = np.repeat(ptr[s_val], cnt)
+        within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        iv = seg_iv[base + within]
+        out = batch.take(pa.array(row_rep))
+        iv_arr = pa.array(iv)
+        for col in self._columns:
+            out = out.append_column(col, pc.take(small[col], iv_arr))
+        return out
 
 
 def interval_join(ds, intervals: pa.Table, *, value_col: str,
@@ -166,14 +153,13 @@ def interval_join(ds, intervals: pa.Table, *, value_col: str,
     (overlapping intervals emit one output row each — true join
     semantics, not binning).
 
-    The interval table ships once (``ray.put``).  Up to
-    ``_IntervalJoin.DENSE_THRESHOLD`` intervals each batch runs one
-    vectorized mask per interval (bands, SLA tiers, date ranges); above
-    it a sorted-endpoint elementary-segment index (built once per
-    worker) answers each row in O(log N) + an output-linear gather —
-    exact for arbitrary overlapping/nested intervals.  If the interval
-    table itself stops fitting a broadcast, co-partition both sides on
-    a coarse range key instead.
+    The interval table ships once (``ray.put``).  A sorted-endpoint
+    elementary-segment index (built once per worker, pure numpy)
+    answers each row in O(log N) + an output-linear gather — exact for
+    arbitrary overlapping/nested intervals, with zero per-interval
+    Python at any interval count.  If the interval table itself stops
+    fitting a broadcast, co-partition both sides on a coarse range key
+    instead.
     """
     import ray
 

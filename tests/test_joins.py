@@ -158,19 +158,19 @@ def test_detect_hot_keys(ray_session):
     assert len(hot) <= 16
 
 
-def test_interval_join_dense_path_equals_loop(ray_session):
-    """Property (round-3 verdict #9): the sorted-endpoint path above
-    DENSE_THRESHOLD emits exactly the loop path's (row x interval)
-    match set, including overlapping and nested intervals."""
+def test_interval_join_matches_brute_force(ray_session):
+    """Property (round-3 verdict #9, sole path since round 5): the
+    sorted-endpoint path emits exactly the brute-force (row x interval)
+    match set, including overlapping, nested and degenerate intervals."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
     import ray.data as rd
 
-    from gostatix_ray.stages.joins import _IntervalJoin, interval_join
+    from gostatix_ray.stages.joins import interval_join
 
     rng = np.random.default_rng(23)
-    n_iv = 400  # > DENSE_THRESHOLD
+    n_iv = 400
     lo = rng.uniform(0, 1000, n_iv)
     hi = lo + rng.uniform(0, 80, n_iv)  # overlapping + some near-empty
     hi[::37] = lo[::37]                 # degenerate lo == hi -> match nothing
@@ -184,20 +184,63 @@ def test_interval_join_dense_path_equals_loop(ray_session):
     })
 
     ds = rd.from_pandas(vals).repartition(5)
-    dense = interval_join(ds, intervals, value_col="v",
-                          columns=["iv_id"]).to_pandas()
+    got = interval_join(ds, intervals, value_col="v",
+                        columns=["iv_id"]).to_pandas()
 
-    old_thresh = _IntervalJoin.DENSE_THRESHOLD
-    _IntervalJoin.DENSE_THRESHOLD = 10**9  # force the loop path
-    try:
-        loop = interval_join(rd.from_pandas(vals).repartition(5), intervals,
-                             value_col="v", columns=["iv_id"]).to_pandas()
-    finally:
-        _IntervalJoin.DENSE_THRESHOLD = old_thresh
+    v = vals["v"].to_numpy()
+    mask = (v[:, None] >= lo[None, :]) & (v[:, None] < hi[None, :])
+    rr, ii = np.nonzero(mask)
+    expect = sorted(zip(vals["row_id"].to_numpy()[rr].tolist(), ii.tolist()))
 
     key = lambda df: sorted(map(tuple, df[["row_id", "iv_id"]].itertuples(index=False)))
-    assert key(dense) == key(loop)
-    assert len(dense) > 0
+    assert key(got) == expect
+    assert len(got) > 0
+
+
+def test_interval_join_10k_intervals_stress(ray_session):
+    """10k overlapping intervals x 50k rows: the old per-interval loop
+    would run 10k Python iterations per batch; the segment path must
+    both stay exact (vs a DuckDB range join) and finish promptly."""
+    import time
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gostatix_ray.stages.joins import interval_join
+
+    rng = np.random.default_rng(7)
+    n_iv, n_rows = 10_000, 50_000
+    lo = rng.uniform(0, 1_000_000, n_iv)
+    hi = lo + rng.uniform(0, 300, n_iv)  # ~3 expected matches/row
+    intervals = pa.table({
+        "lo": lo, "hi": hi, "iv_id": np.arange(n_iv, dtype=np.int64),
+    })
+    vals = pd.DataFrame({
+        "row_id": np.arange(n_rows, dtype=np.int64),
+        "v": rng.uniform(0, 1_000_000, n_rows),
+    })
+
+    t0 = time.perf_counter()
+    got = (
+        interval_join(rd.from_pandas(vals).repartition(4), intervals,
+                      value_col="v", columns=["iv_id"])
+        .to_pandas()
+    )
+    elapsed = time.perf_counter() - t0
+
+    iv_df = intervals.to_pandas()
+    exp = duckdb.sql(
+        "SELECT row_id, iv_id FROM vals JOIN iv_df "
+        "ON v >= lo AND v < hi ORDER BY row_id, iv_id"
+    ).df()
+    key = lambda df: sorted(map(tuple, df[["row_id", "iv_id"]].itertuples(index=False)))
+    assert key(got) == key(exp)
+    assert len(got) > n_rows  # overlap actually exercised
+    # generous wall bound (noisy host): the loop path took minutes here
+    assert elapsed < 60, f"interval join stress took {elapsed:.1f}s"
 
 
 def test_hash_join_randomized_vs_duckdb(ray_session):
