@@ -1856,6 +1856,77 @@ def q_cube_dau_range(sf_dir: str):
     })
 
 
+def _events_day_type_cube(sf_dir: str) -> str:
+    """Two-dimensional (day x event_type) sketch cube — same atomic
+    fingerprinted publish as the 1-D day cube."""
+    from .cube import build_sketch_cube, cube_fingerprint
+
+    reqs = _cube_requests()
+    tag = cube_fingerprint(sf_dir, unit="day", requests=reqs, dim_col="event_type")
+    out = f"/tmp/gostatix_ray/events_cube2d_{tag}"
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    tmp = f"{out}.build{os.getpid()}"
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    build_sketch_cube(ds, reqs, time_col="ts", unit="day", dim_col="event_type",
+                      out_dir=tmp, concurrency=_CONC)
+    try:
+        os.rename(tmp, out)
+    except OSError as e:
+        import errno
+        import shutil
+
+        if e.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_cube_dau_by_type_range(sf_dir: str):
+    """Range queries over the persisted 2-D (day x event_type) cube:
+    per-dim distinct users for [2024-01-08, 2024-01-16) x 'click', and
+    the ACROSS-dims merge of the same cells (HLL union is exact
+    distinct-union, so the 2-D cube subsumes the 1-D one) — zero input
+    rows rescanned (estimate-valued; exact twin:
+    distinct_users_day_type_range_exact)."""
+    from .cube import CubeReader
+
+    cube_dir = _events_day_type_cube(sf_dir)
+    r = CubeReader(cube_dir)
+    est_click = r.distinct("users_hll", _CUBE_LO, _CUBE_HI, dim="click")
+    est_all = r.distinct("users_hll", _CUBE_LO, _CUBE_HI)
+    top_click = r.topk("type_topk", _CUBE_LO, _CUBE_HI, dim="click")
+    return pd.DataFrame({
+        "range_lo": [_CUBE_LO],
+        "range_hi": [_CUBE_HI],
+        "dim": ["click"],
+        "distinct_users_click_est": [est_click],
+        "distinct_users_all_types_est": [est_all],
+        "top_type_in_dim": [top_click[0][0] if top_click else None],
+    })
+
+
+def q_distinct_users_day_type_range_exact(sf_dir: str):
+    """Exact twin of the 2-D cube range query: distinct users with
+    2024-01-08 <= ts < 2024-01-16 AND event_type='click'
+    (oracle-checked)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def _filt(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(ts, pa.scalar(np.datetime64(_CUBE_LO, "us"), pa.timestamp("us"))),
+                pc.less(ts, pa.scalar(np.datetime64(_CUBE_HI, "us"), pa.timestamp("us"))),
+            ),
+            pc.equal(batch["event_type"], "click"),
+        )
+        return batch.filter(keep).select(["user_id"])
+
+    n = ds.map_batches(_filt, batch_format="pyarrow").groupby("user_id").count().count()
+    return pd.DataFrame({"distinct_users": [n]})
+
+
 def q_distinct_users_day_range_exact(sf_dir: str):
     """Exact twin of the cube range query: distinct users with
     2024-01-08 <= ts < 2024-01-16 (oracle-checked)."""
@@ -2808,8 +2879,10 @@ QUERIES = {
     "lang_doc_stats": q_lang_doc_stats,
     "events_daily_active_users": q_events_daily_active_users,
     "distinct_users_day_range_exact": q_distinct_users_day_range_exact,
+    "distinct_users_day_type_range_exact": q_distinct_users_day_type_range_exact,
     # --- estimate-valued / not SQL-expressible (rows-only checks) ---
     "cube_dau_range": q_cube_dau_range,
+    "cube_dau_by_type_range": q_cube_dau_by_type_range,
     "hll_distinct_users": q_hll_distinct_users,
     "hll_users_intersection": q_hll_users_intersection,
     "kmv_users_set_algebra": q_kmv_users_set_algebra,
@@ -3304,6 +3377,11 @@ ORACLE_SQL = {
     "events_daily_active_users": (
         "SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS active_users "
         "FROM events GROUP BY date_trunc('day', ts)"
+    ),
+    "distinct_users_day_type_range_exact": (
+        "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users "
+        "FROM events WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-16' "
+        "AND event_type = 'click'"
     ),
     "distinct_users_day_range_exact": (
         "SELECT count(DISTINCT user_id) AS distinct_users FROM events "

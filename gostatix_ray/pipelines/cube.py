@@ -65,14 +65,24 @@ def build_sketch_cube(
     *,
     time_col: str = "ts",
     unit: str = "day",
+    dim_col: str | None = None,
     out_dir: str,
     concurrency=None,
 ) -> str:
-    """Build per-(sketch, time-cell) merged states and persist to Parquet.
+    """Build per-(sketch, cell) merged states and persist to Parquet.
 
-    Each request's ``group_by`` must be free (the cube owns the grouping
-    axis); pass a composite projection in ``on`` if a second dimension
-    is needed (one cell per (time, dim) pair).  Returns ``out_dir``.
+    Cells are time buckets of ``unit``; with ``dim_col`` given, cells
+    are (time x dim) pairs — ``group_key`` becomes
+    ``"<iso-time>\\x1f<dim-value>"`` (the time prefix dominates
+    lexicographically, so time-range filters keep working unchanged,
+    and every read path takes an optional ``dim=`` equality filter;
+    merging ACROSS dims stays exact for mergeable sketches — an HLL
+    range over all dims is the true distinct union).  One year of
+    hourly cells x a 6-value dim is ~52k KB-scale rows — still a file,
+    not a dataset.  Dim values must not contain ``\\x1f``.
+
+    Each request's ``group_by`` must be free (the cube owns the
+    grouping axis).  Returns ``out_dir``.
     """
     for r in requests:
         if r.group_by is not None:
@@ -80,7 +90,11 @@ def build_sketch_cube(
     label = cell_label(unit)
 
     def _cell(batch: pa.Table) -> pa.Table:
-        return batch.append_column(_CELL_COL, label(batch[time_col]))
+        cell = label(batch[time_col])
+        if dim_col is not None:
+            cell = pc.binary_join_element_wise(
+                cell, pc.cast(batch[dim_col], pa.string()), "\x1f")
+        return batch.append_column(_CELL_COL, cell)
 
     reqs = [replace(r, group_by=_CELL_COL) for r in requests]
     # funnel shape (heavy build -> tiny combines): per-op CPU reservation off,
@@ -95,7 +109,8 @@ def build_sketch_cube(
     return out_dir
 
 
-def extend_sketch_cube(ds_delta, requests, *, time_col="ts", unit="day", out_dir,
+def extend_sketch_cube(ds_delta, requests, *, time_col="ts", unit="day",
+                       dim_col: str | None = None, out_dir,
                        concurrency=None) -> str:
     """Append a delta's cells to an existing cube (same requests/unit).
 
@@ -111,21 +126,24 @@ def extend_sketch_cube(ds_delta, requests, *, time_col="ts", unit="day", out_dir
     before any write.
     """
     if os.path.isdir(out_dir) and os.listdir(out_dir):
-        _validate_extend(read_cube(out_dir), requests, unit)
+        _validate_extend(read_cube(out_dir), requests, unit, dim_col is not None)
     return build_sketch_cube(ds_delta, requests, time_col=time_col, unit=unit,
-                             out_dir=out_dir, concurrency=concurrency)
+                             dim_col=dim_col, out_dir=out_dir,
+                             concurrency=concurrency)
 
 
-def _validate_extend(tbl: pa.Table, requests, unit: str) -> None:
+def _validate_extend(tbl: pa.Table, requests, unit: str, has_dim: bool = False) -> None:
     import re
 
-    pat = {"hour": r"^\d{4}-\d{2}-\d{2}T\d{2}$", "day": r"^\d{4}-\d{2}-\d{2}$",
-           "month": r"^\d{4}-\d{2}$"}[unit]
+    time_pat = {"hour": r"\d{4}-\d{2}-\d{2}T\d{2}", "day": r"\d{4}-\d{2}-\d{2}",
+                "month": r"\d{4}-\d{2}"}[unit]
+    pat = f"^{time_pat}\x1f.+$" if has_dim else f"^{time_pat}$"
     sample_cell = tbl["group_key"][0].as_py()
     if not re.match(pat, sample_cell):
         raise ValueError(
-            f"extend unit {unit!r} does not match the existing cube's cell labels "
-            f"(e.g. {sample_cell!r}); mixed units would interleave under range filters")
+            f"extend unit {unit!r}/dim={has_dim} does not match the existing cube's "
+            f"cell labels (e.g. {sample_cell!r}); mixed shapes would interleave "
+            f"under range filters")
     have = {}
     for i in range(tbl.num_rows):
         name = tbl["sketch"][i].as_py()
@@ -210,11 +228,12 @@ class CubeReader:
         self.table = read_cube(cube_dir)
         self._cache: dict[int, object] | None = {} if cache_states else None
 
-    def state(self, sketch: str, lo: str | None = None, hi: str | None = None):
+    def state(self, sketch: str, lo: str | None = None, hi: str | None = None,
+              dim: str | None = None):
         if self._cache is None:
-            return _range_state(self.table, sketch, lo, hi)
+            return _range_state(self.table, sketch, lo, hi, dim)
         tbl = self.table
-        sel = _range_indices(tbl, sketch, lo, hi)
+        sel = _range_indices(tbl, sketch, lo, hi, dim)
         kernel = kernel_for(tbl["kind"][int(sel[0])].as_py())
         state = None
         rows = 0
@@ -238,24 +257,24 @@ class CubeReader:
                             f"(needs one of {kinds})")
         return kname
 
-    def distinct(self, sketch: str, lo=None, hi=None) -> float:
-        kernel, state, _ = self.state(sketch, lo, hi)
+    def distinct(self, sketch: str, lo=None, hi=None, dim=None) -> float:
+        kernel, state, _ = self.state(sketch, lo, hi, dim)
         kname = self._expect(kernel, "hll", "kmv")
         return float(kernel.count(state) if kname == "hll" else kernel.estimate(state))
 
-    def counts(self, sketch: str, items, lo=None, hi=None) -> np.ndarray:
-        kernel, state, _ = self.state(sketch, lo, hi)
+    def counts(self, sketch: str, items, lo=None, hi=None, dim=None) -> np.ndarray:
+        kernel, state, _ = self.state(sketch, lo, hi, dim)
         self._expect(kernel, "cms")
         return kernel.count(state, items)
 
-    def topk(self, sketch: str, lo=None, hi=None) -> list[tuple[str, int]]:
-        kernel, state, _ = self.state(sketch, lo, hi)
+    def topk(self, sketch: str, lo=None, hi=None, dim=None) -> list[tuple[str, int]]:
+        kernel, state, _ = self.state(sketch, lo, hi, dim)
         self._expect(kernel, "topk")
         return kernel.values(state)
 
 
 def cube_range_state(cube_dir: str, sketch: str, lo: str | None = None,
-                     hi: str | None = None):
+                     hi: str | None = None, dim: str | None = None):
     """Merge every cell of ``sketch`` with ``lo <= cell < hi`` into ONE
     kernel state (lo/hi are ISO labels at the cube's unit; None = open).
 
@@ -264,28 +283,39 @@ def cube_range_state(cube_dir: str, sketch: str, lo: str | None = None,
     Re-reads the cube file per call; use :class:`CubeReader` for many
     queries against one cube.
     """
-    return _range_state(read_cube(cube_dir), sketch, lo, hi)
+    return _range_state(read_cube(cube_dir), sketch, lo, hi, dim)
 
 
-def _range_indices(tbl: pa.Table, sketch: str, lo: str | None, hi: str | None) -> np.ndarray:
+def _range_indices(tbl: pa.Table, sketch: str, lo: str | None, hi: str | None,
+                   dim: str | None = None) -> np.ndarray:
     """Row indices of ``sketch``'s cells in [lo, hi), in deterministic
-    (cell label, fragment) merge order."""
+    (cell label, fragment) merge order.
+
+    ``dim``: in a two-dimensional cube, keep only cells of that dim
+    value (labels are ``"<time>\\x1f<dim>"``; the time prefix dominates
+    lexicographically so lo/hi stay plain time labels).  ``dim=None``
+    merges across every dim — exact for mergeable sketches.
+    """
     mask = pc.equal(tbl["sketch"], sketch)
     if lo is not None:
         mask = pc.and_(mask, pc.greater_equal(tbl["group_key"], lo))
     if hi is not None:
         mask = pc.and_(mask, pc.less(tbl["group_key"], hi))
+    if dim is not None:
+        mask = pc.and_(mask, pc.ends_with(tbl["group_key"], pattern="\x1f" + dim))
     idx = np.flatnonzero(np.asarray(mask))
     if len(idx) == 0:
-        raise KeyError(f"no cube cells for sketch={sketch!r} in [{lo!r}, {hi!r})")
+        raise KeyError(
+            f"no cube cells for sketch={sketch!r} in [{lo!r}, {hi!r})"
+            + (f" dim={dim!r}" if dim is not None else ""))
     gk = np.asarray(tbl["group_key"])[idx]
     fr = np.asarray(tbl["fragment"])[idx]
     return idx[np.lexsort((fr, gk))]
 
 
 def _range_state(tbl: pa.Table, sketch: str, lo: str | None = None,
-                 hi: str | None = None):
-    sel_idx = _range_indices(tbl, sketch, lo, hi)
+                 hi: str | None = None, dim: str | None = None):
+    sel_idx = _range_indices(tbl, sketch, lo, hi, dim)
     kernel = kernel_for(tbl["kind"][int(sel_idx[0])].as_py())
     blobs = [decompress_state(tbl["state"][int(i)].as_py()) for i in sel_idx]
     bulk = getattr(kernel, "merge_blobs", None)
@@ -299,27 +329,30 @@ def _range_state(tbl: pa.Table, sketch: str, lo: str | None = None,
     return kernel, state, rows
 
 
-def cube_range_distinct(cube_dir: str, sketch: str, lo=None, hi=None) -> float:
+def cube_range_distinct(cube_dir: str, sketch: str, lo=None, hi=None,
+                        dim=None) -> float:
     """HLL range cardinality from merged cells (no input rescan)."""
     from ..kernels import hll
 
-    _, state, _ = cube_range_state(cube_dir, sketch, lo, hi)
+    _, state, _ = cube_range_state(cube_dir, sketch, lo, hi, dim)
     return float(hll.count(state))
 
 
-def cube_range_counts(cube_dir: str, sketch: str, items, lo=None, hi=None) -> np.ndarray:
+def cube_range_counts(cube_dir: str, sketch: str, items, lo=None, hi=None,
+                      dim=None) -> np.ndarray:
     """CMS range counts for ``items`` from merged cells."""
     from ..kernels import cms
 
-    _, state, _ = cube_range_state(cube_dir, sketch, lo, hi)
+    _, state, _ = cube_range_state(cube_dir, sketch, lo, hi, dim)
     return cms.count(state, items)
 
 
-def cube_range_topk(cube_dir: str, sketch: str, lo=None, hi=None) -> list[tuple[str, int]]:
+def cube_range_topk(cube_dir: str, sketch: str, lo=None, hi=None,
+                    dim=None) -> list[tuple[str, int]]:
     """Top-k heavy hitters over the range from merged cells."""
     from ..kernels import topk
 
-    _, state, _ = cube_range_state(cube_dir, sketch, lo, hi)
+    _, state, _ = cube_range_state(cube_dir, sketch, lo, hi, dim)
     return topk.values(state)
 
 
@@ -342,7 +375,7 @@ def _proj_token(on) -> str:
 
 
 def cube_fingerprint(sf_dir: str, *, unit: str, requests: list[SketchRequest],
-                     version: str = "v1") -> str:
+                     dim_col: str | None = None, version: str = "v1") -> str:
     """Stable scratch-dir tag: input IDENTITY + unit + request parameters.
 
     Mirrors the curation-checkpoint discipline — changed parameters must
@@ -350,7 +383,7 @@ def cube_fingerprint(sf_dir: str, *, unit: str, requests: list[SketchRequest],
     Input identity covers each parquet file's (name, size, mtime_ns), so
     regenerating the data in place also invalidates the cube.
     """
-    parts = [os.path.abspath(sf_dir), unit, version]
+    parts = [os.path.abspath(sf_dir), unit, str(dim_col), version]
     if os.path.isdir(sf_dir):
         for f in sorted(os.listdir(sf_dir)):
             if f.endswith(".parquet"):

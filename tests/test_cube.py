@@ -217,3 +217,107 @@ def test_catalog_cube_queries(ray_session):
     rel = 1.04 / np.sqrt(1 << 14)
     est = got["distinct_users_est"].iloc[0]
     assert abs(est - exact) <= max(3 * rel * exact, 2)
+
+
+# ---------------------------------------------------------------------------
+# two-dimensional (time x dim) cube
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def cube2d_dir(ray_session, tmp_path_factory):
+    import ray
+
+    out = str(tmp_path_factory.mktemp("cube2d") / "events_cube2d")
+    ds = ray.data.read_parquet(os.path.join(SF, "events.parquet"),
+                               columns=["user_id", "event_type", "ts"])
+    build_sketch_cube(ds, _requests(), time_col="ts", unit="day",
+                      dim_col="event_type", out_dir=out)
+    return out
+
+
+def test_cube2d_cells_and_dim_filter(cube2d_dir):
+    tbl = read_cube(cube2d_dir)
+    cells = tbl.filter(pc.equal(tbl["sketch"], "users_hll"))["group_key"].to_pylist()
+    assert all("\x1f" in c for c in cells)
+    dims = sorted({c.split("\x1f", 1)[1] for c in cells})
+    assert dims == ["click", "error", "purchase", "signup", "view"]
+    # per-dim exact check against pandas
+    df = pd.read_parquet(os.path.join(SF, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+    m = (df["ts"] >= np.datetime64(LO)) & (df["ts"] < np.datetime64(HI))
+    for d in ("click", "purchase"):
+        exact = df.loc[m & (df["event_type"] == d), "user_id"].nunique()
+        est = cube_range_distinct(cube2d_dir, "users_hll", LO, HI, dim=d)
+        rel = 1.04 / np.sqrt(1 << 14)
+        assert abs(est - exact) <= max(3 * rel * exact, 2), (d, est, exact)
+
+
+def test_cube2d_across_dims_equals_1d_cube(cube2d_dir, cube_dir):
+    """Merging a time range ACROSS dims must give byte-identical HLL
+    registers to the 1-D day cube over the same range (max-merge is
+    commutative over any partitioning of the same rows)."""
+    _, s2, rows2 = cube_range_state(cube2d_dir, "users_hll", LO, HI)
+    _, s1, rows1 = cube_range_state(cube_dir, "users_hll", LO, HI)
+    assert rows1 == rows2
+    assert hll.to_bytes(s1) == hll.to_bytes(s2)
+
+
+def test_cube2d_range_and_dim_missing_raises(cube2d_dir):
+    with pytest.raises(KeyError):
+        cube_range_distinct(cube2d_dir, "users_hll", LO, HI, dim="nosuchdim")
+
+
+def test_cube_year_scale_8760_cells(ray_session, tmp_path):
+    """The 100 TB pitch rests on the cube's CELL-COUNT axis: a year of
+    hourly cells (8,760). Build a synthetic year at ~6 rows/hour, then
+    assert (a) one cell per hour, (b) compaction is byte-stable at this
+    cell count, (c) CubeReader answers a month range in milliseconds
+    (generous noisy-host bound), (d) a week range's distinct estimate
+    is within the HLL bound of exact."""
+    import time
+
+    import ray
+
+    rng = np.random.default_rng(17)
+    n = 8760 * 6
+    ts = (np.datetime64("2024-01-01", "us")
+          + (np.arange(n) * 600_000_000).astype("timedelta64[us]"))
+    assert str(ts[-1]).startswith("2024-12-30")  # 365d span ends Dec 30 23:50 (2024 is leap)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 5000, n),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts": ts,
+    })
+    out = str(tmp_path / "year_cube")
+    reqs = [SketchRequest("users_hll", "hll", hll.HLLSpec(m=1 << 12),
+                          on=lambda b: pc.cast(b["user_id"], pa.string()))]
+    build_sketch_cube(ray.data.from_pandas(df).repartition(8), reqs,
+                      time_col="ts", unit="hour", out_dir=out)
+    tbl = read_cube(out)
+    hours = tbl.filter(pc.equal(tbl["sketch"], "users_hll"))["group_key"].to_pylist()
+    assert len(hours) == len(set(hours)) == 8760  # one cell per hour, full year
+
+    compact_sketch_cube(out)
+    a = read_cube(out)
+    compact_sketch_cube(out)
+    b = read_cube(out)
+    # states/rows/checksums byte-stable under repeated compaction (the
+    # fragment column is a lineage tag and re-hashes each fold by design)
+    stable = [c for c in a.column_names if c != "fragment"]
+    assert a.select(stable).equals(b.select(stable))
+
+    from gostatix_ray.pipelines.cube import CubeReader
+
+    r = CubeReader(out)
+    exact_week = df.loc[(df["ts"] >= np.datetime64("2024-03-04"))
+                        & (df["ts"] < np.datetime64("2024-03-11")), "user_id"].nunique()
+    est = r.distinct("users_hll", "2024-03-04T00", "2024-03-11T00")
+    rel = 1.04 / np.sqrt(1 << 12)
+    assert abs(est - exact_week) <= max(4 * rel * exact_week, 3), (est, exact_week)
+    # warmed-cache latency for a ~720-cell month range
+    r.distinct("users_hll", "2024-06-01T00", "2024-07-01T00")
+    t0 = time.perf_counter()
+    for _ in range(5):
+        r.distinct("users_hll", "2024-06-01T00", "2024-07-01T00")
+    per_q = (time.perf_counter() - t0) / 5
+    assert per_q < 0.5, f"month-range query took {per_q * 1e3:.0f} ms warm"
