@@ -2,7 +2,12 @@
 entry at sf0.01 and compare against oracle_sql() via DuckDB
 (row count + schema column names + order-insensitive value equality).
 
-Usage: python scripts/check_oracles.py [sf_dir] [name ...]
+Usage: python scripts/check_oracles.py [sf_dir] [name ...] [--json PATH]
+
+``--json PATH`` additionally writes one record per checked query
+(status ok/rows/fail/err, row counts, columns, seconds) — the
+round-end full-catalog artifact (ORACLES_FULL_rN.json) so judges see
+the queries outside the driver's 50-row gate without re-running.
 """
 
 from __future__ import annotations
@@ -52,8 +57,14 @@ def main():
     import duckdb
     import ray
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
@@ -70,6 +81,7 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = []
+    records = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -78,10 +90,13 @@ def main():
             ours = normalize(to_pandas(fn(sf_dir)))
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            records[name] = {"status": "err", "error": f"{type(e).__name__}: {e}"}
             print(f"[ERR ] {name}: {type(e).__name__}: {e}")
             continue
         dt = time.time() - t0
         if name not in oracles:
+            records[name] = {"status": "rows", "rows": len(ours),
+                             "cols": list(ours.columns), "secs": round(dt, 2)}
             print(f"[rows] {name}: {len(ours)} rows, cols={list(ours.columns)} ({dt:.1f}s)")
             continue
         theirs = normalize(con.sql(oracles[name]).df())
@@ -91,6 +106,10 @@ def main():
         status = "OK  " if ok_vals else "FAIL"
         if not ok_vals:
             failures.append(name)
+        records[name] = {"status": "ok" if ok_vals else "fail",
+                         "rows": len(ours), "oracle_rows": len(theirs),
+                         "cols_match": ok_cols, "values_match": bool(ok_vals),
+                         "secs": round(dt, 2)}
         print(f"[{status}] {name}: rows {len(ours)}/{len(theirs)} cols_match={ok_cols} ({dt:.1f}s)")
         if not ok_vals and ok_cols and ok_rows:
             neq = ~(ours == theirs).all(axis=1)
@@ -100,6 +119,13 @@ def main():
         elif not ok_cols:
             print(f"  ours cols: {list(ours.columns)}  oracle cols: {list(theirs.columns)}")
     ray.shutdown()
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_checked": len(records),
+                       "n_failures": len(failures), "queries": records}, f, indent=1)
+        print(f"wrote {json_path} ({len(records)} records)")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
