@@ -200,6 +200,67 @@ def run_bench() -> dict:
         timed("value_quantiles_tdigest", lambda: catalog.q_value_quantiles_tdigest(sf_dir))
         timed("order_priority_revenue", lambda: catalog.q_order_priority_revenue(sf_dir).materialize())
         timed("user_running_value", lambda: catalog.q_user_running_value(sf_dir).materialize())
+        timed("user_trailing_value", lambda: catalog.q_user_trailing_value(sf_dir).materialize())
+        timed("substring_dup_pairs", lambda: catalog.q_substring_dup_pairs(sf_dir).materialize())
+
+        def _consume(x):
+            return x.materialize() if hasattr(x, "materialize") else x
+
+        # --- sf1 (10x) relational scale point (round-4 verdict #5): the
+        # planner's broadcast-vs-shuffle decisions at 6M lineitem rows.
+        # Input is the deterministic key-offset replication of sf0.1
+        # (join fan-outs preserved), cached under /tmp like the
+        # transcript shards; first build costs ~5s.
+        from gostatix_ray.sources.tpch_scale import ensure_sf1
+
+        timed("auto_mktsegment_revenue", lambda: _consume(catalog.q_auto_mktsegment_revenue(sf_dir)))
+        timed("building_orders_top_revenue", lambda: _consume(catalog.q_building_orders_top_revenue(sf_dir)))
+        sf01_src = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.1")
+        if os.path.isdir(sf01_src):
+            sf1 = ensure_sf1(sf01_src)
+            timed("order_priority_revenue_sf1", lambda: catalog.q_order_priority_revenue(sf1).materialize(),
+                  repeats=2, adaptive_max=4)
+            timed("auto_mktsegment_revenue_sf1", lambda: _consume(catalog.q_auto_mktsegment_revenue(sf1)),
+                  repeats=2, adaptive_max=4)
+            timed("building_orders_top_revenue_sf1", lambda: _consume(catalog.q_building_orders_top_revenue(sf1)),
+                  repeats=2, adaptive_max=4)
+
+        # --- year-scale cube: 8,760 hourly cells (round-4 verdict #7).
+        # Build once per process over a synthetic year, then report the
+        # WARM per-query latency of a ~720-cell month range — the number
+        # the 100 TB pitch rests on (range analytics without rescans).
+        def _year_cube_query_avg():
+            import numpy as _np
+            import pandas as _pd
+            import pyarrow.compute as _pc
+
+            from gostatix_ray.kernels import hll as _hll
+            from gostatix_ray.pipelines.cube import CubeReader, build_sketch_cube
+            from gostatix_ray.stages.build import SketchRequest as _SR
+
+            out_dir = "/tmp/gostatix_ray/bench_year_cube"
+            if not (os.path.isdir(out_dir) and os.listdir(out_dir)):
+                rng = _np.random.default_rng(17)
+                n = 8760 * 6
+                ts = (_np.datetime64("2024-01-01", "us")
+                      + (_np.arange(n) * 600_000_000).astype("timedelta64[us]"))
+                df = _pd.DataFrame({"user_id": rng.integers(0, 5000, n), "ts": ts})
+                build_sketch_cube(
+                    rd.from_pandas(df).repartition(8),
+                    [_SR("users_hll", "hll", _hll.HLLSpec(m=1 << 12),
+                         on=lambda b: _pc.cast(b["user_id"], pa.string()))],
+                    time_col="ts", unit="hour", out_dir=out_dir)
+            r = CubeReader(out_dir)
+            r.distinct("users_hll", "2024-06-01T00", "2024-07-01T00")  # warm cache
+            t0 = time.perf_counter()
+            reps = 20
+            for _ in range(reps):
+                r.distinct("users_hll", "2024-06-01T00", "2024-07-01T00")
+            return (time.perf_counter() - t0) / reps
+
+        import pyarrow as pa
+
+        queries["cube_8760_month_range_query"] = round(_year_cube_query_avg(), 4)
 
     headline = queries["flagship_sketch_build"]
     out = {

@@ -135,7 +135,8 @@ class AudioFeatures:
         )
 
 
-def decode_images(ds, *, feature_dim: int = 16, batch_size: int = 256, concurrency=None):
+def decode_images(ds, *, feature_dim: int = 16, batch_size: int = 256,
+                  real_codec: bool = False, concurrency=None):
     """Actor-pool decode stage sized for large binary rows.
 
     This is the one deliberately ACTOR-pool stage (a real codec/model
@@ -150,7 +151,7 @@ def decode_images(ds, *, feature_dim: int = 16, batch_size: int = 256, concurren
         concurrency = max(1, min(cpus - 2, cpus // 2))
     return ds.map_batches(
         ImageDecode,
-        fn_constructor_args=(feature_dim,),
+        fn_constructor_args=(feature_dim, real_codec),
         batch_format="pyarrow",
         batch_size=batch_size,  # binary payloads: small batches, see module docstring
         zero_copy_batch=True,

@@ -67,3 +67,23 @@ def test_audio_features_stub():
     assert out["frame_idx"].to_pylist() == [0, 1, 2, 0]
     out2 = AudioFeatures(frame_ms=1000)(batch)
     assert out["energy"].to_pylist() == out2["energy"].to_pylist()
+
+
+def test_real_codecs_available_smoke(ray_session):
+    """Runs only when PIL is importable (absent in this sandbox): one
+    real JPEG through decode_images(real_codec=True) — the mechanical
+    stub swap documented in REAL_CODECS.md."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    import ray.data as rd
+
+    img = PIL.new("RGB", (8, 6), color=(200, 10, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    rows = [{"media_id": 1, "payload": buf.getvalue(), "mime": "image/png",
+             "width": 8, "height": 6}]
+    from gostatix_ray.stages.multimodal import decode_images
+
+    out = decode_images(rd.from_items(rows), real_codec=True, concurrency=1).to_pandas()
+    assert len(out) == 1 and out["media_id"].iloc[0] == 1
