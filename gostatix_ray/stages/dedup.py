@@ -57,10 +57,25 @@ def bucketed_groupby(ds, key_cols: list[str], fn, *, num_buckets: int = 64):
         # conversion): hash(schema) raises on it inside the sort's
         # boundary sampling and defeats Ray's schema-dedup fast path
         batch = batch.replace_schema_metadata(None)
-        key = pc.cast(batch[key_cols[0]], pa.string())
-        for c in key_cols[1:]:
-            key = pc.binary_join_element_wise(key, pc.cast(batch[c], pa.string()), "\x1f")
-        h1, _ = hash128(key, 31)
+        if all(pa.types.is_integer(batch.schema.field(c).type)
+               and batch[c].null_count == 0 for c in key_cols):
+            # integer keys: splitmix64-mix in numpy — casting millions of
+            # int64s to decimal strings and metro-hashing them dominated
+            # the gram-hash pipelines (any deterministic bucket fn yields
+            # the same groups, so this changes layout, not results)
+            h1 = np.zeros(batch.num_rows, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for c in key_cols:
+                    k = batch[c].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+                    z = (h1 ^ k) + np.uint64(0x9E3779B97F4A7C15)
+                    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                    h1 = z ^ (z >> np.uint64(31))
+        else:
+            key = pc.cast(batch[key_cols[0]], pa.string())
+            for c in key_cols[1:]:
+                key = pc.binary_join_element_wise(key, pc.cast(batch[c], pa.string()), "\x1f")
+            h1, _ = hash128(key, 31)
         yield batch.append_column("__bucket", pa.array((h1 % np.uint64(num_buckets)).astype(np.int64)))
 
     def _nonempty(block: pd.DataFrame):
@@ -370,7 +385,17 @@ def _shingle_hashes(texts: pa.Array, shingle: int) -> tuple[np.ndarray, np.ndarr
     toks = pc.split_pattern(texts, pattern=" ")
     flat = pc.list_flatten(toks)
     lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    th, _ = hash128(flat, SEED_MINHASH)
+    # hash each DISTINCT token once, then gather: token streams are
+    # zipfian, so the dictionary is typically 10-100x smaller than the
+    # stream, and hash128's padded-bytes kernel is the memory-bandwidth
+    # hot spot under concurrent workers (measured 115 cpu-s -> ~7 s per
+    # 25k-doc task at 8-way concurrency).  Bit-identical to hashing the
+    # flat stream directly.
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    enc = flat.dictionary_encode()
+    dh, _ = hash128(enc.dictionary, SEED_MINHASH)
+    th = dh[enc.indices.to_numpy(zero_copy_only=False)]
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     # shingle hash = FNV-style mix of `shingle` consecutive token hashes,
@@ -1200,17 +1225,23 @@ def embedding_near_dup_pairs(
 
 def _gram_doc_rows(text_col: str, id_col: str, n: int):
     """map_batches fn: (id, text) -> distinct (__gh:int64, id) rows, one
-    per distinct word n-gram per doc.  The gram itself never leaves the
-    batch — only its 64-bit hash rides the shuffle (collision odds per
-    corpus ~(G^2)/2^65 for G distinct grams; negligible below ~10^8
-    grams per bucketed key space, and deterministic either way)."""
-    from .text_stats import doc_ngrams
+    per distinct word n-gram per doc.  The gram string never even
+    materializes: each TOKEN is hashed once and windows of n token
+    hashes FNV-combine into the gram hash (``_shingle_hashes`` — same
+    kernel as minhash; ~40x cheaper than hashing n-times-amplified gram
+    strings, measured 56s -> 1.4s per 3k-doc batch).  Equality semantics
+    match the string grams: equal window hash <=> equal token window
+    (mod 2^-64 collisions — negligible below ~10^8 distinct grams, and
+    deterministic either way); docs shorter than n tokens mix all their
+    tokens into ONE hash, mirroring the SQL twin's clamped slice."""
 
     def _rows(batch: pa.Table) -> pa.Table:
-        grams, doc_idx = doc_ngrams(batch[text_col], n)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
-        h1, _ = hash128(grams, 31)
-        df = pd.DataFrame({"__gh": h1.view(np.int64), id_col: ids})
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        gh, counts = _shingle_hashes(pc.fill_null(texts, ""), n)
+        ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), counts)
+        df = pd.DataFrame({"__gh": gh.view(np.int64), id_col: ids})
         df = df.drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
