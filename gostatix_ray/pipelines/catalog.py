@@ -1553,6 +1553,75 @@ def q_user_trailing_value(sf_dir: str):
     )
 
 
+def _events_cents(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    return ds.map_batches(_cents, batch_format="pyarrow")
+
+
+def q_user_hourly_range_value(sf_dir: str):
+    """Value-range (time-based) trailing window (stages/window_fns.py
+    range_k): per-user spend/count/avg/min over ``RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`` ordered by ts.  The
+    frame start comes from ONE global searchsorted over per-partition
+    shifted order values (no per-group loop); the upper bound has SQL
+    peer semantics (all rows tied on ts join the frame); min uses a
+    sparse-table RMQ because the window width varies per row."""
+    from ..stages.window_fns import window_over
+
+    return window_over(
+        _events_cents(sf_dir),
+        part_col="user_id",
+        order_col="ts",
+        tiebreak="event_id",
+        gap_name=None,
+        range_k=3_600_000_000,  # 1h in µs (ts sorts as timestamp[us])
+        range_sum_col="cents",
+        range_sum_name="hour_cents",
+        range_avg_name="hour_avg_cents",
+        range_count_name="hour_events",
+        range_min_col="cents",
+        range_min_name="hour_min_cents",
+        keep=["event_id", "user_id"],
+    )
+
+
+def q_user_centered_value(sf_dir: str):
+    """Centered bounded frame (stages/window_fns.py frame_j): per-user
+    SUM / AVG / MIN over ``ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING``
+    ordered by (ts, event_id) — the smoothing window feature pipelines
+    use.  Same cumsum-difference sum; the FOLLOWING bound switches the
+    min from the rolling deque to the sparse-table RMQ."""
+    from ..stages.window_fns import window_over
+
+    return window_over(
+        _events_cents(sf_dir),
+        part_col="user_id",
+        order_col="ts",
+        tiebreak="event_id",
+        gap_name=None,
+        frame_k=2,
+        frame_j=2,
+        frame_sum_col="cents",
+        frame_sum_name="centered_cents",
+        frame_avg_name="centered_avg_cents",
+        frame_min_col="cents",
+        frame_min_name="centered_min_cents",
+        keep=["event_id", "user_id"],
+    )
+
+
 def q_user_event_lead_ntile(sf_dir: str):
     """LEAD + NTILE window columns (stages/window_fns.py): per-user
     ordered by (ts, event_id), next event's integer cents (typed NULL
@@ -2883,6 +2952,8 @@ QUERIES = {
     "value_quantiles_cont": q_value_quantiles_cont,
     "value_quantiles_by_type_cont": q_value_quantiles_by_type_cont,
     "events_value_winsorized": q_events_value_winsorized,
+    "user_hourly_range_value": q_user_hourly_range_value,
+    "user_centered_value": q_user_centered_value,
     # --- estimate-valued / not SQL-expressible (rows-only checks) ---
     "cube_dau_range": q_cube_dau_range,
     "cube_dau_by_type_range": q_cube_dau_by_type_range,
@@ -3141,6 +3212,23 @@ ORACLE_SQL = {
         "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS running_cents, "
         "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT) AS gap_us "
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    "user_hourly_range_value": (
+        "SELECT event_id, user_id, "
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS hour_cents, "
+        "avg(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS hour_avg_cents, "
+        "CAST(count(*) OVER w AS BIGINT) AS hour_events, "
+        "CAST(min(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS hour_min_cents "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    ),
+    "user_centered_value": (
+        "SELECT event_id, user_id, "
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS centered_cents, "
+        "avg(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS centered_avg_cents, "
+        "CAST(min(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS centered_min_cents "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)"
     ),
     "user_trailing_value": (
         "SELECT event_id, user_id, "

@@ -28,6 +28,62 @@ import pyarrow as pa
 from .asof import _as_sortable_i64
 
 
+def _window_min(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Vectorized min over arbitrary inclusive windows [lo[i], hi[i]]
+    via a sparse-table RMQ: O(n log n) build, two lookups per row —
+    handles variable-width (RANGE) and FOLLOWING frames that a rolling
+    deque cannot."""
+    n = vals.size
+    tables = [vals]
+    j = 1
+    while (1 << j) <= n:
+        prev, w = tables[-1], 1 << (j - 1)
+        m = n - (1 << j) + 1
+        tables.append(np.minimum(prev[:m], prev[w : w + m]))
+        j += 1
+    length = hi - lo + 1
+    lev = np.zeros(len(lo), dtype=np.int64)
+    if len(lo):
+        lev = np.floor(np.log2(length.astype(np.float64))).astype(np.int64)
+        # float log2 can round 2^k up at the boundary; clamp exactly
+        np.clip(lev, 0, len(tables) - 1, out=lev)
+        too_big = (np.int64(1) << lev) > length
+        lev[too_big] -= 1
+    out = np.empty(len(lo), dtype=vals.dtype)
+    for L in np.unique(lev):
+        t = tables[int(L)]
+        m = lev == L
+        out[m] = np.minimum(t[lo[m]], t[hi[m] - (np.int64(1) << L) + 1])
+    return out
+
+
+def _trailing_range_start(ovi: np.ndarray, newg: np.ndarray, K: int) -> np.ndarray:
+    """Per-row first index j in the SAME partition with ov[j] >= ov[i]-K
+    (rows lexsorted by (partition, ov)).  One global searchsorted: each
+    group's values are shifted so consecutive groups sit > K apart, so
+    the probe can never cross a partition fence.  Falls back to a
+    per-group loop if the shifted key would overflow int64."""
+    n = ovi.size
+    gs = np.flatnonzero(newg)
+    psz = np.diff(np.append(gs, n))
+    ge = gs + psz - 1
+    gmin, gmax = ovi[gs], ovi[ge]
+    shift = np.zeros(len(gs), dtype=np.int64)
+    if len(gs) > 1:
+        deltas = gmax[:-1].astype(np.float64) - gmin[1:] + (K + 1)
+        bound = np.abs(np.cumsum(deltas)).max() + max(abs(float(gmin.min())), abs(float(gmax.max()))) + K
+        if bound < float(2**62):
+            with np.errstate(over="ignore"):
+                shift[1:] = np.cumsum(gmax[:-1] - gmin[1:] + np.int64(K + 1))
+        else:  # pathological spread: exact but per-group
+            fs = np.empty(n, dtype=np.int64)
+            for s, e in zip(gs, gs + psz):
+                fs[s:e] = s + np.searchsorted(ovi[s:e], ovi[s:e] - K, side="left")
+            return fs
+    adj = ovi + np.repeat(shift, psz)
+    return np.searchsorted(adj, adj - K, side="left")
+
+
 class _WindowBucket:
     """pyarrow map_groups callable: one co-partitioned bucket."""
 
@@ -38,7 +94,10 @@ class _WindowBucket:
                  cume_name=None, first_col=None, first_name="first_value",
                  frame_k=None, frame_sum_col=None, frame_sum_name="trailing_sum",
                  frame_avg_name=None, frame_min_col=None,
-                 frame_min_name="trailing_min"):
+                 frame_min_name="trailing_min", frame_j=0,
+                 range_k=None, range_sum_col=None, range_sum_name="range_sum",
+                 range_avg_name=None, range_count_name=None,
+                 range_min_col=None, range_min_name="range_min"):
         self._part, self._order, self._tb = part_col, order_col, tiebreak
         self._sum_col, self._running_name = sum_col, running_name
         self._gap_name, self._gap_default = gap_name, gap_default
@@ -53,6 +112,11 @@ class _WindowBucket:
         self._frame_sum_col, self._frame_sum_name = frame_sum_col, frame_sum_name
         self._frame_avg_name = frame_avg_name
         self._frame_min_col, self._frame_min_name = frame_min_col, frame_min_name
+        self._frame_j = int(frame_j or 0)
+        self._range_k = range_k
+        self._range_sum_col, self._range_sum_name = range_sum_col, range_sum_name
+        self._range_avg_name, self._range_count_name = range_avg_name, range_count_name
+        self._range_min_col, self._range_min_name = range_min_col, range_min_name
 
     def __call__(self, table: pa.Table) -> pa.Table:
         import pandas as pd
@@ -165,14 +229,22 @@ class _WindowBucket:
             base = c[gstart] - vs[gstart]
             out[self._running_name] = pa.array(c - base)
         if self._frame_k is not None and n:
-            # bounded frame ROWS BETWEEN k PRECEDING AND CURRENT ROW:
-            # per-row frame start fs = max(i - k, partition start); the
-            # trailing sum is a global-cumsum difference (cross-partition
-            # terms cancel because fs >= gstart), so the whole frame
-            # family stays one vectorized pass — no per-row loop
+            # bounded frame ROWS BETWEEN k PRECEDING AND j FOLLOWING
+            # (j=0 = CURRENT ROW): per-row frame [fs, fe] clipped at the
+            # partition fences; the sum is a global-cumsum difference
+            # (cross-partition terms cancel because fs >= gstart), so the
+            # whole frame family stays one vectorized pass — no per-row
+            # loop
             k = int(self._frame_k)
             fs = np.maximum(idx - k, gstart)
-            cnt = idx - fs + 1
+            if self._frame_j:
+                if npart is None:
+                    psizes = np.diff(np.append(np.flatnonzero(newg), n))
+                    npart = np.repeat(psizes, psizes)
+                fe = np.minimum(idx + self._frame_j, gstart + npart - 1)
+            else:
+                fe = idx
+            cnt = fe - fs + 1
             if self._frame_sum_col is not None:
                 fv = table[self._frame_sum_col].to_numpy(zero_copy_only=False)
                 if fv.dtype.kind not in "iu":
@@ -183,7 +255,7 @@ class _WindowBucket:
                     )
                 fvs = fv[order].astype(np.int64)
                 fc = np.cumsum(fvs)
-                tsum = fc - np.where(fs > 0, fc[fs - 1], 0)
+                tsum = fc[fe] - np.where(fs > 0, fc[fs - 1], 0)
                 out[self._frame_sum_name] = pa.array(tsum)
                 if self._frame_avg_name is not None:
                     # int64 / int64 in float64 — bit-identical to any SQL
@@ -191,22 +263,64 @@ class _WindowBucket:
                     out[self._frame_avg_name] = pa.array(
                         tsum.astype(np.float64) / cnt.astype(np.float64))
             if self._frame_min_col is not None:
-                import pandas as pd
-
                 mv = table[self._frame_min_col].to_numpy(zero_copy_only=False)[order]
-                # pandas C rolling-min (monotonic deque, O(n)); groups are
-                # contiguous post-lexsort so sort=False keeps row order
-                mn = (
-                    pd.Series(mv)
-                    .groupby(ps, sort=False)
-                    .rolling(k + 1, min_periods=1)
-                    .min()
-                    .to_numpy()
-                )
+                if self._frame_j:
+                    mn = _window_min(mv, fs, fe)
+                else:
+                    import pandas as pd
+
+                    # trailing-only: pandas C rolling-min (monotonic
+                    # deque, O(n)); groups are contiguous post-lexsort so
+                    # sort=False keeps row order
+                    mn = (
+                        pd.Series(mv)
+                        .groupby(ps, sort=False)
+                        .rolling(k + 1, min_periods=1)
+                        .min()
+                        .to_numpy()
+                    )
                 if mv.dtype.kind in "iu":
                     out[self._frame_min_name] = pa.array(mn.astype(np.int64))
                 else:
                     out[self._frame_min_name] = pa.array(mn.astype(np.float64))
+        if self._range_k is not None and n:
+            # RANGE BETWEEN range_k PRECEDING AND CURRENT ROW over the
+            # ORDER value itself (time-based trailing windows: "spend in
+            # the last hour").  SQL RANGE semantics: the lower bound
+            # admits every same-partition row with ov >= ov[i]-range_k;
+            # the CURRENT ROW upper bound includes all PEERS (rows with
+            # the current row's exact order value)
+            fs = _trailing_range_start(ov.astype(np.int64), newg, int(self._range_k))
+            nv = newg.copy()
+            if n > 1:
+                nv[1:] |= ov[1:] != ov[:-1]
+            vs = np.flatnonzero(nv)
+            fe = np.repeat(np.append(vs[1:], n) - 1, np.diff(np.append(vs, n)))
+            cnt = fe - fs + 1
+            if self._range_count_name:
+                out[self._range_count_name] = pa.array(cnt.astype(np.int64))
+            if self._range_sum_col is not None:
+                rv = table[self._range_sum_col].to_numpy(zero_copy_only=False)
+                if rv.dtype.kind not in "iu":
+                    raise TypeError(
+                        f"window_over range sum needs an integer column, got "
+                        f"{rv.dtype} for {self._range_sum_col!r} (convert to "
+                        f"integer cents/counts first)"
+                    )
+                rvs = rv[order].astype(np.int64)
+                rc = np.cumsum(rvs)
+                rsum = rc[fe] - np.where(fs > 0, rc[fs - 1], 0)
+                out[self._range_sum_name] = pa.array(rsum)
+                if self._range_avg_name is not None:
+                    out[self._range_avg_name] = pa.array(
+                        rsum.astype(np.float64) / cnt.astype(np.float64))
+            if self._range_min_col is not None:
+                mv = table[self._range_min_col].to_numpy(zero_copy_only=False)[order]
+                mn = _window_min(mv, fs, fe)
+                if mv.dtype.kind in "iu":
+                    out[self._range_min_name] = pa.array(mn.astype(np.int64))
+                else:
+                    out[self._range_min_name] = pa.array(mn.astype(np.float64))
         return pa.table(out)
 
 
@@ -223,7 +337,13 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
                 frame_sum_name: str = "trailing_sum",
                 frame_avg_name: str | None = None,
                 frame_min_col: str | None = None,
-                frame_min_name: str = "trailing_min",
+                frame_min_name: str = "trailing_min", frame_j: int = 0,
+                range_k: int | None = None, range_sum_col: str | None = None,
+                range_sum_name: str = "range_sum",
+                range_avg_name: str | None = None,
+                range_count_name: str | None = None,
+                range_min_col: str | None = None,
+                range_min_name: str = "range_min",
                 keep: list | None = None, num_buckets: int = 64):
     """Per-partition ordered window columns over a Dataset.
 
@@ -247,11 +367,19 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
     * ``first_name`` (when ``first_col`` given): FIRST_VALUE(first_col)
       at the partition's first (order, tiebreak) row — deterministic;
     * bounded-frame aggregates (when ``frame_k`` given): ``ROWS BETWEEN
-      frame_k PRECEDING AND CURRENT ROW`` over the same (order,
-      tiebreak) physical order — ``frame_sum_name`` (exact int64 moving
-      sum of integer ``frame_sum_col``), optional ``frame_avg_name``
-      (float64 sum/count, bit-exact vs SQL AVG of the same ints), and
-      ``frame_min_name`` (moving min of ``frame_min_col``).
+      frame_k PRECEDING AND frame_j FOLLOWING`` (``frame_j=0`` =
+      CURRENT ROW) over the same (order, tiebreak) physical order —
+      ``frame_sum_name`` (exact int64 moving sum of integer
+      ``frame_sum_col``), optional ``frame_avg_name`` (float64
+      sum/count, bit-exact vs SQL AVG of the same ints), and
+      ``frame_min_name`` (moving min of ``frame_min_col``; O(n) deque
+      when trailing-only, sparse-table RMQ with a FOLLOWING bound);
+    * value-range trailing aggregates (when ``range_k`` given): ``RANGE
+      BETWEEN range_k PRECEDING AND CURRENT ROW`` over the ORDER value
+      itself (time windows: order by a µs timestamp, ``range_k`` =
+      3_600_000_000 for "the trailing hour"), SQL peer semantics at the
+      upper bound — ``range_sum_name`` / ``range_avg_name`` /
+      ``range_count_name`` / ``range_min_name``.
 
     ``keep``: passthrough columns (default: part, tiebreak).  Output row
     SET is partition-independent; row order follows bucket scheduling.
@@ -273,7 +401,10 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
                        lead_col, lead_name, ntile_n, ntile_name,
                        rank_name, pct_rank_name, cume_name, first_col, first_name,
                        frame_k, frame_sum_col, frame_sum_name,
-                       frame_avg_name, frame_min_col, frame_min_name)
+                       frame_avg_name, frame_min_col, frame_min_name, frame_j,
+                       range_k, range_sum_col, range_sum_name,
+                       range_avg_name, range_count_name,
+                       range_min_col, range_min_name)
     return (
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("__bucket")

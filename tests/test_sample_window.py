@@ -253,8 +253,12 @@ def test_window_over_randomized_vs_duckdb(ray_session):
                 lead_col="x", lead_name="nx",
                 ntile_n=3, ntile_name="nt",
                 first_col="x", first_name="fv",
-                frame_k=2 + trial, frame_sum_col="x", frame_sum_name="ts",
+                frame_k=2 + trial, frame_j=trial,
+                frame_sum_col="x", frame_sum_name="ts",
                 frame_avg_name="ta", frame_min_col="x", frame_min_name="tm",
+                range_k=5 + 3 * trial, range_sum_col="x", range_sum_name="qs",
+                range_avg_name="qa", range_count_name="qc",
+                range_min_col="x", range_min_name="qm",
                 keep=["g", "id"], num_buckets=8,
             )
             .to_pandas().sort_values("id").reset_index(drop=True)
@@ -275,14 +279,20 @@ def test_window_over_randomized_vs_duckdb(ray_session):
             "first_value(x) OVER wt AS fv, "
             "CAST(sum(x) OVER wf AS BIGINT) AS ts, "
             "avg(x) OVER wf AS ta, "
-            "CAST(min(x) OVER wf AS BIGINT) AS tm "
+            "CAST(min(x) OVER wf AS BIGINT) AS tm, "
+            "CAST(sum(x) OVER wr AS BIGINT) AS qs, "
+            "avg(x) OVER wr AS qa, "
+            "CAST(count(*) OVER wr AS BIGINT) AS qc, "
+            "CAST(min(x) OVER wr AS BIGINT) AS qm "
             "FROM t WINDOW wo AS (PARTITION BY g ORDER BY o), "
             "wt AS (PARTITION BY g ORDER BY o, id), "
             f"wf AS (PARTITION BY g ORDER BY o, id "
-            f"ROWS BETWEEN {2 + trial} PRECEDING AND CURRENT ROW) ORDER BY id"
+            f"ROWS BETWEEN {2 + trial} PRECEDING AND {trial} FOLLOWING), "
+            f"wr AS (PARTITION BY g ORDER BY o "
+            f"RANGE BETWEEN {5 + 3 * trial} PRECEDING AND CURRENT ROW) ORDER BY id"
         ).df().reset_index(drop=True)
         for col in ("rn", "dr", "rk", "pr", "cd", "rs", "gap", "nt", "fv",
-                    "ts", "ta", "tm"):
+                    "ts", "ta", "tm", "qs", "qa", "qc", "qm"):
             assert list(out[col]) == list(exp[col]), (trial, col)
         ours_nx = out["nx"].astype("float64").to_numpy()
         theirs_nx = exp["nx"].astype("float64").to_numpy()
@@ -414,3 +424,135 @@ def test_window_over_frame_float_min_and_small_partitions(ray_session):
     )
     # frame = [max(i-1, part_start), i]
     assert list(got["m"]) == [5.0, 1.0, 1.0, 2.0, 2.0, 4.0]
+
+
+def test_window_over_range_frame_vs_duckdb(ray_session):
+    """RANGE BETWEEN K PRECEDING AND CURRENT ROW over the order VALUE
+    (time-window semantics): sum/avg/count/min bit-exact vs DuckDB,
+    including peer ties at the upper bound, partition-count
+    independent."""
+    import duckdb
+
+    from gostatix_ray.stages.window_fns import window_over
+
+    rng = np.random.default_rng(23)
+    n = 4_000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 31, n),
+            "o": rng.integers(0, 2_000, n).astype(np.int64),  # heavy ties
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(-100, 100, n).astype(np.int64),
+        }
+    )
+    exp = duckdb.sql(
+        "SELECT g, id, "
+        "CAST(sum(v) OVER w AS BIGINT) AS rsum, "
+        "avg(v) OVER w AS ravg, "
+        "CAST(count(*) OVER w AS BIGINT) AS rcnt, "
+        "CAST(min(v) OVER w AS BIGINT) AS rmin "
+        "FROM df WINDOW w AS (PARTITION BY g ORDER BY o "
+        "RANGE BETWEEN 150 PRECEDING AND CURRENT ROW) ORDER BY g, id"
+    ).df().reset_index(drop=True)
+    for parts in (1, 9):
+        got = (
+            window_over(
+                _ds(df, parts),
+                part_col="g", order_col="o", tiebreak="id",
+                gap_name=None,
+                range_k=150, range_sum_col="v", range_sum_name="rsum",
+                range_avg_name="ravg", range_count_name="rcnt",
+                range_min_col="v", range_min_name="rmin",
+                keep=["g", "id"],
+                num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["g", "id"], kind="stable")
+            .reset_index(drop=True)
+        )
+        assert list(got["rsum"]) == list(exp["rsum"])
+        assert list(got["rcnt"]) == list(exp["rcnt"])
+        assert list(got["rmin"]) == list(exp["rmin"])
+        assert got["ravg"].to_numpy().tobytes() == exp["ravg"].to_numpy().tobytes()
+
+
+def test_window_over_rows_following_frame_vs_duckdb(ray_session):
+    """ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING (centered frame):
+    sum/avg/min bit-exact vs DuckDB; the FOLLOWING bound exercises the
+    sparse-table RMQ min path."""
+    import duckdb
+
+    from gostatix_ray.stages.window_fns import window_over
+
+    rng = np.random.default_rng(29)
+    n = 3_000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 17, n),
+            "o": rng.integers(0, 400, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(-100, 100, n).astype(np.int64),
+        }
+    )
+    exp = duckdb.sql(
+        "SELECT g, id, "
+        "CAST(sum(v) OVER w AS BIGINT) AS csum, "
+        "avg(v) OVER w AS cavg, "
+        "CAST(min(v) OVER w AS BIGINT) AS cmin "
+        "FROM df WINDOW w AS (PARTITION BY g ORDER BY o, id "
+        "ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING) ORDER BY g, id"
+    ).df().reset_index(drop=True)
+    got = (
+        window_over(
+            _ds(df, 7),
+            part_col="g", order_col="o", tiebreak="id",
+            gap_name=None,
+            frame_k=3, frame_j=2, frame_sum_col="v", frame_sum_name="csum",
+            frame_avg_name="cavg", frame_min_col="v", frame_min_name="cmin",
+            keep=["g", "id"],
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["g", "id"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert list(got["csum"]) == list(exp["csum"])
+    assert list(got["cmin"]) == list(exp["cmin"])
+    assert got["cavg"].to_numpy().tobytes() == exp["cavg"].to_numpy().tobytes()
+
+
+def test_trailing_range_start_overflow_fallback():
+    """The shifted-searchsorted trick falls back to the per-group exact
+    loop when order values would overflow int64 after shifting; both
+    paths agree with a brute-force frame start."""
+    from gostatix_ray.stages.window_fns import _trailing_range_start
+
+    rng = np.random.default_rng(31)
+    # extreme spread: values near +/- 2^61 force the fallback
+    base = np.int64(2**61)
+    parts = np.repeat(np.arange(40), 25)
+    ov = np.sort(rng.integers(-base, base, parts.size).reshape(40, 25), axis=1).ravel()
+    newg = np.zeros(parts.size, dtype=bool)
+    newg[0] = True
+    newg[1:] = parts[1:] != parts[:-1]
+    K = int(2**59)
+    fs = _trailing_range_start(ov, newg, K)
+    # brute force
+    gstart = np.maximum.accumulate(np.where(newg, np.arange(parts.size), 0))
+    for i in range(parts.size):
+        j = gstart[i]
+        while ov[j] < ov[i] - K:
+            j += 1
+        assert fs[i] == j, i
+
+
+def test_window_min_rmq_matches_naive():
+    from gostatix_ray.stages.window_fns import _window_min
+
+    rng = np.random.default_rng(37)
+    vals = rng.integers(-1000, 1000, 5000).astype(np.int64)
+    lo = rng.integers(0, 5000, 800)
+    hi = np.minimum(lo + rng.integers(0, 600, 800), 4999)
+    got = _window_min(vals, lo.astype(np.int64), hi.astype(np.int64))
+    exp = np.array([vals[a:b + 1].min() for a, b in zip(lo, hi)])
+    assert np.array_equal(got, exp)
