@@ -1524,21 +1524,8 @@ def q_user_trailing_value(sf_dir: str):
     column."""
     from ..stages.window_fns import window_over
 
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-
-    def _cents(batch: pa.Table) -> pa.Table:
-        cents = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
-        return pa.table(
-            {
-                "event_id": batch["event_id"],
-                "user_id": batch["user_id"],
-                "ts": batch["ts"],
-                "cents": pa.array(cents),
-            }
-        )
-
     return window_over(
-        ds.map_batches(_cents, batch_format="pyarrow"),
+        _events_cents(sf_dir),
         part_col="user_id",
         order_col="ts",
         tiebreak="event_id",

@@ -34,14 +34,18 @@ def _window_min(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     handles variable-width (RANGE) and FOLLOWING frames that a rolling
     deque cannot."""
     n = vals.size
+    length = hi - lo + 1
+    max_len = int(length.max()) if len(lo) else 1
+    # levels above floor(log2(max window width)) are never queried —
+    # capping keeps memory O(n log w), not O(n log n) (a 2M-row bucket
+    # with a 16-row frame builds 5 levels, not 21)
     tables = [vals]
     j = 1
-    while (1 << j) <= n:
+    while (1 << j) <= n and (1 << j) <= max_len:
         prev, w = tables[-1], 1 << (j - 1)
         m = n - (1 << j) + 1
         tables.append(np.minimum(prev[:m], prev[w : w + m]))
         j += 1
-    length = hi - lo + 1
     lev = np.zeros(len(lo), dtype=np.int64)
     if len(lo):
         lev = np.floor(np.log2(length.astype(np.float64))).astype(np.int64)
