@@ -1609,6 +1609,30 @@ def q_user_centered_value(sf_dir: str):
     )
 
 
+def q_cross_corpus_contamination(sf_dir: str):
+    """Incremental-crawl contamination scan (stages/dedup.py
+    substring_contamination): per NEW doc (source != 'src0'), how many
+    of its distinct word 8-grams already exist in the REFERENCE corpus
+    (source == 'src0').  Both corpora emit slim (hash, side) rows into
+    ONE gram-hash bucket shuffle — no broadcast, no driver collect —
+    the shape that holds when the reference is itself a full training
+    corpus."""
+    import pyarrow.compute as pac
+
+    from ..sources.pq_read import clean_read_parquet
+    from ..stages.dedup import substring_contamination
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    new = clean_read_parquet(path, columns=["doc_id", "text"],
+                             filter=pac.field("source") != "src0",
+                             filter_columns=["source"])
+    ref = clean_read_parquet(path, columns=["doc_id", "text"],
+                             filter=pac.field("source") == "src0",
+                             filter_columns=["source"])
+    return substring_contamination(new, ref, text_col="text",
+                                   id_col="doc_id", n=8)
+
+
 def q_user_event_lead_ntile(sf_dir: str):
     """LEAD + NTILE window columns (stages/window_fns.py): per-user
     ordered by (ts, event_id), next event's integer cents (typed NULL
@@ -2941,6 +2965,7 @@ QUERIES = {
     "events_value_winsorized": q_events_value_winsorized,
     "user_hourly_range_value": q_user_hourly_range_value,
     "user_centered_value": q_user_centered_value,
+    "cross_corpus_contamination": q_cross_corpus_contamination,
     # --- estimate-valued / not SQL-expressible (rows-only checks) ---
     "cube_dau_range": q_cube_dau_range,
     "cube_dau_by_type_range": q_cube_dau_by_type_range,
@@ -3199,6 +3224,20 @@ ORACLE_SQL = {
         "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS running_cents, "
         "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT) AS gap_us "
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    "cross_corpus_contamination": (
+        "WITH ntoks AS (SELECT doc_id, string_split(text, ' ') AS t "
+        "FROM documents WHERE source <> 'src0'), "
+        "ngr AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g "
+        "FROM ntoks, UNNEST(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)), "
+        "rtoks AS (SELECT string_split(text, ' ') AS t "
+        "FROM documents WHERE source = 'src0'), "
+        "rgr AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g "
+        "FROM rtoks, UNNEST(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)) "
+        "SELECT ngr.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "CAST(sum(CASE WHEN rgr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_grams, "
+        "CAST(sum(CASE WHEN rgr.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS ref_frac "
+        "FROM ngr LEFT JOIN rgr ON ngr.g = rgr.g GROUP BY ngr.doc_id"
     ),
     "user_hourly_range_value": (
         "SELECT event_id, user_id, "

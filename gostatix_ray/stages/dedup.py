@@ -1342,3 +1342,74 @@ def substring_dup_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return batch.append_column("dup_frac", pa.array(nd / ng))
 
     return out.map_batches(_frac, batch_format="pyarrow")
+
+
+def substring_contamination(ds_new, ds_ref, *, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 8,
+                            num_buckets: int = 64):
+    """Cross-corpus exact-substring contamination: for each NEW doc, how
+    many of its distinct word n-grams appear anywhere in a REFERENCE
+    corpus — the incremental-crawl primitive (dedupe/score a new crawl
+    against the existing training set).
+
+    The corpus-scale sibling of the broadcast benchmark-decontamination
+    stage (stages/text_stats.py): a benchmark's gram table broadcasts,
+    a full reference CORPUS cannot.  Here BOTH sides emit slim
+    (hash, side, id) rows — the reference side only per-batch-distinct
+    hashes with no id — that meet in ONE gram-hash bucket shuffle;
+    neither corpus's text re-crosses the wire and nothing materializes
+    on the driver.  Gram semantics (clamped short docs) match
+    :func:`substring_dup_spans` and its SQL twin.
+
+    Returns Dataset[<id_col>, n_grams, n_ref_grams, ref_frac] over the
+    NEW corpus only (ref_frac = exact-int ratio in float64).
+    """
+    gram = _gram_doc_rows(text_col, id_col, n)
+
+    def _new_rows(batch: pa.Table) -> pa.Table:
+        t = gram(batch)
+        return t.append_column("__side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+    def _ref_rows(batch: pa.Table) -> pa.Table:
+        t = gram(batch)
+        gh = pd.unique(t["__gh"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "__gh": pa.array(gh),
+            id_col: pa.array(np.zeros(len(gh), dtype=np.int64)),
+            "__side": pa.array(np.ones(len(gh), dtype=np.int8)),
+        })
+
+    rows = ds_new.map_batches(_new_rows, batch_format="pyarrow").union(
+        ds_ref.map_batches(_ref_rows, batch_format="pyarrow"))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "n_grams": pd.Series([], dtype="int64"),
+                                 "n_ref_grams": pd.Series([], dtype="int64")})
+        side = df["__side"].to_numpy()
+        ref_h = df.loc[side == 1, "__gh"].to_numpy()
+        new = df[side == 0]
+        if new.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "n_grams": pd.Series([], dtype="int64"),
+                                 "n_ref_grams": pd.Series([], dtype="int64")})
+        hit = np.isin(new["__gh"].to_numpy(), ref_h).astype(np.int64)
+        return (new.assign(__hit=hit)
+                .groupby(id_col, as_index=False)
+                .agg(n_grams=("__gh", "size"), n_ref_grams=("__hit", "sum")))
+
+    partial = bucketed_groupby(rows, ["__gh"], _partial, num_buckets=num_buckets)
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(id_col, as_index=False)[["n_grams", "n_ref_grams"]].sum()
+
+    out = bucketed_groupby(partial, [id_col], _sum,
+                           num_buckets=max(8, num_buckets // 4))
+
+    def _frac(batch: pa.Table) -> pa.Table:
+        ng = batch["n_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nr = batch["n_ref_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column("ref_frac", pa.array(nr / ng))
+
+    return out.map_batches(_frac, batch_format="pyarrow")

@@ -323,3 +323,56 @@ def test_substring_dup_spans_vs_duckdb(ray_session):
     by_id = got.set_index("doc_id")
     assert by_id.loc[0, "dup_frac"] == 1.0 and by_id.loc[4, "dup_frac"] == 1.0
     assert by_id.loc[3, "dup_frac"] == 0.0
+
+
+def test_substring_contamination_vs_duckdb(ray_session):
+    """Cross-corpus contamination: per-new-doc counts of grams present
+    anywhere in the reference corpus, bit-exact vs a DuckDB gram
+    semi-join, partition-count independent, clamped short docs."""
+    import duckdb
+    import ray.data as rd
+
+    from gostatix_ray.stages.dedup import substring_contamination
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(40)]
+    new_rows, ref_rows = [], []
+    for i in range(30):
+        toks = [vocab[j] for j in rng.integers(0, 40, 12)]
+        new_rows.append({"doc_id": i, "text": " ".join(toks)})
+    for i in range(20):
+        toks = [vocab[j] for j in rng.integers(0, 40, 12)]
+        ref_rows.append({"doc_id": 1000 + i, "text": " ".join(toks)})
+    # plant verbatim inclusions: new docs 0-4 embed ref doc windows
+    for i in range(5):
+        new_rows[i]["text"] = ref_rows[i]["text"] + " " + new_rows[i]["text"]
+    new_rows.append({"doc_id": 98, "text": "tiny"})                # < n tokens, unique
+    new_rows.append({"doc_id": 99, "text": ref_rows[0]["text"][:9]})  # short, matches nothing (clamped gram)
+    ndf, rdf = pd.DataFrame(new_rows), pd.DataFrame(ref_rows)
+    n = 5
+    exp = duckdb.sql(
+        "WITH ntoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM ndf), "
+        f"ngr AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{n-1}], ' ') AS g "
+        f"FROM ntoks, UNNEST(range(1, greatest(len(t) - {n-1}, 1) + 1)) AS u(i)), "
+        "rtoks AS (SELECT string_split(text, ' ') AS t FROM rdf), "
+        f"rgr AS (SELECT DISTINCT array_to_string(t[i:i+{n-1}], ' ') AS g "
+        f"FROM rtoks, UNNEST(range(1, greatest(len(t) - {n-1}, 1) + 1)) AS u(i)) "
+        "SELECT ngr.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "CAST(sum(CASE WHEN rgr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_grams "
+        "FROM ngr LEFT JOIN rgr ON ngr.g = rgr.g GROUP BY ngr.doc_id ORDER BY ngr.doc_id"
+    ).df().reset_index(drop=True)
+    for parts in (1, 4):
+        got = (
+            substring_contamination(
+                rd.from_items(new_rows).repartition(parts),
+                rd.from_items(ref_rows).repartition(parts),
+                n=n, num_buckets=8)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(got["doc_id"]) == list(exp["doc_id"])
+        assert list(got["n_grams"]) == list(exp["n_grams"])
+        assert list(got["n_ref_grams"]) == list(exp["n_ref_grams"])
+    by_id = got.set_index("doc_id")
+    # planted inclusions contaminate; the clamped short docs don't
+    assert (by_id.loc[[0, 1, 2, 3, 4], "n_ref_grams"] > 0).all()
+    assert by_id.loc[98, "n_ref_grams"] == 0 and by_id.loc[98, "n_grams"] == 1
