@@ -1609,6 +1609,27 @@ def q_user_centered_value(sf_dir: str):
     )
 
 
+def q_user_event_last_nth(sf_dir: str):
+    """LAST_VALUE + NTH_VALUE window columns (stages/window_fns.py
+    last_col/nth_col): per-user final event spend and 3rd-event spend
+    over the FULL partition frame (ROWS UNBOUNDED PRECEDING..UNBOUNDED
+    FOLLOWING — the deterministic form; the SQL-default RANGE frame's
+    last_value is tie-order-dependent), ordered by (ts, event_id).
+    NTH is typed NULL for users with fewer than 3 events."""
+    from ..stages.window_fns import window_over
+
+    return window_over(
+        _events_cents(sf_dir),
+        part_col="user_id",
+        order_col="ts",
+        tiebreak="event_id",
+        gap_name=None,
+        last_col="cents", last_name="final_cents",
+        nth_col="cents", nth_k=3, nth_name="third_cents",
+        keep=["event_id", "user_id"],
+    )
+
+
 def q_cross_corpus_contamination(sf_dir: str):
     """Incremental-crawl contamination scan (stages/dedup.py
     substring_contamination): per NEW doc (source != 'src0'), how many
@@ -2966,6 +2987,7 @@ QUERIES = {
     "user_hourly_range_value": q_user_hourly_range_value,
     "user_centered_value": q_user_centered_value,
     "cross_corpus_contamination": q_cross_corpus_contamination,
+    "user_event_last_nth": q_user_event_last_nth,
     # --- estimate-valued / not SQL-expressible (rows-only checks) ---
     "cube_dau_range": q_cube_dau_range,
     "cube_dau_by_type_range": q_cube_dau_by_type_range,
@@ -3224,6 +3246,13 @@ ORACLE_SQL = {
         "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS running_cents, "
         "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT) AS gap_us "
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    "user_event_last_nth": (
+        "SELECT event_id, user_id, "
+        "last_value(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS final_cents, "
+        "nth_value(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 3) OVER w AS third_cents "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
     ),
     "cross_corpus_contamination": (
         "WITH ntoks AS (SELECT doc_id, string_split(text, ' ') AS t "

@@ -101,7 +101,9 @@ class _WindowBucket:
                  frame_min_name="trailing_min", frame_j=0,
                  range_k=None, range_sum_col=None, range_sum_name="range_sum",
                  range_avg_name=None, range_count_name=None,
-                 range_min_col=None, range_min_name="range_min"):
+                 range_min_col=None, range_min_name="range_min",
+                 last_col=None, last_name="last_value",
+                 nth_col=None, nth_k=2, nth_name="nth_value"):
         self._part, self._order, self._tb = part_col, order_col, tiebreak
         self._sum_col, self._running_name = sum_col, running_name
         self._gap_name, self._gap_default = gap_name, gap_default
@@ -121,6 +123,8 @@ class _WindowBucket:
         self._range_sum_col, self._range_sum_name = range_sum_col, range_sum_name
         self._range_avg_name, self._range_count_name = range_avg_name, range_count_name
         self._range_min_col, self._range_min_name = range_min_col, range_min_name
+        self._last_col, self._last_name = last_col, last_name
+        self._nth_col, self._nth_k, self._nth_name = nth_col, int(nth_k), nth_name
 
     def __call__(self, table: pa.Table) -> pa.Table:
         import pandas as pd
@@ -192,6 +196,34 @@ class _WindowBucket:
             if isinstance(colv, pa.ChunkedArray):
                 colv = colv.combine_chunks()
             out[self._first_name] = colv.take(pa.array(gstart))
+        if (self._last_col is not None or self._nth_col is not None) and n:
+            # LAST_VALUE / NTH_VALUE over the FULL partition frame (ROWS
+            # BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) — the
+            # deterministic form: the default RANGE frame's last_value is
+            # tie-order-dependent, so we pin the frame and order by
+            # (order, tiebreak) like FIRST_VALUE
+            import pyarrow.compute as pc
+
+            if npart is None:
+                psizes = np.diff(np.append(np.flatnonzero(newg), n))
+                npart = np.repeat(psizes, psizes)
+            gend = gstart + npart - 1
+            if self._last_col is not None:
+                colv = table[self._last_col].take(pa.array(order))
+                if isinstance(colv, pa.ChunkedArray):
+                    colv = colv.combine_chunks()
+                out[self._last_name] = colv.take(pa.array(gend))
+            if self._nth_col is not None:
+                # 1-based from the partition start; typed NULL when the
+                # partition has fewer than nth_k rows (SQL semantics)
+                colv = table[self._nth_col].take(pa.array(order))
+                if isinstance(colv, pa.ChunkedArray):
+                    colv = colv.combine_chunks()
+                pos = gstart + self._nth_k - 1
+                valid = pos <= gend
+                vals = colv.take(pa.array(np.where(valid, pos, gstart)))
+                out[self._nth_name] = pc.if_else(
+                    pa.array(valid), vals, pa.scalar(None, type=colv.type))
         if self._lead_col is not None and n:
             # LEAD(col): next ordered row's value within the partition,
             # typed NULL on each partition's last row (SQL semantics)
@@ -348,6 +380,9 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
                 range_count_name: str | None = None,
                 range_min_col: str | None = None,
                 range_min_name: str = "range_min",
+                last_col: str | None = None, last_name: str = "last_value",
+                nth_col: str | None = None, nth_k: int = 2,
+                nth_name: str = "nth_value",
                 keep: list | None = None, num_buckets: int = 64):
     """Per-partition ordered window columns over a Dataset.
 
@@ -370,6 +405,12 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
       (matching ``OVER (ORDER BY order_col)`` alone);
     * ``first_name`` (when ``first_col`` given): FIRST_VALUE(first_col)
       at the partition's first (order, tiebreak) row — deterministic;
+    * ``last_name`` / ``nth_name`` (when ``last_col`` / ``nth_col``
+      given): LAST_VALUE / NTH_VALUE(col, nth_k) over the FULL
+      partition frame (``ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+      FOLLOWING``) — the deterministic form (the SQL-default RANGE
+      frame's last_value depends on tie order); nth is 1-based from the
+      partition start, typed NULL when the partition is shorter;
     * bounded-frame aggregates (when ``frame_k`` given): ``ROWS BETWEEN
       frame_k PRECEDING AND frame_j FOLLOWING`` (``frame_j=0`` =
       CURRENT ROW) over the same (order, tiebreak) physical order —
@@ -408,7 +449,8 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
                        frame_avg_name, frame_min_col, frame_min_name, frame_j,
                        range_k, range_sum_col, range_sum_name,
                        range_avg_name, range_count_name,
-                       range_min_col, range_min_name)
+                       range_min_col, range_min_name,
+                       last_col, last_name, nth_col, nth_k, nth_name)
     return (
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("__bucket")

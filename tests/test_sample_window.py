@@ -259,6 +259,8 @@ def test_window_over_randomized_vs_duckdb(ray_session):
                 range_k=5 + 3 * trial, range_sum_col="x", range_sum_name="qs",
                 range_avg_name="qa", range_count_name="qc",
                 range_min_col="x", range_min_name="qm",
+                last_col="x", last_name="lv",
+                nth_col="x", nth_k=20 + 10 * trial, nth_name="nv",
                 keep=["g", "id"], num_buckets=8,
             )
             .to_pandas().sort_values("id").reset_index(drop=True)
@@ -283,17 +285,25 @@ def test_window_over_randomized_vs_duckdb(ray_session):
             "CAST(sum(x) OVER wr AS BIGINT) AS qs, "
             "avg(x) OVER wr AS qa, "
             "CAST(count(*) OVER wr AS BIGINT) AS qc, "
-            "CAST(min(x) OVER wr AS BIGINT) AS qm "
+            "CAST(min(x) OVER wr AS BIGINT) AS qm, "
+            "last_value(x) OVER wu AS lv, "
+            f"nth_value(x, {20 + 10 * trial}) OVER wu AS nv "
             "FROM t WINDOW wo AS (PARTITION BY g ORDER BY o), "
             "wt AS (PARTITION BY g ORDER BY o, id), "
             f"wf AS (PARTITION BY g ORDER BY o, id "
             f"ROWS BETWEEN {2 + trial} PRECEDING AND {trial} FOLLOWING), "
             f"wr AS (PARTITION BY g ORDER BY o "
-            f"RANGE BETWEEN {5 + 3 * trial} PRECEDING AND CURRENT ROW) ORDER BY id"
+            f"RANGE BETWEEN {5 + 3 * trial} PRECEDING AND CURRENT ROW), "
+            "wu AS (PARTITION BY g ORDER BY o, id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY id"
         ).df().reset_index(drop=True)
         for col in ("rn", "dr", "rk", "pr", "cd", "rs", "gap", "nt", "fv",
-                    "ts", "ta", "tm", "qs", "qa", "qc", "qm"):
+                    "ts", "ta", "tm", "qs", "qa", "qc", "qm", "lv"):
             assert list(out[col]) == list(exp[col]), (trial, col)
+        ours_nv = out["nv"].astype("float64").to_numpy()
+        theirs_nv = exp["nv"].astype("float64").to_numpy()
+        assert ((ours_nv == theirs_nv)
+                | (np.isnan(ours_nv) & np.isnan(theirs_nv))).all(), (trial, "nv")
         ours_nx = out["nx"].astype("float64").to_numpy()
         theirs_nx = exp["nx"].astype("float64").to_numpy()
         assert ((ours_nx == theirs_nx)
