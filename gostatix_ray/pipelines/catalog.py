@@ -1654,6 +1654,40 @@ def q_cross_corpus_contamination(sf_dir: str):
                                    id_col="doc_id", n=8)
 
 
+def q_doc_chunks(sf_dir: str):
+    """Fixed-token-count sequence chunking (stages/chunking.py
+    chunk_documents): every document split into 32-token chunks, the
+    universal pre-training preprocessing step.  Zero-shuffle list-offset
+    surgery on the Arrow token buffer (contiguous case = no value
+    copy)."""
+    from ..stages.chunking import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=32)
+
+
+def q_doc_chunks_overlap(sf_dir: str):
+    """Sliding-window chunking (stride < chunk): 32-token chunks every
+    16 tokens, the long-context-eval / context-window-overlap variant;
+    the final chunk always reaches the document tail."""
+    from ..stages.chunking import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=32, stride=16)
+
+
+def q_doc_packs(sf_dir: str):
+    """Token-offset bin packing (stages/chunking.py pack_documents):
+    per-source concatenation-order packs of ~256 tokens keeping docs
+    whole (each doc joins the pack its starting token offset falls in —
+    deterministic + SQL-expressible, unlike stateful greedy first-fit).
+    Composed from window_over's running sum + one bucketed reduce."""
+    from ..stages.chunking import pack_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return pack_documents(ds, target_tokens=256, part_col="source")
+
+
 def q_user_event_lead_ntile(sf_dir: str):
     """LEAD + NTILE window columns (stages/window_fns.py): per-user
     ordered by (ts, event_id), next event's integer cents (typed NULL
@@ -2988,6 +3022,9 @@ QUERIES = {
     "user_centered_value": q_user_centered_value,
     "cross_corpus_contamination": q_cross_corpus_contamination,
     "user_event_last_nth": q_user_event_last_nth,
+    "doc_chunks": q_doc_chunks,
+    "doc_chunks_overlap": q_doc_chunks_overlap,
+    "doc_packs": q_doc_packs,
     # --- estimate-valued / not SQL-expressible (rows-only checks) ---
     "cube_dau_range": q_cube_dau_range,
     "cube_dau_by_type_range": q_cube_dau_by_type_range,
@@ -3253,6 +3290,31 @@ ORACLE_SQL = {
         "nth_value(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 3) OVER w AS third_cents "
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    ),
+    "doc_chunks": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "ex AS (SELECT doc_id, t, "
+        "unnest(range(CAST(ceil(len(t)/32.0) AS BIGINT))) AS i FROM toks) "
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "
+        "array_to_string(t[i*32+1 : least((i+1)*32, len(t))], ' ') AS text, "
+        "CAST(least((i+1)*32, len(t)) - i*32 AS BIGINT) AS n_tokens FROM ex"
+    ),
+    "doc_chunks_overlap": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+        "ex AS (SELECT doc_id, t, "
+        "unnest(range(CAST(ceil(greatest(len(t)-32,0)/16.0) AS BIGINT)+1)) AS i FROM toks) "
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "
+        "array_to_string(t[i*16+1 : least(i*16+32, len(t))], ' ') AS text, "
+        "CAST(least(i*16+32, len(t)) - i*16 AS BIGINT) AS n_tokens FROM ex"
+    ),
+    "doc_packs": (
+        "WITH t AS (SELECT source, doc_id, len(string_split(text,' ')) AS n "
+        "FROM documents), "
+        "w AS (SELECT source, doc_id, n, "
+        "sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t) "
+        "SELECT source, CAST((cum - n) // 256 AS BIGINT) AS pack_id, "
+        "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens "
+        "FROM w GROUP BY source, pack_id"
     ),
     "cross_corpus_contamination": (
         "WITH ntoks AS (SELECT doc_id, string_split(text, ' ') AS t "
