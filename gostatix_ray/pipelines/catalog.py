@@ -1654,6 +1654,22 @@ def q_cross_corpus_contamination(sf_dir: str):
                                    id_col="doc_id", n=8)
 
 
+def q_mixture_sampled_docs(sf_dir: str):
+    """Corpus-mixture rebalance (stages/sample.py:mixture_sample):
+    per-source deterministic hash sampling — keep all of src0, half of
+    src1, a quarter of src2, 10% of everything else.  One shuffle-free
+    per-batch filter; selections nest across fractions so mixture
+    re-tuning never churns already-selected rows."""
+    from ..stages.sample import mixture_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return mixture_sample(
+        ds, key_col="doc_id", group_col="source",
+        fractions={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1,
+    )
+
+
 def q_doc_chunks(sf_dir: str):
     """Fixed-token-count sequence chunking (stages/chunking.py
     chunk_documents): every document split into 32-token chunks, the
@@ -3022,6 +3038,7 @@ QUERIES = {
     "user_centered_value": q_user_centered_value,
     "cross_corpus_contamination": q_cross_corpus_contamination,
     "user_event_last_nth": q_user_event_last_nth,
+    "mixture_sampled_docs": q_mixture_sampled_docs,
     "doc_chunks": q_doc_chunks,
     "doc_chunks_overlap": q_doc_chunks_overlap,
     "doc_packs": q_doc_packs,
@@ -3290,6 +3307,14 @@ ORACLE_SQL = {
         "nth_value(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 3) OVER w AS third_cents "
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    ),
+    "mixture_sampled_docs": (
+        # thresholds = sample.hash_threshold(1.0 / 0.5 / 0.25 / 0.1)
+        "SELECT doc_id, source, n_chars FROM documents "
+        "WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < "
+        "CASE source WHEN 'src0' THEN 4294967296 "
+        "WHEN 'src1' THEN 2147483648 WHEN 'src2' THEN 1073741824 "
+        "ELSE 429496729 END"
     ),
     "doc_chunks": (
         "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "

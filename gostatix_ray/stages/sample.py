@@ -67,6 +67,36 @@ def hash_sample(ds, *, key_col: str, fraction: float):
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
+def mixture_sample(ds, *, key_col: str, group_col: str,
+                   fractions: dict[str, float], default_fraction: float = 0.0):
+    """Per-domain reweighted sampling: keep ~fractions[g] of each
+    ``group_col`` domain, chosen deterministically by key hash — the
+    standard corpus-mixture rebalance (upweight curated sources,
+    downsample crawl) as one shuffle-free per-batch filter.
+
+    Same cut rule as ``hash_sample`` (h(k) < per-group threshold), so a
+    row's fate is independent of partitioning, retries and cluster
+    size, and the selection NESTS across fractions: the 10% sample of a
+    domain is a subset of its 50% sample (mixture re-tuning never
+    churns previously selected rows).  SQL twin: compare the same hash
+    against ``CASE group_col WHEN ... THEN hash_threshold(f) ...``.
+    """
+    thresholds = {g: np.uint64(hash_threshold(f)) for g, f in fractions.items()}
+    default_t = np.uint64(hash_threshold(default_fraction))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        h = hashed_keys(batch[key_col].to_numpy(zero_copy_only=False))
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        thr = np.full(len(g), default_t, dtype=np.uint64)
+        # few domains by construction (a mixture config is hand-sized);
+        # one vectorized mask per domain beats a per-row dict lookup
+        for dom, t in thresholds.items():
+            thr[g == dom] = t
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(_filter, batch_format="pyarrow", batch_size=None)
+
+
 def stratified_sample(ds, *, group_col: str, key_col: str, k: int,
                       rank_col: str = "rank", num_buckets: int = 64):
     """Deterministic k-per-group sample: the k smallest hash keys in

@@ -35,6 +35,47 @@ def test_hash_sample_partition_independent(ray_session):
     assert 0.08 < len(picks[0]) / len(df) < 0.12
 
 
+def test_mixture_sample_nests_and_matches_duckdb(ray_session):
+    import duckdb
+
+    from gostatix_ray.stages.sample import mixture_sample
+
+    df = pd.DataFrame({
+        "k": np.arange(12_000, dtype=np.int64),
+        "g": [f"d{i % 5}" for i in range(12_000)],
+    })
+    fr = {"d0": 1.0, "d1": 0.5, "d2": 0.25}
+    outs = []
+    for parts in (1, 9):
+        out = mixture_sample(
+            _ds(df, parts), key_col="k", group_col="g",
+            fractions=fr, default_fraction=0.1,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    thr = {g: hash_threshold(f) for g, f in fr.items()}
+    exp = duckdb.sql(
+        "SELECT k, g FROM df "
+        "WHERE (CAST(k AS HUGEINT) * 2654435761) % 4294967296 < "
+        f"CASE g WHEN 'd0' THEN {thr['d0']} WHEN 'd1' THEN {thr['d1']} "
+        f"WHEN 'd2' THEN {thr['d2']} ELSE {hash_threshold(0.1)} END "
+        "ORDER BY k"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs[0], exp)
+    # per-domain rates land near their fractions; full-keep domain exact
+    rates = outs[0].groupby("g").size() / df.groupby("g").size()
+    assert rates["d0"] == 1.0
+    assert abs(rates["d1"] - 0.5) < 0.05 and abs(rates["d2"] - 0.25) < 0.05
+    assert abs(rates["d3"] - 0.1) < 0.04 and abs(rates["d4"] - 0.1) < 0.04
+    # selections NEST: re-tuning a fraction down keeps a subset
+    smaller = mixture_sample(
+        _ds(df), key_col="k", group_col="g",
+        fractions={"d1": 0.2}, default_fraction=0.0,
+    ).to_pandas()
+    d1_big = set(outs[0][outs[0]["g"] == "d1"]["k"])
+    assert set(smaller["k"]) <= d1_big
+
+
 def test_hash_sample_rejects_negative_keys(ray_session):
     df = pd.DataFrame({"k": np.array([-1, 2, 3], dtype=np.int64)})
     with pytest.raises(Exception):
