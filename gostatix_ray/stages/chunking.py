@@ -12,8 +12,8 @@ first-class per the build brief):
   its starting token offset falls in (``floor(cum_before / target)``)
   within a partition.  Deterministic and SQL-expressible (unlike
   greedy first-fit, which needs a stateful scan), so it oracle-checks
-  bit-exact; composed from the existing ``window_over`` running sum +
-  one bucketed group reduce.
+  bit-exact; ONE part-hash bucket shuffle of slim (part, id, n_tokens)
+  rows, with cumsum, pack assignment and aggregation all bucket-local.
 
 Chunking is list-offset surgery on Arrow: ``split_pattern`` tokenizes
 once, then new chunk boundaries are written as a fresh offsets vector
@@ -126,12 +126,16 @@ def pack_documents(ds, *, target_tokens: int, part_col: str,
     (the doc straddling a boundary stays in the pack it starts in, so
     packs may overflow by at most one document).  Deterministic under
     any input partitioning and SQL-expressible via a window cumsum,
-    unlike greedy first-fit (a stateful scan).  Composition:
-    per-batch token count -> ``window_over`` running sum (one bucket
-    shuffle) -> vectorized per-bucket group reduce.
+    unlike greedy first-fit (a stateful scan).  ONE shuffle total:
+    slim (part, id, n_tokens) rows ride a part-hash bucket exchange;
+    each bucket task holds its partitions whole, so the running sum,
+    pack assignment AND pack aggregation are all bucket-local (same
+    partition-co-location assumption as window_over — one domain's
+    slim rows must fit one task, fine for hand-sized mixtures).
     """
+    import pandas as pd
+
     from .dedup import bucketed_groupby
-    from .window_fns import window_over
 
     def _count(batch: pa.Table) -> pa.Table:
         text = _text(batch[text_col])
@@ -145,30 +149,29 @@ def pack_documents(ds, *, target_tokens: int, part_col: str,
         })
 
     counted = ds.map_batches(_count, batch_format="pyarrow", batch_size=None)
-    ranked = window_over(
-        counted, part_col=part_col, order_col=id_col, tiebreak=id_col,
-        sum_col="n_tokens", running_name="cum_tokens", gap_name=None,
-        keep=[part_col, "n_tokens"], num_buckets=num_buckets,
-    )
 
-    def _pack_id(batch: pa.Table) -> pa.Table:
-        cum = batch["cum_tokens"].to_numpy(zero_copy_only=False)
-        ntok = batch["n_tokens"].to_numpy(zero_copy_only=False)
+    def _packs(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values([part_col, id_col], kind="stable")
+        ntok = df["n_tokens"].to_numpy()
+        p, _ = pd.factorize(df[part_col].to_numpy())
+        cum = np.cumsum(ntok)
+        # per-partition running sum: subtract each partition's carry-in
+        # (the global cumsum just before its first row) — vectorized
+        # restart, no Python loop over partitions
+        newg = np.empty(len(p), dtype=bool)
+        newg[0], newg[1:] = True, p[1:] != p[:-1]
+        starts = np.flatnonzero(newg)
+        carry = np.zeros(len(p), dtype=np.int64)
+        carry[starts[1:]] = cum[starts[1:] - 1]
+        cum = cum - np.maximum.accumulate(carry)
         pid = (cum - ntok) // target_tokens
-        return pa.table({
-            part_col: batch[part_col],
-            "pack_id": pa.array(pid, type=pa.int64()),
-            "n_tokens": batch["n_tokens"],
-        })
-
-    packed = ranked.map_batches(_pack_id, batch_format="pyarrow")
-
-    def _agg(df):
-        g = df.groupby([part_col, "pack_id"], as_index=False).agg(
-            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        g = (df.assign(pack_id=pid)
+               .groupby([part_col, "pack_id"], as_index=False)
+               .agg(n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum")))
+        g["pack_id"] = g["pack_id"].astype("int64")
         g["n_docs"] = g["n_docs"].astype("int64")
         g["n_tokens"] = g["n_tokens"].astype("int64")
         return g
 
-    return bucketed_groupby(packed, [part_col, "pack_id"], _agg,
+    return bucketed_groupby(counted, [part_col], _packs,
                             num_buckets=num_buckets)
