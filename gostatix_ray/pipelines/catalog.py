@@ -757,6 +757,20 @@ def q_revenue_cube(sf_dir: str):
                 value_cols={"pn": "n_items", "pc_": "revenue_cents"})
 
 
+def q_revenue_grouping_sets(sf_dir: str):
+    """Arbitrary GROUP BY GROUPING SETS ((nation), ()) — a set list
+    neither ROLLUP nor CUBE emits (the per-nation marginal plus the
+    grand total, skipping every region level), exercising
+    stages/rollup.py grouping_sets as the general primitive directly:
+    the same single fact scan and materialized partials as the
+    rollup/cube twins, one tiny distributed groupby per requested set."""
+    from ..stages.rollup import grouping_sets
+
+    return grouping_sets(_revenue_partials(sf_dir), keys=["r_name", "n_name"],
+                         value_cols={"pn": "n_items", "pc_": "revenue_cents"},
+                         sets=[["n_name"], []])
+
+
 def q_embedding_similarity_join(sf_dir: str):
     """Exact threshold similarity SELF-join with a bounded query side:
     the first 100 vectors (predicate-pruned read) against the full
@@ -3006,6 +3020,7 @@ QUERIES = {
     "bloom_anti_join_open_orders": q_bloom_anti_join_open_orders,
     "click_days_without_purchase": q_click_days_without_purchase,
     "revenue_rollup": q_revenue_rollup,
+    "revenue_grouping_sets": q_revenue_grouping_sets,
     "embedding_similarity_join": q_embedding_similarity_join,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "bucketed_priority_revenue": q_bucketed_priority_revenue,
@@ -3408,6 +3423,17 @@ ORACLE_SQL = {
         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
         "JOIN region r ON n.n_regionkey = r.r_regionkey "
         "GROUP BY ROLLUP(r.r_name, n.n_name)"
+    ),
+    "revenue_grouping_sets": (
+        "SELECT 'ALL' AS r_name, "  # region is in NO requested set
+        "COALESCE(n.n_name, 'ALL') AS n_name, "
+        "CAST(count(*) AS BIGINT) AS n_items, "
+        "CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY GROUPING SETS ((n.n_name), ())"
     ),
     "embedding_similarity_join": (
         "SELECT a.vec_id AS query_id, b.vec_id FROM embeddings a CROSS JOIN embeddings b "
