@@ -11,6 +11,14 @@ Two generators:
 * events — zipf user skew (one user owns ~30% of rows), minute-quantized
   tie-heavy timestamps, value ties / zeros / negatives / outliers
   (stresses every window frame, rank peers, quantiles, pivots, sessions).
+* relational — TPC-H-ish region/nation/customer/orders/lineitem (+events)
+  with order/ship dates spiked EXACTLY at every predicate cutoff the
+  catalog uses (1998-01-01, 2000-01-01), dangling foreign keys on both
+  sides (orders without customers, lineitems without orders, customers
+  without orders), empty dimension branches (a region with no nations,
+  nations with no customers), and one customer / one order owning a
+  large share of the fact rows (stresses every join strategy, semi/anti
+  gates, rollup/cube/grouping-sets, corr, top-per-group).
 
 Usage: python scripts/fuzz_oracles.py [N_SEEDS] (default 3)
 
@@ -53,6 +61,17 @@ EVENT_QUERIES = [
     "top_value_events", "user_top_event_type", "distinct_users_exact",
     "distinct_users_by_type_exact", "user_event_type_pairs_exact",
     "top_event_types_exact", "props_field_stats",
+]
+RELATIONAL_QUERIES = [
+    "revenue_by_nation", "lineitem_recent_pricing", "top_orders_per_customer",
+    "lineitem_orders_bloom_semijoin", "auto_mktsegment_revenue",
+    "building_orders_top_revenue", "order_priority_revenue",
+    "orders_by_customer_nation", "orders_price_band", "revenue_cube",
+    "revenue_rollup", "revenue_grouping_sets", "bloom_anti_join_open_orders",
+    "customers_without_finished_orders", "lineitem_pricing_summary",
+    "bucketed_priority_revenue", "lineitem_qty_price_corr",
+    "event_users_customers_outer", "salted_event_spend_join",
+    "bloom_click_users_semijoin", "cuckoo_signup_users_semijoin",
 ]
 
 
@@ -122,12 +141,92 @@ def gen_events(seed: int, outdir: str, n: int = 8000) -> None:
     pq.write_table(tbl, os.path.join(outdir, "events.parquet"), row_group_size=1000)
 
 
+def gen_relational(seed: int, outdir: str) -> None:
+    """TPC-H-ish tables stressing join/aggregate edges: dates spiked
+    exactly at the catalog's predicate cutoffs, dangling FKs both ways,
+    empty dimension branches, and heavy key skew.  Also writes events
+    (user_id range overlapping c_custkey) for the event⨝customer joins."""
+    rng = np.random.default_rng(seed + 1000)
+    os.makedirs(outdir, exist_ok=True)
+
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
+        "r_name": pa.array(regions),
+    }), os.path.join(outdir, "region.parquet"))
+
+    n_nat = 10
+    # region 4 gets NO nations (empty dimension branch)
+    nat_region = rng.integers(0, 4, size=n_nat).astype(np.int32)
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(np.arange(n_nat, dtype=np.int32)),
+        "n_name": pa.array([f"NATION_{i}" for i in range(n_nat)]),
+        "n_regionkey": pa.array(nat_region),
+    }), os.path.join(outdir, "nation.parquet"))
+
+    n_cust = 300
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(1, n_cust + 1, dtype=np.int64)),
+        "c_name": pa.array([f"Customer#{i}" for i in range(1, n_cust + 1)]),
+        # nations 8,9 get no customers
+        "c_nationkey": pa.array(rng.integers(0, 8, size=n_cust).astype(np.int32)),
+        "c_acctbal": pa.array(rng.choice([-999.99, 0.0, 0.005, 1234.56, 9999.99], size=n_cust)),
+        "c_mktsegment": pa.array([str(s) for s in rng.choice(segs, size=n_cust)]),
+    }), os.path.join(outdir, "customer.parquet"), row_group_size=64)
+
+    n_ord = 3000
+    # 5% dangling custkeys (beyond n_cust); one customer owns ~25% of orders;
+    # ~40 customers have no orders at all (keys 261..300 excluded)
+    cust = np.where(rng.random(n_ord) < 0.25, 7,
+                    rng.integers(1, 261, size=n_ord)).astype(np.int64)
+    cust[rng.random(n_ord) < 0.05] = rng.integers(n_cust + 1, n_cust + 50)
+    base = dt.datetime(1995, 1, 1)
+    odate = [base + dt.timedelta(days=int(d)) for d in rng.integers(0, 2400, size=n_ord)]
+    for i in np.flatnonzero(rng.random(n_ord) < 0.08):  # spike AT the cutoffs
+        odate[i] = dt.datetime(1998, 1, 1) if rng.random() < 0.5 else dt.datetime(2000, 1, 1)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(1, n_ord + 1, dtype=np.int64)),
+        "o_custkey": pa.array(cust),
+        "o_orderstatus": pa.array([str(s) for s in rng.choice(["F", "O", "P"], size=n_ord, p=[0.5, 0.45, 0.05])]),
+        "o_totalprice": pa.array(np.round(rng.uniform(900.0, 500000.0, size=n_ord), 2)),
+        "o_orderdate": pa.array(odate, type=pa.timestamp("us")),
+        "o_orderpriority": pa.array([str(s) for s in rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"], size=n_ord)]),
+    }), os.path.join(outdir, "orders.parquet"), row_group_size=512)
+
+    n_li = 9000
+    # 4% dangling orderkeys; one order carries ~200 lineitems
+    lord = rng.integers(1, n_ord + 1, size=n_li).astype(np.int64)
+    lord[:200] = 42
+    lord[rng.random(n_li) < 0.04] = rng.integers(n_ord + 1, n_ord + 100)
+    sdate = [base + dt.timedelta(days=int(d)) for d in rng.integers(0, 2500, size=n_li)]
+    for i in np.flatnonzero(rng.random(n_li) < 0.08):
+        sdate[i] = dt.datetime(1998, 1, 1) if rng.random() < 0.5 else dt.datetime(2000, 1, 1)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(lord),
+        "l_partkey": pa.array(rng.integers(1, 2000, size=n_li).astype(np.int64)),
+        "l_suppkey": pa.array(rng.integers(1, 100, size=n_li).astype(np.int64)),
+        "l_linenumber": pa.array(rng.integers(1, 8, size=n_li).astype(np.int32)),
+        "l_quantity": pa.array(rng.integers(1, 51, size=n_li).astype(np.float64)),
+        "l_extendedprice": pa.array(np.round(rng.uniform(900.0, 105000.0, size=n_li), 2)),
+        "l_discount": pa.array(rng.choice([0.0, 0.01, 0.05, 0.1], size=n_li)),
+        "l_tax": pa.array(rng.choice([0.0, 0.02, 0.08], size=n_li)),
+        "l_returnflag": pa.array([str(s) for s in rng.choice(["A", "N", "R"], size=n_li)]),
+        "l_linestatus": pa.array([str(s) for s in rng.choice(["F", "O"], size=n_li)]),
+        "l_shipdate": pa.array(sdate, type=pa.timestamp("us")),
+    }), os.path.join(outdir, "lineitem.parquet"), row_group_size=1024)
+
+    gen_events(seed + 1000, outdir)  # user_id range overlaps c_custkey
+
+
 def main() -> int:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     failed = []
     for seed in range(n_seeds):
         for fam, gen, queries in (("docs", gen_documents, DOC_QUERIES),
-                                  ("events", gen_events, EVENT_QUERIES)):
+                                  ("events", gen_events, EVENT_QUERIES),
+                                  ("relational", gen_relational, RELATIONAL_QUERIES)):
             outdir = f"/tmp/gostatix_ray/fuzz_{fam}_s{seed}"
             gen(seed, outdir)
             proc = subprocess.run(
@@ -143,8 +242,9 @@ def main() -> int:
     if failed:
         print("FAILED:", failed)
         return 1
-    print(f"all {n_seeds} seeds x 2 families passed "
-          f"({len(DOC_QUERIES)} doc + {len(EVENT_QUERIES)} event queries, bit-exact)")
+    print(f"all {n_seeds} seeds x 3 families passed "
+          f"({len(DOC_QUERIES)} doc + {len(EVENT_QUERIES)} event + "
+          f"{len(RELATIONAL_QUERIES)} relational queries, bit-exact)")
     return 0
 
 
