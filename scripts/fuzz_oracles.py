@@ -19,6 +19,12 @@ Two generators:
   nations with no customers), and one customer / one order owning a
   large share of the fact rows (stresses every join strategy, semi/anti
   gates, rollup/cube/grouping-sets, corr, top-per-group).
+* embeddings — clustered unit vectors plus exact duplicates,
+  near-antipodal pairs, and non-unit norms, REJECTION-SAMPLED so no
+  relevant cosine sits within 5e-4 of a fixed threshold or top-10 rank
+  cut (stresses the exact similarity join / threshold / top-k oracles
+  without measuring cross-engine float noise; the ANN sketch paths run
+  as must-not-crash rows checks).
 
 Usage: python scripts/fuzz_oracles.py [N_SEEDS] (default 3)
 
@@ -61,6 +67,13 @@ EVENT_QUERIES = [
     "top_value_events", "user_top_event_type", "distinct_users_exact",
     "distinct_users_by_type_exact", "user_event_type_pairs_exact",
     "top_event_types_exact", "props_field_stats",
+]
+EMBEDDING_QUERIES = [
+    # oracle-exact
+    "embedding_similarity_join", "ann_threshold_cosine", "ann_topk_ids",
+    # rows-only (recall/shape checked in tests/; here they must not crash)
+    "ann_brute_cosine", "embedding_near_dup", "embedding_kmeans",
+    "ann_ivf_cosine", "ann_pq_cosine", "ann_ivfpq_cosine", "ann_ivf_partitioned",
 ]
 RELATIONAL_QUERIES = [
     "revenue_by_nation", "lineitem_recent_pricing", "top_orders_per_customer",
@@ -220,13 +233,73 @@ def gen_relational(seed: int, outdir: str) -> None:
     gen_events(seed + 1000, outdir)  # user_id range overlaps c_custkey
 
 
+def gen_embeddings(seed: int, outdir: str, n: int = 500, dim: int = 64) -> None:
+    """Adversarial embeddings: 10 tight clusters plus exact-duplicate
+    vectors, near-antipodal vectors (negative cosine), and non-unit
+    norms (0.01 / 5.0 — cosine must normalize).  The exact queries
+    compare floats cross-engine at fixed thresholds (0.32, 0.4422) and
+    a top-10 rank cut, so generation REJECTS candidate tables where any
+    relevant cosine sits within 5e-4 of a threshold or where a query's
+    10th/11th neighbours are closer than 5e-4 — inside that guard the
+    comparison is exact by construction, outside it would measure float
+    noise, not correctness."""
+    rng = np.random.default_rng(seed + 2000)
+    for attempt in range(50):
+        centers = rng.normal(size=(10, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        labels = rng.integers(0, 10, size=n).astype(np.int32)
+        vecs = centers[labels] + 0.35 * rng.normal(size=(n, dim))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        for _ in range(30):  # exact duplicates
+            i, j = rng.integers(0, n, size=2)
+            vecs[j] = vecs[i]
+            labels[j] = labels[i]
+        for _ in range(10):  # near-antipodal pairs
+            i, j = rng.integers(0, n, size=2)
+            vecs[j] = -vecs[i] + 0.05 * rng.normal(size=dim)
+            vecs[j] /= np.linalg.norm(vecs[j])
+        scale = np.ones(n)
+        scale[rng.integers(0, n, size=15)] = 0.01   # tiny-norm rows
+        scale[rng.integers(0, n, size=15)] = 5.0    # large-norm rows
+        v32 = (vecs * scale[:, None]).astype(np.float32)
+
+        # margin guard on the float32-rounded values (what both engines read)
+        unit = v32.astype(np.float64)
+        unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+        sims_q3 = unit @ unit[:3].T        # ann_topk_ids / ann_threshold_cosine queries
+        sims_q100 = unit @ unit[:100].T    # embedding_similarity_join query side
+        ok = (np.abs(sims_q3 - 0.32).min() > 5e-4
+              and np.abs(sims_q100 - 0.4422).min() > 5e-4)
+        if ok:
+            for c in range(3):             # top-10 rank-cut gap per query
+                s = np.sort(sims_q3[:, c])[::-1]
+                if s[9] - s[10] <= 5e-4:
+                    ok = False
+                    break
+        if ok:
+            break
+        seed_bump = int(rng.integers(0, 2**31))
+        rng = np.random.default_rng(seed_bump)
+    else:
+        raise RuntimeError("embedding fuzz: no margin-safe table in 50 attempts")
+
+    os.makedirs(outdir, exist_ok=True)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([row.tolist() for row in v32],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(labels, type=pa.int32()),
+    }), os.path.join(outdir, "embeddings.parquet"), row_group_size=128)
+
+
 def main() -> int:
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     failed = []
     for seed in range(n_seeds):
         for fam, gen, queries in (("docs", gen_documents, DOC_QUERIES),
                                   ("events", gen_events, EVENT_QUERIES),
-                                  ("relational", gen_relational, RELATIONAL_QUERIES)):
+                                  ("relational", gen_relational, RELATIONAL_QUERIES),
+                                  ("embeddings", gen_embeddings, EMBEDDING_QUERIES)):
             outdir = f"/tmp/gostatix_ray/fuzz_{fam}_s{seed}"
             gen(seed, outdir)
             proc = subprocess.run(
@@ -242,9 +315,10 @@ def main() -> int:
     if failed:
         print("FAILED:", failed)
         return 1
-    print(f"all {n_seeds} seeds x 3 families passed "
+    print(f"all {n_seeds} seeds x 4 families passed "
           f"({len(DOC_QUERIES)} doc + {len(EVENT_QUERIES)} event + "
-          f"{len(RELATIONAL_QUERIES)} relational queries, bit-exact)")
+          f"{len(RELATIONAL_QUERIES)} relational + "
+          f"{len(EMBEDDING_QUERIES)} embedding queries)")
     return 0
 
 
