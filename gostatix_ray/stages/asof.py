@@ -169,7 +169,7 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     if tolerance is not None and tolerance < 0:
         raise ValueError("tolerance must be >= 0")
-    from ..hashing import hash128
+    from ..hashing import hash128_keyed
 
     left_cols = dict(left_cols)
     right_cols = dict(right_cols)
@@ -180,7 +180,7 @@ def asof_join(
         # the other side's, so Ray's zero-copy union sees one schema.
         def _fn(batch: pa.Table) -> pa.Table:
             ncols = {}
-            h1, _ = hash128(pc.cast(batch[key], pa.string()), 31)
+            h1, _ = hash128_keyed(pc.cast(batch[key], pa.string()), 31)
             n = batch.num_rows
             ncols[key] = batch[key]
             ncols[on] = batch[on]

@@ -35,9 +35,9 @@ _SEED = 31
 
 
 def _bucket_column(kcol, num_buckets: int) -> pa.Array:
-    from ..hashing import hash128
+    from ..hashing import hash128_keyed
 
-    h1, _ = hash128(pc.cast(kcol, pa.string()), _SEED)
+    h1, _ = hash128_keyed(pc.cast(kcol, pa.string()), _SEED)
     return pa.array((h1 % np.uint64(num_buckets)).astype(np.int64))
 
 

@@ -348,13 +348,13 @@ def build_partials(
     discriminator).
     """
     if salt_by and salt_buckets > 1:
-        from ..hashing import hash128
+        from ..hashing import hash128_keyed
 
         def _salt(batch: pa.Table) -> pa.Table:
             col = batch[salt_by]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            h1, _ = hash128(col, 7)
+            h1, _ = hash128_keyed(col, 7)
             return batch.append_column("salt", pa.array((h1 % np.uint64(salt_buckets)).astype(np.int32)))
 
         ds = ds.map_batches(_salt, batch_format="pyarrow").repartition(salt_buckets, shuffle=True)

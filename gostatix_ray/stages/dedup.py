@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..hashing import SEED_MINHASH, SEED_SIMHASH, hash128, hex64
+from ..hashing import SEED_MINHASH, SEED_SIMHASH, hash128, hash128_keyed, hex64
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -75,7 +75,7 @@ def bucketed_groupby(ds, key_cols: list[str], fn, *, num_buckets: int = 64):
             key = pc.cast(batch[key_cols[0]], pa.string())
             for c in key_cols[1:]:
                 key = pc.binary_join_element_wise(key, pc.cast(batch[c], pa.string()), "\x1f")
-            h1, _ = hash128(key, 31)
+            h1, _ = hash128_keyed(key, 31)
         yield batch.append_column("__bucket", pa.array((h1 % np.uint64(num_buckets)).astype(np.int64)))
 
     def _nonempty(block: pd.DataFrame):
@@ -974,7 +974,7 @@ class SimHash:
         toks = pc.split_pattern(col, pattern=" ")
         flat = pc.list_flatten(toks)
         lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        th, _ = hash128(flat, SEED_SIMHASH)
+        th, _ = hash128_keyed(flat, SEED_SIMHASH)
         offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
         bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)

@@ -364,7 +364,7 @@ def hash_join(
     if hot_keys and n_salts < 2:
         raise ValueError("n_salts must be >= 2 when hot_keys are given")
     hot_arr = pa.array([str(h) for h in hot_keys], pa.string()) if hot_keys else None
-    from ..hashing import hash128
+    from ..hashing import hash128_keyed
 
     rkey = right_key or key
     left_cols, right_cols = dict(left_cols), dict(right_cols)
@@ -414,7 +414,7 @@ def hash_join(
                     salts = np.where(hot_mask,
                                      np.arange(n, dtype=np.int64) % n_salts,
                                      0).astype(np.uint64)
-            h1, _ = hash128(kstr, 31)
+            h1, _ = hash128_keyed(kstr, 31)
             bucket_h = h1 if salts is None else h1 + salts * _SALT_MIX
             ncols = {key: kcol, "__side": pa.array(np.full(n, side_val, dtype=np.int8))}
             for src, typ in payload.items():

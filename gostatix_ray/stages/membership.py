@@ -69,9 +69,9 @@ class PartitionedCuckoo:
         self.states = [cuckoo.new(spec, seed=seed + i) for i in range(n_partitions)]
 
     def _route(self, values) -> tuple:
-        from ..hashing import hash128
+        from ..hashing import hash128_keyed
 
-        h1, _ = hash128(values, 9)
+        h1, _ = hash128_keyed(values, 9)
         return (h1 % np.uint64(self.n)).astype(np.int64)
 
     def insert(self, values) -> None:
@@ -148,7 +148,7 @@ def build_partitioned_cuckoo(ds, column: str, spec, *, n_partitions: int = 16, c
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..hashing import hash128
+    from ..hashing import hash128_keyed
     from ..kernels import cuckoo
 
     def _route(batch: pa.Table) -> pa.Table:
@@ -156,7 +156,7 @@ def build_partitioned_cuckoo(ds, column: str, spec, *, n_partitions: int = 16, c
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         col = pc.cast(col, pa.string())
-        h1, _ = hash128(col, 9)
+        h1, _ = hash128_keyed(col, 9)
         return pa.table(
             {
                 "key": col,

@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..hashing import SEED_FEATURE, hash128
+from ..hashing import SEED_FEATURE, hash128, hash128_keyed
 
 _STOPWORDS = {
     "en": {"the", "a", "of", "to", "and", "in", "is", "it", "that", "for"},
@@ -95,7 +95,7 @@ class QualityScore:
         stop_per_doc[lengths == 0] = 0.0
         stop_ratio = stop_per_doc / np.maximum(lengths, 1)
         # distinct-token ratio (repetition proxy): distinct/total per doc
-        h1, _ = hash128(flat, SEED_FEATURE)
+        h1, _ = hash128_keyed(flat, SEED_FEATURE)
         doc_idx = np.repeat(np.arange(len(lengths)), lengths)
         order = np.lexsort((h1, doc_idx))
         dd, hh = doc_idx[order], h1[order]
@@ -170,7 +170,7 @@ class Fingerprint:
         toks = pc.split_pattern(col, pattern=" ")
         flat = pc.list_flatten(toks)
         lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        th, _ = hash128(flat, SEED_FEATURE + 1)
+        th, _ = hash128_keyed(flat, SEED_FEATURE + 1)
         offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
         # vectorized rolling min: GLOBAL width-w window sums (uint64 modular

@@ -429,7 +429,7 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
     ``keep``: passthrough columns (default: part, tiebreak).  Output row
     SET is partition-independent; row order follows bucket scheduling.
     """
-    from ..hashing import hash128
+    from ..hashing import hash128_keyed
 
     import pyarrow.compute as pc
 
@@ -438,7 +438,7 @@ def window_over(ds, *, part_col: str, order_col: str, tiebreak: str,
     nb = np.uint64(num_buckets)
 
     def _bucket(batch: pa.Table) -> pa.Table:
-        h1, _ = hash128(pc.cast(batch[part_col], pa.string()), 31)
+        h1, _ = hash128_keyed(pc.cast(batch[part_col], pa.string()), 31)
         return batch.append_column("__bucket", pa.array((h1 % nb).astype(np.int64)))
 
     fn = _WindowBucket(part_col, order_col, tiebreak, sum_col, running_name,

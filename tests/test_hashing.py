@@ -70,3 +70,34 @@ def test_padded_layout():
     assert list(lengths) == [3, 0]
     assert bytes(mat[0, :3]) == b"abc"
     assert mat[0, 3:].sum() == 0
+
+
+def test_hash128_keyed_bit_identical():
+    """hash128_keyed (dictionary-encode -> hash distinct -> gather) must be
+    bit-identical to hash128 on every input family it's used for: repeated
+    string keys, nulls, integers, pre-dictionary-encoded columns, below-
+    threshold small arrays, and empty arrays."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gostatix_ray.hashing import hash128, hash128_keyed
+
+    rng = np.random.default_rng(7)
+    cases = [
+        pa.array((["conv-%05d" % i for i in rng.integers(0, 300, 20000)])),
+        pa.array(["a", "b", None, ""] * 3000),
+        pa.array(rng.integers(0, 50, 10000)),
+        pa.array(["x"] * 10000).dictionary_encode(),
+        pa.array(["tiny", "array"]),  # below the 4096 fast-path floor
+        pa.array([], type=pa.string()),
+        pa.chunked_array([pa.array(["k1", "k2"] * 3000), pa.array(["k1"] * 2000)]),
+    ]
+    for arr in cases:
+        plain = arr
+        if isinstance(plain, pa.ChunkedArray):
+            plain = plain.combine_chunks()
+        if pa.types.is_dictionary(plain.type):
+            plain = plain.cast(pa.string())
+        h1, h2 = hash128(plain, 31)
+        k1, k2 = hash128_keyed(arr, 31)
+        assert (h1 == k1).all() and (h2 == k2).all(), arr.type
