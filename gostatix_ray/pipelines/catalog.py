@@ -1527,6 +1527,42 @@ def q_user_running_value(sf_dir: str):
     )
 
 
+def q_user_running_value_scan(sf_dir: str):
+    """Same result as ``user_running_value`` through the OTHER windows
+    backend: stages/window_scan.py's distributed prefix scan (global
+    range-sort, per-block local cumsum, O(#blocks) driver carry walk).
+    The hot-partition scale path — a partition larger than any one
+    worker's memory still computes, because it splits across sorted
+    blocks instead of co-locating in one bucket.  Oracle: the identical
+    DuckDB window twin, bit-exact."""
+    from ..stages.window_scan import window_scan
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    return window_scan(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        part_col="user_id",
+        order_col="ts",
+        tiebreak="event_id",
+        sum_col="cents",
+        running_name="running_cents",
+        gap_name="gap_us",
+        gap_default=-1,
+        keep=["event_id", "user_id"],
+    )
+
+
 def q_user_trailing_value(sf_dir: str):
     """Bounded-frame window aggregates (stages/window_fns.py frame_k):
     per-user trailing-5-event spend — SUM / AVG / MIN over ``ROWS
@@ -3083,6 +3119,7 @@ QUERIES = {
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "events_reservoir_sample": q_events_reservoir_sample,
     "transcript_flagship": q_transcript_flagship,
+    "user_running_value_scan": q_user_running_value_scan,
 }
 
 ORACLE_SQL = {
@@ -3311,6 +3348,12 @@ ORACLE_SQL = {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
     ),
     "user_running_value": (
+        "SELECT event_id, user_id, "
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS running_cents, "
+        "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT) AS gap_us "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    "user_running_value_scan": (
         "SELECT event_id, user_id, "
         "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS running_cents, "
         "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT) AS gap_us "

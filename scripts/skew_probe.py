@@ -138,6 +138,25 @@ def window_conv(path: str, nfiles: int):
     return out.count()
 
 
+def window_conv_scan(path: str, nfiles: int):
+    import ray.data as rd
+
+    from gostatix_ray.stages.window_scan import window_scan
+
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "ts"], override_num_blocks=nfiles)
+    out = window_scan(
+        ds,
+        part_col="conv_id",
+        order_col="ts",
+        tiebreak="turn_idx",
+        sum_col="turn_idx",
+        running_name="running_turns",
+        gap_name=None,
+        keep=[],
+    )
+    return out.count()
+
+
 def grouped_build(path: str, nfiles: int, salted: bool):
     """Per-role grouped HLL of conv_id; returns {group: estimate} and the
     merged state bytes for the byte-equality check."""
@@ -187,7 +206,10 @@ def main():
         t_topk, hh = timed(topk_conv, path, nfiles)
         t_win, nrows = timed(window_conv, path, nfiles)
         assert nrows == N, (label, nrows)
+        t_scan, nrows2 = timed(window_conv_scan, path, nfiles)
+        assert nrows2 == N, (label, nrows2)
         rows[label] = {"flagship_s": t_flag, "topk_conv_s": t_topk, "window_conv_s": t_win,
+                       "window_scan_s": t_scan,
                        "top1": {"elem": hh[0][0], "count": int(hh[0][1])}}
 
     # salted vs unsalted grouped build on the EXTREME input
@@ -204,7 +226,7 @@ def main():
 
     print(f"\nskew probe @ {N:,} turns, {nfiles} files, {NCPU} cpus")
     print(f"{'pipeline':<22}{'uniform (s)':>14}{'extreme (s)':>14}{'ratio':>8}")
-    for k in ("flagship_s", "topk_conv_s", "window_conv_s"):
+    for k in ("flagship_s", "topk_conv_s", "window_conv_s", "window_scan_s"):
         u, e = rows["uniform"][k], rows["extreme"][k]
         print(f"{k:<22}{u:>14}{e:>14}{e / u:>8.2f}")
     hot_expect = N * hot_files // nfiles
