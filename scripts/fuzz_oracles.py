@@ -54,7 +54,7 @@ DOC_QUERIES = [
     "doc_dedup_exact", "decontaminated_docs", "cross_corpus_contamination",
 ]
 EVENT_QUERIES = [
-    "user_running_value", "user_trailing_value", "user_event_lead_ntile",
+    "user_running_value", "user_running_value_scan", "user_trailing_value", "user_event_lead_ntile",
     "user_event_rank_dist", "user_event_paths", "user_event_last_nth",
     "user_centered_value", "user_hourly_range_value", "events_hourly_window",
     "events_sliding_window", "events_daily_active_users",
