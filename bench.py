@@ -200,6 +200,7 @@ def run_bench() -> dict:
         timed("value_quantiles_tdigest", lambda: catalog.q_value_quantiles_tdigest(sf_dir))
         timed("order_priority_revenue", lambda: catalog.q_order_priority_revenue(sf_dir).materialize())
         timed("user_running_value", lambda: catalog.q_user_running_value(sf_dir).materialize())
+        timed("user_running_value_scan", lambda: catalog.q_user_running_value_scan(sf_dir).materialize())
         timed("user_trailing_value", lambda: catalog.q_user_trailing_value(sf_dir).materialize())
         timed("substring_dup_pairs", lambda: catalog.q_substring_dup_pairs(sf_dir).materialize())
 
