@@ -84,7 +84,18 @@ class _LocalScan:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return batch
+            # emit the OUTPUT schema (an input-schema empty block would
+            # crash the summary/apply passes on the missing bookkeeping
+            # columns — same pitfall as bucketed_groupby's empty-block note)
+            out = {c: batch[c] for c in self.keep}
+            if self.sum_col is not None:
+                out[self.running_name] = pa.array([], pa.int64())
+            out["__seq"] = pa.array([], pa.int64())
+            if self.gap_name is not None:
+                out[self.gap_name] = pa.array([], pa.int64())
+            out["__run"] = pa.array([], pa.string())
+            out["__ord"] = pa.array([], pa.int64())
+            return pa.table(out)
         ps = batch[self.part_col].to_numpy(zero_copy_only=False)
         newg = np.ones(n, dtype=bool)
         newg[1:] = ps[1:] != ps[:-1]
@@ -155,7 +166,20 @@ def window_scan(ds, *, part_col: str, order_col: str, tiebreak: str,
                 "last_ord": int(ords[e - 1]),
             })
         if not rows:
-            return pa.table({"run": pa.array([], pa.string())})
+            # full summary schema, zero rows (a "run"-only empty table
+            # would make the summaries dataset schema-inconsistent)
+            empty_part = batch[part_col].slice(0, 0)
+            empty_tie = batch[tiebreak].slice(0, 0)
+            return pa.table({
+                "run": pa.array([], pa.string()),
+                "key": pa.array([], pa.string()),
+                "min_part": empty_part, "min_ord": pa.array([], pa.int64()),
+                "min_tie": empty_tie,
+                "first_part": empty_part, "last_part": empty_part,
+                "last_running": pa.array([], pa.int64()),
+                "last_seq": pa.array([], pa.int64()),
+                "last_ord": pa.array([], pa.int64()),
+            })
         return pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]})
 
     entries = [r for r in local.map_batches(

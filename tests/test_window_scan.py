@@ -86,3 +86,21 @@ def test_scan_column_subsets(ray_session):
         a = window_over(rd.from_pandas(df).repartition(8), **base, **kw).to_pandas()
         b = window_scan(rd.from_pandas(df).repartition(8), **base, **kw).to_pandas()
         pd.testing.assert_frame_equal(_canon(a), _canon(b))
+
+
+def test_scan_empty_blocks(ray_session):
+    """More blocks than rows: empty blocks must flow through all three
+    passes with the output schema intact."""
+    import ray.data as rd
+
+    from gostatix_ray.stages.window_scan import window_scan
+
+    df = _events(5, 2, seed=1)
+    out = window_scan(
+        rd.from_pandas(df).repartition(16),
+        part_col="user_id", order_col="ts", tiebreak="event_id",
+        sum_col="cents", running_name="running_cents",
+        gap_name="gap", seq_name="rn", keep=["user_id", "event_id"],
+    ).to_pandas()
+    assert len(out) == 5
+    assert set(out.columns) == {"user_id", "event_id", "running_cents", "gap", "rn"}
