@@ -29,6 +29,8 @@ from ..stages.dedup import (
     exact_dedup,
     minhash_candidate_pairs,
     near_dup_pairs_verified,
+    semantic_dedup,
+    semantic_dedup_exact,
     simhash_candidate_pairs,
 )
 from ..stages.membership import filter_by_membership
@@ -591,6 +593,30 @@ def q_embedding_near_dup(sf_dir: str):
                              "cosine": pd.Series([], dtype="float64")})
     df["cosine"] = df["cosine"].round(4)
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_semantic_dedup_exact(sf_dir: str):
+    """Exact semantic (embedding-level) dedup, leader keep rule: drop a
+    vector iff a smaller-vec_id neighbor sits at cosine >= 0.42 (in a
+    >= 3.4e-5 gap of every sf's pairwise-cosine distribution, vs a
+    measured 6e-16 cross-engine error once BOTH engines compute the
+    float64 cosine — the SQL twin casts embedding::DOUBLE[])."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_dedup_exact(ds, id_col="vec_id", emb_col="embedding",
+                               threshold=0.42, concurrency=_CONC)
+    df = out.select_columns(["vec_id"]).to_pandas()
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_semantic_dedup_pruned(sf_dir: str):
+    """SemDeDup scale path (k-means-clustered in-cluster prune) —
+    estimate-valued (cross-cluster pairs are missed by design; superset
+    of the exact survivors, asserted in tests/test_semantic_dedup.py),
+    so rows-only here."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_dedup(ds, id_col="vec_id", emb_col="embedding", dim=64,
+                         n_clusters=16, threshold=0.42, concurrency=_CONC)
+    return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
 def q_curated_corpus(sf_dir: str):
@@ -3102,6 +3128,8 @@ QUERIES = {
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash_dedup_pairs": q_simhash_dedup_pairs,
     "embedding_near_dup": q_embedding_near_dup,
+    "semantic_dedup_exact": q_semantic_dedup_exact,
+    "semantic_dedup_pruned": q_semantic_dedup_pruned,
     "doc_fingerprints": q_doc_fingerprints,
     "cms_lang_inner_product": q_cms_lang_inner_product,
     "hll_users_by_type": q_hll_users_by_type,
@@ -3812,6 +3840,14 @@ ORACLE_SQL = {
         "FROM embeddings ORDER BY vec_id LIMIT 3) "
         "SELECT q.query_id, e.vec_id FROM embeddings e CROSS JOIN q "
         "WHERE list_cosine_similarity(e.embedding, q.qe) >= 0.32"
+    ),
+    "semantic_dedup_exact": (
+        # DOUBLE[] cast => DuckDB computes the float64 cosine of the same
+        # float32 inputs as the Ray side (measured max diff 6e-16 at
+        # sf0.01/sf0.1 vs a >= 3.4e-5 distribution gap around 0.42)
+        "SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS ("
+        "SELECT 1 FROM embeddings o WHERE o.vec_id < e.vec_id "
+        "AND list_cosine_similarity(o.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= 0.42)"
     ),
     "building_orders_top_revenue": (
         "WITH agg AS ("

@@ -1,5 +1,5 @@
 """Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard,
-embedding-cosine near-dup.
+embedding-cosine near-dup, semantic dedup (SemDeDup).
 
 Scale design (ray_guide "Exact dedup" / "Near-dup"):
 * exact: two-uint64 content-hash columns in a vectorized ``map_batches``,
@@ -1413,3 +1413,191 @@ def substring_contamination(ds_new, ds_ref, *, text_col: str = "text",
         return batch.append_column("ref_frac", pa.array(nr / ng))
 
     return out.map_batches(_frac, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup) — embedding-level corpus prune
+# ---------------------------------------------------------------------------
+
+class _ExactLeaderPrune:
+    """Blocked-matmul filter for :func:`semantic_dedup_exact`.
+
+    Pickled-instance stateless dispatch (repo rule: never an actor pool
+    sized ~num_cpus): the broadcast (sorted ids, float32 unit matrix) is
+    ``ray.get``-resolved lazily ONCE per worker, then every batch runs a
+    chunked float64 matmul against it and drops rows with a smaller-id
+    neighbor at cosine >= threshold.
+    """
+
+    _CHUNK = 16_384  # corpus columns per matmul: batch x 16k x 8 B scratch
+
+    def __init__(self, corpus_ref, id_col: str, emb_col: str, threshold: float):
+        self._ref = corpus_ref
+        self._state = None
+        self.id_col, self.emb_col, self.threshold = id_col, emb_col, threshold
+
+    def _corpus(self):
+        if self._state is None:
+            import ray
+
+            ids, mat32 = (self._ref if isinstance(self._ref, tuple)
+                          else ray.get(self._ref))
+            self._state = (ids, mat32)
+        return self._state
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        cids, cmat = self._corpus()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        emb = np.stack(batch[self.emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        v = (emb / np.maximum(np.linalg.norm(emb, axis=1), 1e-12)[:, None]
+             ).astype(np.float32).astype(np.float64)
+        # number of corpus ids strictly smaller than each row's id
+        cnt = np.searchsorted(cids, ids, side="left")
+        keep = np.ones(len(ids), dtype=bool)
+        for c0 in range(0, len(cids), self._CHUNK):
+            c1 = min(c0 + self._CHUNK, len(cids))
+            rows = np.flatnonzero(keep & (cnt > c0))
+            if rows.size == 0:
+                continue
+            sims = v[rows] @ cmat[c0:c1].astype(np.float64).T
+            valid = np.minimum(cnt[rows] - c0, c1 - c0)  # earlier-id col count
+            mask = np.arange(c1 - c0)[None, :] < valid[:, None]
+            hit = np.where(mask, sims, -1.0).max(axis=1) >= self.threshold
+            keep[rows[hit]] = False
+        return batch.filter(pa.array(keep))
+
+
+def semantic_dedup_exact(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
+                         threshold: float = 0.9, concurrency=None):
+    """EXACT semantic dedup: drop every vector that has a smaller-id
+    neighbor at cosine >= ``threshold`` (the leader-prune keep rule —
+    deterministic, order-free, and directly SQL-expressible as a
+    ``NOT EXISTS`` twin, which is what makes this the oracle baseline).
+
+    Shape: one slim pass collects ``(id, float32 unit vector)`` —
+    ``8 + 4*dim`` bytes/row — to the driver and broadcasts it once
+    (``ray.put``), then the corpus streams through a chunked-matmul
+    filter (:class:`_ExactLeaderPrune`).  Like ``ann.brute_force_topk``
+    this is the O(n^2)-work exactness baseline: valid while the unit
+    matrix fits a worker heap (~1 GB at 4M rows x 64 dims); above that
+    use :func:`semantic_dedup`, whose clustering bounds the pair work.
+
+    Cosines are float64 dots of float32-rounded unit vectors (identical
+    arithmetic to :func:`semantic_dedup`, so the superset invariant in
+    its docstring holds bit-exactly).
+    """
+    import ray
+
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "nvec": pa.array([], pa.binary())})
+        emb = np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        normed32 = (emb / np.maximum(np.linalg.norm(emb, axis=1), 1e-12)[:, None]
+                    ).astype(np.float32)
+        return pa.table({
+            id_col: pa.array(batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "nvec": rows_to_binary(normed32).cast(pa.binary()),
+        })
+
+    slim = ds.map_batches(_slim, batch_format="pyarrow").to_pandas()
+    ids = slim[id_col].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    dim = len(slim["nvec"].iloc[0]) // 4 if len(slim) else 0
+    mat32 = binary_to_rows(slim["nvec"].to_numpy()[order], dim, np.float32) if len(slim) \
+        else np.zeros((0, 0), np.float32)
+    ref = ray.put((ids, mat32))
+    return ds.map_batches(_ExactLeaderPrune(ref, id_col, emb_col, threshold),
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
+def semantic_dedup(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
+                   dim: int, n_clusters: int = 64, threshold: float = 0.9,
+                   iters: int = 3, codebook=None, num_buckets: int | None = None,
+                   concurrency=None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): spherical k-means
+    clusters the corpus, then the exact leader prune runs WITHIN each
+    cluster — pair work drops from O(n^2) to O(sum m_c^2), bounded by
+    sizing ``n_clusters`` so clusters fit a worker (the paper's whole
+    point: cross-cluster near-dups are rare for tight thresholds, so
+    pruning inside clusters captures almost all of them at linear cost).
+
+    Shape: centroids from :func:`~gostatix_ray.stages.ann.kmeans_fit`
+    (streaming Lloyd's, deterministic) unless a ``codebook`` is passed;
+    one assign pass emits slim ``(centroid, id, 4*dim-byte unit vector)``
+    rows; ONE coarse bucket shuffle on centroid
+    (:func:`bucketed_groupby`); in-bucket chunked-triangular float64
+    cosine with the leader keep rule.  Returns the surviving ids (one
+    ``id_col`` column).
+
+    Invariant (tested): survivors are a SUPERSET of
+    :func:`semantic_dedup_exact`'s at the same threshold — clustering
+    can only MISS cross-cluster duplicate pairs, never invent one, and
+    both variants use identical float64-of-float32-unit arithmetic.
+    """
+    import ray
+
+    from .ann import kmeans_fit
+
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    if codebook is None:
+        codebook, _ = kmeans_fit(ds, emb_col=emb_col, k=n_clusters, iters=iters,
+                                 concurrency=concurrency)
+    if num_buckets is None:
+        num_buckets = max(1, min(64, n_clusters))
+    cref = ray.put(codebook.astype(np.float64))
+
+    class _Assign:
+        def __init__(self):
+            self.cent = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.cent is None:
+                self.cent = ray.get(cref)
+            if batch.num_rows == 0:
+                return pa.table({"centroid": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "nvec": pa.array([], pa.binary(dim * 4))})
+            emb = np.stack(batch[emb_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+            normed32 = (emb / np.maximum(np.linalg.norm(emb, axis=1), 1e-12)[:, None]
+                        ).astype(np.float32)
+            assign = np.argmax(normed32.astype(np.float64) @ self.cent.T, axis=1)
+            return pa.table({
+                "centroid": pa.array(assign.astype(np.int64)),
+                id_col: pa.array(batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)),
+                "nvec": rows_to_binary(normed32),
+            })
+
+    assigned = ds.map_batches(_Assign(), batch_format="pyarrow", concurrency=concurrency)
+    row_chunk = 1024  # triangular matmul tile: 1024 x m x 8 B scratch
+
+    def _prune(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("centroid", sort=False):
+            gids = g[id_col].to_numpy()
+            order = np.argsort(gids, kind="stable")
+            gids = gids[order]
+            v = binary_to_rows(g["nvec"].to_numpy()[order], dim, np.float32
+                               ).astype(np.float64)
+            keep = np.ones(len(gids), dtype=bool)
+            for i0 in range(0, len(gids), row_chunk):
+                i1 = min(i0 + row_chunk, len(gids))
+                if i0 == 0 and i1 == 1:
+                    continue  # first row always survives
+                sims = v[i0:i1] @ v[:i1].T
+                mask = np.arange(i1)[None, :] < np.arange(i0, i1)[:, None]
+                hit = np.where(mask, sims, -1.0).max(axis=1) >= threshold
+                keep[i0:i1] = ~hit
+            out.append(pd.DataFrame({id_col: gids[keep]}))
+        if not out:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_groupby(assigned, ["centroid"], _prune, num_buckets=num_buckets)

@@ -71,9 +71,11 @@ EVENT_QUERIES = [
 EMBEDDING_QUERIES = [
     # oracle-exact
     "embedding_similarity_join", "ann_threshold_cosine", "ann_topk_ids",
+    "semantic_dedup_exact",
     # rows-only (recall/shape checked in tests/; here they must not crash)
     "ann_brute_cosine", "embedding_near_dup", "embedding_kmeans",
     "ann_ivf_cosine", "ann_pq_cosine", "ann_ivfpq_cosine", "ann_ivf_partitioned",
+    "semantic_dedup_pruned",
 ]
 RELATIONAL_QUERIES = [
     "revenue_by_nation", "lineitem_recent_pricing", "top_orders_per_customer",
@@ -237,8 +239,9 @@ def gen_embeddings(seed: int, outdir: str, n: int = 500, dim: int = 64) -> None:
     """Adversarial embeddings: 10 tight clusters plus exact-duplicate
     vectors, near-antipodal vectors (negative cosine), and non-unit
     norms (0.01 / 5.0 — cosine must normalize).  The exact queries
-    compare floats cross-engine at fixed thresholds (0.32, 0.4422) and
-    a top-10 rank cut, so generation REJECTS candidate tables where any
+    compare floats cross-engine at fixed thresholds (0.32, 0.42 for
+    semantic_dedup_exact, 0.4422) and a top-10 rank cut, so generation
+    REJECTS candidate tables where any
     relevant cosine sits within 5e-4 of a threshold or where a query's
     10th/11th neighbours are closer than 5e-4 — inside that guard the
     comparison is exact by construction, outside it would measure float
@@ -268,8 +271,17 @@ def gen_embeddings(seed: int, outdir: str, n: int = 500, dim: int = 64) -> None:
         unit /= np.linalg.norm(unit, axis=1, keepdims=True)
         sims_q3 = unit @ unit[:3].T        # ann_topk_ids / ann_threshold_cosine queries
         sims_q100 = unit @ unit[:100].T    # embedding_similarity_join query side
+        sims_all = unit @ unit.T           # semantic_dedup_exact is all-pairs
+        off_diag = sims_all[~np.eye(n, dtype=bool)]
+        # the 0.42 guard covers ALL n^2/2 pairs, whose min distance to the
+        # threshold is typically 1e-5..4e-4 — a 5e-4 margin there never
+        # finds a table.  2e-6 suffices: BOTH engines compute the float64
+        # cosine for this query (the twin casts ::DOUBLE[]), so the only
+        # cross-engine term is the engine's f32-unit rounding, measured
+        # <= 2e-8 on these tables (100x headroom).
         ok = (np.abs(sims_q3 - 0.32).min() > 5e-4
-              and np.abs(sims_q100 - 0.4422).min() > 5e-4)
+              and np.abs(sims_q100 - 0.4422).min() > 5e-4
+              and np.abs(off_diag - 0.42).min() > 2e-6)
         if ok:
             for c in range(3):             # top-10 rank-cut gap per query
                 s = np.sort(sims_q3[:, c])[::-1]
