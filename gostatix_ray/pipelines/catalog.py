@@ -1440,6 +1440,20 @@ def q_doc_hash_sample(sf_dir: str):
     return hash_sample(ds, key_col="doc_id", fraction=0.10)
 
 
+def q_docs_weighted_sample(sf_dir: str):
+    """Length-proportional Bernoulli sample (stages/sample.py:
+    weighted_sample): keep each doc with probability
+    min(1, n_chars/512) — docs above 512 chars always kept (clamp
+    coverage), short docs downweighted.  rate=1/512 is DYADIC so the
+    threshold arithmetic is exact in both engines (see the stage
+    docstring); pure per-batch filter, zero shuffle."""
+    from ..stages.sample import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(ds, key_col="doc_id", weight_col="n_chars",
+                           rate=1.0 / 512.0)
+
+
 def q_events_stratified_sample(sf_dir: str):
     """Deterministic 5-per-stratum sample (stages/sample.py:
     stratified_sample): k smallest event_id hashes per event_type, with
@@ -3130,6 +3144,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "semantic_dedup_exact": q_semantic_dedup_exact,
     "semantic_dedup_pruned": q_semantic_dedup_pruned,
+    "docs_weighted_sample": q_docs_weighted_sample,
     "doc_fingerprints": q_doc_fingerprints,
     "cms_lang_inner_product": q_cms_lang_inner_product,
     "hll_users_by_type": q_hll_users_by_type,
@@ -3289,6 +3304,14 @@ ORACLE_SQL = {
         # threshold literal = gostatix_ray.stages.sample.hash_threshold(0.10)
         "SELECT doc_id, n_chars FROM documents "
         "WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729"
+    ),
+    "docs_weighted_sample": (
+        # rate = 1/512 (dyadic): n_chars * 0.001953125 * 2^32 is exact in
+        # both decimal and float64 arithmetic — the clamp at 2^32 keeps
+        # docs >= 512 chars with probability 1
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < "
+        "LEAST(CAST(floor(n_chars * 0.001953125 * 4294967296) AS HUGEINT), 4294967296)"
     ),
     "events_stratified_sample": (
         "SELECT event_type, event_id, rank FROM ("

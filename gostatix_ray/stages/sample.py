@@ -67,6 +67,38 @@ def hash_sample(ds, *, key_col: str, fraction: float):
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
+def weighted_sample(ds, *, key_col: str, weight_col: str, rate: float):
+    """Weighted Bernoulli (Poisson) sampling: keep each row with
+    inclusion probability ``min(1, weight * rate)``, decided
+    deterministically by the same Knuth hash cut as ``hash_sample`` —
+    the survey-sampling primitive behind length/quality-proportional
+    corpus selection ("sample documents ∝ token count").
+
+    Pure per-batch filter (no shuffle, retry-stable, partitioning-
+    independent), and selections NEST across rates: the kept set at
+    rate r is a subset of the kept set at any r' > r (same hash, larger
+    per-row threshold) — re-tuning the budget never churns rows.
+
+    Exactness: keep iff ``h(key) < min(2^32, floor(weight·rate·2^32))``
+    — all-integer compare.  For a BIT-EXACT SQL twin prefer a dyadic
+    ``rate`` (k/2^m, e.g. 1/512): then ``weight·rate·2^32`` is exact in
+    BOTH float64 and SQL decimal arithmetic, so the twin
+    ``h < LEAST(CAST(floor(w * rate * 4294967296) AS HUGEINT),
+    4294967296)`` matches row-for-row regardless of how the engine
+    parses the literal.  NULL weights drop (SQL: NULL compare is not
+    true); negative weights drop (threshold < 0).
+    """
+    def _filter(batch: pa.Table) -> pa.Table:
+        h = hashed_keys(batch[key_col].to_numpy(zero_copy_only=False))
+        w = pc.fill_null(pc.cast(batch[weight_col], pa.float64()), -1.0
+                         ).to_numpy(zero_copy_only=False)
+        t = np.minimum(np.floor(w * rate * float(_MOD)), float(_MOD))
+        keep = h.astype(np.float64) < t  # both sides < 2^53: exact
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_filter, batch_format="pyarrow", batch_size=None)
+
+
 def mixture_sample(ds, *, key_col: str, group_col: str,
                    fractions: dict[str, float], default_fraction: float = 0.0):
     """Per-domain reweighted sampling: keep ~fractions[g] of each

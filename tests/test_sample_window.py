@@ -607,3 +607,67 @@ def test_window_min_rmq_matches_naive():
     got = _window_min(vals, lo.astype(np.int64), hi.astype(np.int64))
     exp = np.array([vals[a:b + 1].min() for a, b in zip(lo, hi)])
     assert np.array_equal(got, exp)
+
+
+def test_weighted_sample_matches_reference_and_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from gostatix_ray.stages.sample import weighted_sample
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame({
+        "k": np.arange(n, dtype=np.int64) * 3 + 1,
+        "w": rng.integers(0, 700, n).astype(np.int64),  # some clamp >512
+    })
+    out = weighted_sample(rd.from_pandas(df).repartition(6),
+                          key_col="k", weight_col="w",
+                          rate=1.0 / 512.0).to_pandas()
+    want = duckdb.sql(
+        "SELECT k, w FROM df WHERE (CAST(k AS HUGEINT)*2654435761)%4294967296 "
+        "< LEAST(CAST(floor(w * 0.001953125 * 4294967296) AS HUGEINT), 4294967296)"
+    ).df()
+    got = sorted(out["k"].tolist())
+    assert got == sorted(want["k"].tolist())
+    # clamp: weight >= 512 -> probability 1, always kept
+    heavy = set(df.loc[df.w >= 512, "k"])
+    assert heavy <= set(got)
+    # zero weight never kept
+    assert not (set(df.loc[df.w == 0, "k"]) & set(got))
+
+
+def test_weighted_sample_nests_across_rates(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.sample import weighted_sample
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "k": np.arange(3000, dtype=np.int64),
+        "w": rng.integers(1, 400, 3000).astype(np.int64),
+    })
+    kept = {}
+    for rate in (1.0 / 2048.0, 1.0 / 512.0, 1.0 / 128.0):
+        out = weighted_sample(rd.from_pandas(df).repartition(4),
+                              key_col="k", weight_col="w", rate=rate)
+        kept[rate] = set(out.to_pandas()["k"].tolist())
+    assert kept[1.0 / 2048.0] <= kept[1.0 / 512.0] <= kept[1.0 / 128.0]
+    # sanity: rates actually separate
+    assert len(kept[1.0 / 2048.0]) < len(kept[1.0 / 128.0])
+
+
+def test_weighted_sample_null_and_negative_weights_drop(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.sample import weighted_sample
+
+    df = pd.DataFrame({
+        "k": np.arange(10, dtype=np.int64),
+        "w": pd.array([None, -5, 0, 600, 600, None, -1, 600, 600, 600],
+                      dtype="Int64"),
+    })
+    out = weighted_sample(rd.from_pandas(df), key_col="k", weight_col="w",
+                          rate=1.0 / 512.0).to_pandas()
+    # >=512 always kept; null/negative/zero never
+    assert sorted(out["k"].tolist()) == [3, 4, 7, 8, 9]
