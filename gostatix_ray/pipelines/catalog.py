@@ -1720,6 +1720,47 @@ def q_user_event_last_nth(sf_dir: str):
     )
 
 
+def q_corpus_snapshot_diff(sf_dir: str):
+    """Corpus snapshot diff (stages/dedup.py corpus_diff): the 'new'
+    snapshot is a deterministic mutation of documents — doc_id % 7 == 0
+    removed, doc_id % 5 == 0 texts revised (' rev2' suffix), doc_id %
+    11 == 0 re-added under id+1,000,000 — so every status is exercised
+    and the SQL twin derives the identical snapshot.  The diff itself
+    ships only (id, 128-bit content hash, side) rows through ONE
+    id-bucket shuffle; text never rides the wire."""
+    from ..stages.dedup import corpus_diff
+
+    old = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _mutate(batch):
+        import pyarrow.compute as pac
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(ids)
+        revised = pac.if_else(
+            pa.array(ids % 5 == 0),
+            pac.binary_join_element_wise(
+                texts, pa.array(np.full(n, "rev2", dtype=object)), " "),
+            texts)
+        kept = pa.table({"doc_id": batch["doc_id"], "text": revised}
+                        ).filter(pa.array(ids % 7 != 0))
+        add_mask = ids % 11 == 0
+        added = pa.table({
+            "doc_id": pa.array(ids[add_mask] + 1_000_000),
+            "text": pa.array(np.char.add("new doc ",
+                                         ids[add_mask].astype(str))),
+        })
+        return pa.concat_tables([kept, added])
+
+    new = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _mutate, batch_format="pyarrow")
+    out = corpus_diff(old, new, id_col="doc_id", text_col="text")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_cross_corpus_contamination(sf_dir: str):
     """Incremental-crawl contamination scan (stages/dedup.py
     substring_contamination): per NEW doc (source != 'src0'), how many
@@ -3128,6 +3169,7 @@ QUERIES = {
     "user_hourly_range_value": q_user_hourly_range_value,
     "user_centered_value": q_user_centered_value,
     "cross_corpus_contamination": q_cross_corpus_contamination,
+    "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "user_event_last_nth": q_user_event_last_nth,
     "mixture_sampled_docs": q_mixture_sampled_docs,
     "doc_chunks": q_doc_chunks,
@@ -3304,6 +3346,20 @@ ORACLE_SQL = {
         # threshold literal = gostatix_ray.stages.sample.hash_threshold(0.10)
         "SELECT doc_id, n_chars FROM documents "
         "WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729"
+    ),
+    "corpus_snapshot_diff": (
+        "WITH newsnap AS ("
+        "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text "
+        "FROM documents WHERE doc_id % 7 <> 0 "
+        "UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, 'new doc ' || CAST(doc_id AS VARCHAR) AS text "
+        "FROM documents WHERE doc_id % 11 = 0) "
+        "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+        "CASE WHEN o.doc_id IS NULL THEN 'added' "
+        "WHEN n.doc_id IS NULL THEN 'removed' "
+        "WHEN o.text = n.text THEN 'unchanged' "
+        "ELSE 'changed' END AS status "
+        "FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id"
     ),
     "docs_weighted_sample": (
         # rate = 1/512 (dyadic): n_chars * 0.001953125 * 2^32 is exact in

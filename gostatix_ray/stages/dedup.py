@@ -1601,3 +1601,58 @@ def semantic_dedup(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
         return pd.concat(out, ignore_index=True)
 
     return bucketed_groupby(assigned, ["centroid"], _prune, num_buckets=num_buckets)
+
+
+def corpus_diff(ds_old, ds_new, *, id_col: str = "doc_id",
+                text_col: str = "text", num_buckets: int = 64):
+    """Snapshot diff between two corpus versions — the incremental-crawl
+    bookkeeping primitive: one row per id present in EITHER snapshot,
+    with ``status`` 'added' (new side only), 'removed' (old side only),
+    'changed' (both sides, different content) or 'unchanged'.
+
+    Shape: each side emits slim ``(id, h1, h2, side)`` rows (the 128-bit
+    content hash stands in for the text — same negligible-collision
+    argument as :func:`exact_dedup`, so the TEXT never rides the wire),
+    ONE id-bucket shuffle co-locates both versions of every id, and the
+    in-bucket compare is a vectorized pandas outer merge.  Assumes ids
+    are unique WITHIN each snapshot (the corpus-manifest contract).
+    """
+    def _slim(side: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "__h1": pa.array([], pa.int64()),
+                                 "__h2": pa.array([], pa.int64()),
+                                 "__side": pa.array([], pa.int8())})
+            col = batch[text_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            h1, h2 = hash128(pc.fill_null(col, ""), 0)
+            n = batch.num_rows
+            return pa.table({
+                id_col: pa.array(batch[id_col].to_numpy(
+                    zero_copy_only=False).astype(np.int64)),
+                "__h1": pa.array(h1.view(np.int64)),
+                "__h2": pa.array(h2.view(np.int64)),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            })
+        return _f
+
+    rows = (ds_old.map_batches(_slim(0), batch_format="pyarrow")
+            .union(ds_new.map_batches(_slim(1), batch_format="pyarrow")))
+
+    def _diff(df: pd.DataFrame) -> pd.DataFrame:
+        old = df[df["__side"] == 0]
+        new = df[df["__side"] == 1]
+        m = old.merge(new, on=id_col, how="outer", suffixes=("_o", "_n"),
+                      indicator=True)
+        status = np.where(
+            m["_merge"] == "right_only", "added",
+            np.where(m["_merge"] == "left_only", "removed",
+                     np.where((m["__h1_o"] == m["__h1_n"])
+                              & (m["__h2_o"] == m["__h2_n"]),
+                              "unchanged", "changed")))
+        return pd.DataFrame({id_col: m[id_col].to_numpy(np.int64),
+                             "status": status})
+
+    return bucketed_groupby(rows, [id_col], _diff, num_buckets=num_buckets)

@@ -51,7 +51,7 @@ DOC_QUERIES = [
     "doc_token_stats", "doc_repetition_stats", "doc_quality_scores",
     "doc_langid", "doc_scrubbed", "doc_tfidf_top_terms",
     "token_doc_frequency", "docs_above_quality_cutoff", "doc_hash_sample",
-    "docs_weighted_sample",
+    "docs_weighted_sample", "corpus_snapshot_diff",
     "doc_dedup_exact", "decontaminated_docs", "cross_corpus_contamination",
 ]
 EVENT_QUERIES = [

@@ -376,3 +376,29 @@ def test_substring_contamination_vs_duckdb(ray_session):
     # planted inclusions contaminate; the clamped short docs don't
     assert (by_id.loc[[0, 1, 2, 3, 4], "n_ref_grams"] > 0).all()
     assert by_id.loc[98, "n_ref_grams"] == 0 and by_id.loc[98, "n_grams"] == 1
+
+
+def test_corpus_diff_statuses_and_partition_independence(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gostatix_ray.stages.dedup import corpus_diff
+
+    old = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["a", "b", "c", "d", "e"],
+    })
+    new = pd.DataFrame({
+        "doc_id": [2, 3, 4, 6],          # 1,5 removed; 6 added
+        "text": ["b", "C!", "d", "f"],   # 3 changed; 2,4 unchanged
+    })
+    want = {1: "removed", 2: "unchanged", 3: "changed", 4: "unchanged",
+            5: "removed", 6: "added"}
+    for parts in (1, 7):
+        out = corpus_diff(
+            rd.from_pandas(old).repartition(parts),
+            rd.from_pandas(new).repartition(parts),
+            id_col="doc_id", text_col="text", num_buckets=4,
+        ).to_pandas()
+        got = dict(zip(out["doc_id"], out["status"]))
+        assert got == want
