@@ -1642,16 +1642,20 @@ def corpus_diff(ds_old, ds_new, *, id_col: str = "doc_id",
             .union(ds_new.map_batches(_slim(1), batch_format="pyarrow")))
 
     def _diff(df: pd.DataFrame) -> pd.DataFrame:
-        old = df[df["__side"] == 0]
-        new = df[df["__side"] == 1]
+        # nullable Int64 keeps all 64 hash bits through the outer merge
+        # (plain int64 would be floated to NaN-capable float64, dropping
+        # the bottom 11 bits of each hash)
+        cast = {"__h1": "Int64", "__h2": "Int64"}
+        old = df[df["__side"] == 0].astype(cast)
+        new = df[df["__side"] == 1].astype(cast)
         m = old.merge(new, on=id_col, how="outer", suffixes=("_o", "_n"),
                       indicator=True)
+        same = ((m["__h1_o"] == m["__h1_n"])
+                & (m["__h2_o"] == m["__h2_n"])).fillna(False).to_numpy()
         status = np.where(
             m["_merge"] == "right_only", "added",
             np.where(m["_merge"] == "left_only", "removed",
-                     np.where((m["__h1_o"] == m["__h1_n"])
-                              & (m["__h2_o"] == m["__h2_n"]),
-                              "unchanged", "changed")))
+                     np.where(same, "unchanged", "changed")))
         return pd.DataFrame({id_col: m[id_col].to_numpy(np.int64),
                              "status": status})
 
