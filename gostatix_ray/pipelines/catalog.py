@@ -487,6 +487,28 @@ def q_doc_dedup_exact(sf_dir: str):
     return exact_dedup(ds, text_col="text", id_col="doc_id")
 
 
+def q_doc_dedup_canonical(sf_dir: str):
+    """Canonical-copy dedup (stages/dedup.py exact_dedup_keep_best): one
+    survivor per distinct text, preferring the LOWEST-numbered source
+    ('src2' beats 'src10' — numeric rank, not lexicographic), ties by
+    min doc_id.  The crawl-era "keep the canonical mirror" selection;
+    slim (id, rank, hash) rows ride the one bucket shuffle."""
+    from ..stages.dedup import exact_dedup_keep_best
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        rank = pc.cast(pc.utf8_slice_codeunits(batch["source"], 3, 2**30),
+                       pa.int64())
+        return batch.append_column("src_rank", rank)
+
+    out = exact_dedup_keep_best(
+        ds.map_batches(_rank, batch_format="pyarrow"),
+        order_by=[("src_rank", "asc")], text_col="text", id_col="doc_id",
+        keep_cols=("source",))
+    return out.select_columns(["doc_id", "source"])
+
+
 def q_substring_dup_pairs(sf_dir: str):
     """Exact-substring dedup (stages/dedup.py substring_dup_pairs):
     doc pairs sharing a verbatim 8-word gram, with the distinct shared-
@@ -3205,6 +3227,7 @@ QUERIES = {
     "events_reservoir_sample": q_events_reservoir_sample,
     "transcript_flagship": q_transcript_flagship,
     "user_running_value_scan": q_user_running_value_scan,
+    "doc_dedup_canonical": q_doc_dedup_canonical,
 }
 
 ORACLE_SQL = {
@@ -3275,6 +3298,11 @@ ORACLE_SQL = {
         "> INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS is_gap FROM events) GROUP BY user_id"
     ),
     "doc_dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "doc_dedup_canonical": (
+        "SELECT doc_id, source FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY text "
+        "ORDER BY CAST(substr(source, 4) AS BIGINT), doc_id) = 1"
+    ),
     "orders_by_customer_nation": (
         "SELECT n.n_name, count(*) AS n_orders, "
         "CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents "

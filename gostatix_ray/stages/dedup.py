@@ -369,6 +369,50 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", keep: str = 
     )
 
 
+def exact_dedup_keep_best(ds, order_by, text_col: str = "text",
+                          id_col: str = "doc_id", keep_cols: tuple = (),
+                          num_buckets: int = 64):
+    """Canonical-copy selection: one survivor per distinct text, chosen
+    by an explicit preference order instead of min-id — the crawl-dedup
+    "which mirror do we keep" primitive (prefer the canonical domain /
+    highest-priority source, then break ties deterministically).
+
+    ``order_by`` is ``[(col, "asc"|"desc"), ...]``; the FIRST row under
+    that ordering (ties broken by ascending ``id_col``, always appended)
+    survives.  Only ``id_col`` + order/keep columns + the 128-bit hash
+    ride the one bucket shuffle — the text itself never moves, same slim
+    shape as :func:`exact_dedup`.
+
+    Float order columns must be bit-identical to any oracle recomputing
+    them (see CLAUDE.md oracle-bit-exactness notes); categorical/int
+    priorities are always safe.
+    """
+    if not order_by:
+        raise ValueError("exact_dedup_keep_best: order_by must be non-empty")
+    cols = [c for c, _ in order_by]
+    for c, d in order_by:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"exact_dedup_keep_best: bad direction {d!r} for {c!r}")
+    hashed = add_content_hash(ds, text_col)
+    carry = list(dict.fromkeys([id_col, *cols, *keep_cols]))
+    slim = hashed.select_columns(carry + ["content_hash_1", "content_hash_2"])
+
+    sort_cols = ["content_hash_1", "content_hash_2", *cols]
+    ascending = [True, True, *[d == "asc" for _, d in order_by]]
+    if id_col not in cols:
+        sort_cols.append(id_col)
+        ascending.append(True)
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.sort_values(sort_cols, ascending=ascending, kind="stable")
+                 .drop_duplicates(["content_hash_1", "content_hash_2"]))
+        return out[carry].reset_index(drop=True)
+
+    return bucketed_groupby(
+        slim, ["content_hash_1", "content_hash_2"], _keep,
+        num_buckets=num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

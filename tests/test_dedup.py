@@ -402,3 +402,36 @@ def test_corpus_diff_statuses_and_partition_independence(ray_session):
         ).to_pandas()
         got = dict(zip(out["doc_id"], out["status"]))
         assert got == want
+
+
+def test_exact_dedup_keep_best_canonical_selection(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gostatix_ray.stages.dedup import exact_dedup_keep_best
+
+    df = pd.DataFrame({
+        "doc_id": [10, 11, 12, 20, 21, 30, 40, 41],
+        "text":   ["x", "x", "x", "y", "y", "z", "w", "w"],
+        "rank":   [5,   2,   2,   7,   7,   1,   3,   3],
+        "src":    ["s5", "s2", "s2b", "s7", "s7", "s1", "s3", "s3"],
+    })
+    for parts in (1, 5):
+        out = exact_dedup_keep_best(
+            rd.from_pandas(df).repartition(parts),
+            order_by=[("rank", "asc")], text_col="text", id_col="doc_id",
+            keep_cols=("src",), num_buckets=4,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # x: min rank 2, tie by min doc_id -> 11; y: tie -> 20; z -> 30; w -> 40
+        assert list(out["doc_id"]) == [11, 20, 30, 40]
+        assert list(out["src"]) == ["s2", "s7", "s1", "s3"]
+    # desc order flips the x survivor to the rank-5 copy
+    out = exact_dedup_keep_best(
+        rd.from_pandas(df), order_by=[("rank", "desc")],
+        text_col="text", id_col="doc_id", num_buckets=4,
+    ).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [10, 20, 30, 40]
+    with pytest.raises(ValueError):
+        exact_dedup_keep_best(rd.from_pandas(df), order_by=[])
+    with pytest.raises(ValueError):
+        exact_dedup_keep_best(rd.from_pandas(df), order_by=[("rank", "down")])
