@@ -509,6 +509,37 @@ def q_doc_dedup_canonical(sf_dir: str):
     return out.select_columns(["doc_id", "source"])
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Incremental-crawl dedup (stages/dedup.py incremental_dedup):
+    deterministic split of documents into an OLD corpus (doc_id%10 < 7)
+    and a NEW snapshot (the rest, plus re-crawled copies of every third
+    old doc under shifted ids) — returns ids of new docs whose text is
+    genuinely unseen.  Exercises the bloom-prefilter fast path: the
+    re-crawls are bloom-positive and die in the exact anti-join."""
+    from ..stages.dedup import incremental_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _part(which: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            if which == "old":
+                return batch.filter(pa.array(ids % 10 < 7))
+            if which == "new":
+                return batch.filter(pa.array(ids % 10 >= 7))
+            t = batch.filter(pa.array((ids % 10 < 7) & (ids % 3 == 0)))
+            shifted = t["doc_id"].to_numpy(zero_copy_only=False) + 1_000_000
+            return t.set_column(t.schema.get_field_index("doc_id"),
+                                "doc_id", pa.array(shifted))
+        return _f
+
+    old = ds.map_batches(_part("old"), batch_format="pyarrow")
+    new = (ds.map_batches(_part("new"), batch_format="pyarrow")
+             .union(ds.map_batches(_part("recrawl"), batch_format="pyarrow")))
+    return incremental_dedup(old, new, use_bloom=True,
+                             bloom_items=200_000, bloom_fpp=1e-6)
+
+
 def q_substring_dup_pairs(sf_dir: str):
     """Exact-substring dedup (stages/dedup.py substring_dup_pairs):
     doc pairs sharing a verbatim 8-word gram, with the distinct shared-
@@ -3228,6 +3259,7 @@ QUERIES = {
     "transcript_flagship": q_transcript_flagship,
     "user_running_value_scan": q_user_running_value_scan,
     "doc_dedup_canonical": q_doc_dedup_canonical,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLE_SQL = {
@@ -3302,6 +3334,14 @@ ORACLE_SQL = {
         "SELECT doc_id, source FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY text "
         "ORDER BY CAST(substr(source, 4) AS BIGINT), doc_id) = 1"
+    ),
+    "incremental_dedup": (
+        "WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7), "
+        "new AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7 "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        "WHERE doc_id % 10 < 7 AND doc_id % 3 = 0) "
+        "SELECT n.doc_id FROM new n "
+        "WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)"
     ),
     "orders_by_customer_nation": (
         "SELECT n.n_name, count(*) AS n_orders, "

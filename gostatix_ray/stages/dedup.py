@@ -369,6 +369,95 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", keep: str = 
     )
 
 
+def incremental_dedup(ds_old, ds_new, *, text_col: str = "text",
+                      id_col: str = "doc_id", use_bloom: bool = False,
+                      bloom_items: int = 1_000_000, bloom_fpp: float = 1e-6,
+                      num_buckets: int = 64):
+    """Incremental-crawl dedup: ids of NEW-snapshot rows whose text does
+    NOT appear anywhere in the OLD corpus (``new ANTI JOIN old ON text``,
+    exact).  The old corpus is never re-deduplicated or re-written —
+    only its 128-bit content hashes move.
+
+    Two physical plans:
+
+    * default — slim ``(id, h1, h2)`` rows from both sides ride ONE
+      hash-bucket shuffle, in-bucket vectorized anti-merge.  One pass
+      per side, 24 B/doc on the wire regardless of text size.
+    * ``use_bloom=True`` — low-overlap fast path: a Bloom filter over
+      the old hashes (built with the standard partial/merge machinery)
+      is broadcast once; bloom-NEGATIVE new docs are provably absent
+      from old and skip the shuffle entirely, only bloom-positive
+      candidates + old hashes do the exact anti-join (false positives
+      are killed there, so the result stays exact).  The slim flagged
+      new side is materialized (~24 B/doc) so the branch split doesn't
+      re-hash the corpus; at extreme scale checkpoint it to Parquet
+      instead.
+    """
+    def _slim(side: int, with_id: bool, with_hex: bool = False):
+        def _f(batch: pa.Table) -> pa.Table:
+            col = batch[text_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            h1, h2 = hash128(pc.fill_null(col, ""), 0)
+            ids = (batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                   if with_id else np.full(batch.num_rows, -1, np.int64))
+            cols = {
+                id_col: pa.array(ids),
+                "__h1": pa.array(h1.view(np.int64)),
+                "__h2": pa.array(h2.view(np.int64)),
+                "__side": pa.array(np.full(batch.num_rows, side, np.int8)),
+            }
+            if with_hex:
+                from ..hashing import hex128
+
+                cols["__hex"] = pa.array(hex128(h1, h2))
+            return pa.table(cols)
+        return _f
+
+    old_slim = ds_old.map_batches(_slim(0, False), batch_format="pyarrow")
+
+    def _anti(df: pd.DataFrame) -> pd.DataFrame:
+        new = df[df["__side"] == 1]
+        old_h = df.loc[df["__side"] == 0, ["__h1", "__h2"]].drop_duplicates()
+        m = new.merge(old_h, on=["__h1", "__h2"], how="left", indicator=True)
+        keep = m.loc[m["_merge"] == "left_only", id_col]
+        return pd.DataFrame({id_col: keep.to_numpy(np.int64)})
+
+    if not use_bloom:
+        rows = old_slim.union(ds_new.map_batches(_slim(1, True),
+                                                 batch_format="pyarrow"))
+        return bucketed_groupby(rows, ["__h1", "__h2"], _anti,
+                                num_buckets=num_buckets)
+
+    from ..hashing import hex128
+    from ..kernels import bloom as bloomk
+    from .build import SketchRequest, build_partials
+    from .membership import filter_by_membership
+    from .merge import collect_final, merge_partials_streaming
+
+    def _old_hex(batch: pa.Table):
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h1, h2 = hash128(pc.fill_null(col, ""), 0)
+        return pa.array(hex128(h1, h2))
+
+    spec = bloomk.BloomSpec.from_params(bloom_items, bloom_fpp)
+    req = SketchRequest("inc_dedup_old", "bloom", spec, on=_old_hex)
+    partials = build_partials(ds_old, [req])
+    blob = collect_final(merge_partials_streaming(partials))[(req.name, "")]
+
+    flagged = ds_new.map_batches(_slim(1, True, with_hex=True),
+                                 batch_format="pyarrow").materialize()
+    fast = filter_by_membership(flagged, blob, "bloom", "__hex",
+                                negate=True).select_columns([id_col])
+    cand = filter_by_membership(flagged, blob, "bloom",
+                                "__hex").drop_columns(["__hex"])
+    slow = bucketed_groupby(old_slim.union(cand), ["__h1", "__h2"], _anti,
+                            num_buckets=num_buckets)
+    return fast.union(slow)
+
+
 def exact_dedup_keep_best(ds, order_by, text_col: str = "text",
                           id_col: str = "doc_id", keep_cols: tuple = (),
                           num_buckets: int = 64):

@@ -435,3 +435,32 @@ def test_exact_dedup_keep_best_canonical_selection(ray_session):
         exact_dedup_keep_best(rd.from_pandas(df), order_by=[])
     with pytest.raises(ValueError):
         exact_dedup_keep_best(rd.from_pandas(df), order_by=[("rank", "down")])
+
+
+def test_incremental_dedup_exact_and_bloom_paths(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gostatix_ray.stages.dedup import incremental_dedup
+
+    old = pd.DataFrame({"doc_id": range(40),
+                        "text": [f"doc {i}" for i in range(40)]})
+    # new: 20 unseen + 15 re-crawls of old content under fresh ids
+    new = pd.DataFrame({
+        "doc_id": list(range(100, 120)) + list(range(200, 215)),
+        "text": [f"fresh {i}" for i in range(20)]
+                + [f"doc {i}" for i in range(15)],
+    })
+    want = list(range(100, 120))
+    for kw in (dict(use_bloom=False),
+               dict(use_bloom=True, bloom_items=4096, bloom_fpp=1e-6),
+               # deliberately saturated bloom: ~every doc is a candidate,
+               # exactness must come from the anti-join, not the filter
+               dict(use_bloom=True, bloom_items=8, bloom_fpp=0.5)):
+        for parts in (1, 6):
+            out = incremental_dedup(
+                rd.from_pandas(old).repartition(parts),
+                rd.from_pandas(new).repartition(parts),
+                num_buckets=4, **kw,
+            ).to_pandas()
+            assert sorted(out["doc_id"]) == want, kw
