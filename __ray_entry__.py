@@ -9,7 +9,7 @@ here (or in gostatix_ray) calls ray.init()/ray.shutdown().
   (SURVEY.md §2 + the training-data extras; 121 as of round 5); each
   takes ``sf_dir``.
 * ``oracle_sql()`` — DuckDB twins for the exactly-checkable queries
-  (95 of 121); the rest are estimate-valued sketch queries, rows-only
+  (98 of 124); the rest are estimate-valued sketch queries, rows-only
   by design (their error bounds are asserted in tests/).
 """
 

@@ -1493,6 +1493,20 @@ def q_doc_hash_sample(sf_dir: str):
     return hash_sample(ds, key_col="doc_id", fraction=0.10)
 
 
+def q_doc_train_split(sf_dir: str):
+    """Labeled 80/10/10 train/val/test assignment (stages/sample.py:
+    hash_split): one deterministic label per doc from cumulative Knuth
+    hash cuts — disjoint, exhaustive, stable as the corpus grows, and
+    consistent with hash_sample (train == the 80% sample).  Pure
+    per-batch map, zero shuffle; SQL twin is the same CASE ladder over
+    integer thresholds."""
+    from ..stages.sample import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return hash_split(ds, key_col="doc_id",
+                      fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def q_docs_weighted_sample(sf_dir: str):
     """Length-proportional Bernoulli sample (stages/sample.py:
     weighted_sample): keep each doc with probability
@@ -3260,6 +3274,7 @@ QUERIES = {
     "user_running_value_scan": q_user_running_value_scan,
     "doc_dedup_canonical": q_doc_dedup_canonical,
     "incremental_dedup": q_incremental_dedup,
+    "doc_train_split": q_doc_train_split,
 }
 
 ORACLE_SQL = {
@@ -3342,6 +3357,15 @@ ORACLE_SQL = {
         "WHERE doc_id % 10 < 7 AND doc_id % 3 = 0) "
         "SELECT n.doc_id FROM new n "
         "WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)"
+    ),
+    "doc_train_split": (
+        # threshold literals = stages.sample.split_thresholds(
+        #   {"train": .8, "val": .1, "test": .1}) -> (3435973836, 3865470566)
+        "SELECT doc_id, n_chars, "
+        "CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 "
+        "< 3435973836 THEN 'train' "
+        "WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 "
+        "< 3865470566 THEN 'val' ELSE 'test' END AS split FROM documents"
     ),
     "orders_by_customer_nation": (
         "SELECT n.n_name, count(*) AS n_orders, "

@@ -99,6 +99,57 @@ def weighted_sample(ds, *, key_col: str, weight_col: str, rate: float):
     return ds.map_batches(_filter, batch_format="pyarrow", batch_size=None)
 
 
+def split_thresholds(fractions: dict[str, float]) -> tuple[list[str], np.ndarray]:
+    """Labels + cumulative integer hash cuts for ``hash_split``.
+    Use these SAME integer literals in any SQL twin
+    (``CASE WHEN h < t1 THEN l1 WHEN h < t2 THEN l2 ... ELSE l_last``)."""
+    labels = list(fractions)
+    if len(labels) < 2:
+        raise ValueError("hash_split needs at least two labels")
+    fr = np.array([float(fractions[l]) for l in labels])
+    if (fr < 0).any() or abs(fr.sum() - 1.0) > 1e-9:
+        raise ValueError(
+            f"hash_split fractions must be non-negative and sum to 1, got {fr.sum()!r}")
+    cum = np.cumsum(fr)[:-1]  # the last label takes everything above
+    return labels, np.array([hash_threshold(c) for c in cum], dtype=np.uint64)
+
+
+def hash_split(ds, *, key_col: str, fractions: dict[str, float],
+               split_col: str = "split"):
+    """Deterministic labeled dataset partition — the train/val/test
+    split primitive.  Every row gets exactly one label from
+    ``fractions`` (e.g. ``{"train": .8, "val": .1, "test": .1}``),
+    decided by the same Knuth hash cut as ``hash_sample``: label i iff
+    ``t_{i-1} <= h(key) < t_i`` over cumulative integer thresholds.
+
+    Properties a training pipeline needs, all free from the hash rule:
+    disjoint + exhaustive (the CASE ladder covers [0, 2^32)); stable —
+    a key's label never changes as the corpus grows, is re-sharded, or
+    tasks retry, so no example ever migrates from test into train; and
+    CONSISTENT with ``hash_sample``: the 'train' rows at fraction f are
+    exactly ``hash_sample(fraction=f)``'s selection, so a downsampled
+    dev run trains on a subset of the full run's train split.  Repeated
+    keys land in the same split (split is by key — dedupe first if
+    leakage across duplicates matters).  Pure per-batch map: no
+    shuffle, no RNG state, zero exchange at any scale.
+
+    SQL twin: ``CASE WHEN (CAST(k AS HUGEINT)*2654435761)%4294967296 <
+    t1 THEN l1 ... ELSE l_last END`` with ``split_thresholds`` literals.
+    """
+    labels, bounds = split_thresholds(fractions)
+    label_arr = pa.array(labels, type=pa.string())
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        h = hashed_keys(batch[key_col].to_numpy(zero_copy_only=False))
+        idx = np.searchsorted(bounds, h, side="right")
+        # take() builds the string column in C from the k-label pool —
+        # no per-row Python objects (the unpivot lesson, ADVICE r4)
+        return batch.append_column(
+            split_col, pc.take(label_arr, pa.array(idx, type=pa.int32())))
+
+    return ds.map_batches(_assign, batch_format="pyarrow", batch_size=None)
+
+
 def mixture_sample(ds, *, key_col: str, group_col: str,
                    fractions: dict[str, float], default_fraction: float = 0.0):
     """Per-domain reweighted sampling: keep ~fractions[g] of each

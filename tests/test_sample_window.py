@@ -671,3 +671,58 @@ def test_weighted_sample_null_and_negative_weights_drop(ray_session):
                           rate=1.0 / 512.0).to_pandas()
     # >=512 always kept; null/negative/zero never
     assert sorted(out["k"].tolist()) == [3, 4, 7, 8, 9]
+
+
+def test_hash_split_disjoint_exhaustive_stable(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.sample import hash_split
+
+    df = pd.DataFrame({"k": np.arange(20_000, dtype=np.int64),
+                       "v": np.arange(20_000)})
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    outs = []
+    for parts in (1, 9):
+        out = hash_split(rd.from_pandas(df).repartition(parts),
+                         key_col="k", fractions=fr).to_pandas()
+        outs.append(out.sort_values("k").reset_index(drop=True))
+    # partitioning-independent: identical labels
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    # exhaustive + disjoint: every row exactly one label
+    assert len(out) == len(df)
+    counts = out["split"].value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert 0.77 < counts["train"] / len(df) < 0.83
+    assert 0.08 < counts["val"] / len(df) < 0.12
+    # stable as the corpus grows: the first 20k keys keep their labels
+    bigger = hash_split(
+        rd.from_pandas(pd.DataFrame({"k": np.arange(40_000, dtype=np.int64),
+                                     "v": np.arange(40_000)})),
+        key_col="k", fractions=fr).to_pandas()
+    merged = out.merge(bigger[["k", "split"]], on="k", suffixes=("", "_big"))
+    assert (merged["split"] == merged["split_big"]).all()
+
+
+def test_hash_split_consistent_with_hash_sample(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.sample import hash_sample, hash_split
+
+    df = pd.DataFrame({"k": np.arange(10_000, dtype=np.int64)})
+    split = hash_split(rd.from_pandas(df), key_col="k",
+                       fractions={"train": 0.8, "val": 0.2}).to_pandas()
+    sample = hash_sample(rd.from_pandas(df), key_col="k",
+                         fraction=0.8).to_pandas()
+    assert set(split.loc[split["split"] == "train", "k"]) == set(sample["k"])
+
+
+def test_hash_split_validates_fractions():
+    from gostatix_ray.stages.sample import split_thresholds
+
+    with pytest.raises(ValueError):
+        split_thresholds({"train": 0.8, "val": 0.1})  # sums to 0.9
+    with pytest.raises(ValueError):
+        split_thresholds({"only": 1.0})  # one label is not a split
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 1.2, "b": -0.2})
