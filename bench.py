@@ -203,6 +203,7 @@ def run_bench() -> dict:
         timed("user_running_value_scan", lambda: catalog.q_user_running_value_scan(sf_dir).materialize())
         timed("user_trailing_value", lambda: catalog.q_user_trailing_value(sf_dir).materialize())
         timed("substring_dup_pairs", lambda: catalog.q_substring_dup_pairs(sf_dir).materialize())
+        timed("events_quality_audit", lambda: catalog.q_events_quality_audit(sf_dir).materialize())
 
         def _consume(x):
             return x.materialize() if hasattr(x, "materialize") else x

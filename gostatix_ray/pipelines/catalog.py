@@ -1507,6 +1507,31 @@ def q_doc_train_split(sf_dir: str):
                       fractions={"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def q_events_quality_audit(sf_dir: str):
+    """Declarative data-quality audit (stages/audit.py quality_audit):
+    Deequ-style constraint checks — not_null / unique / in_set /
+    in_range / regex / FK integrity — as ONE streaming pass emitting
+    exact (check_name, col, violations, total) rows.  Streaming checks
+    collapse each block to one partial row; unique checks share one
+    slim 128-bit-hash bucket shuffle; ref keys broadcast once."""
+    from ..stages.audit import quality_audit
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "value", "props"])
+    # dimension side: one projected column, driver-collected (bounded)
+    cust = _read(sf_dir, "customer", ["c_custkey"]).to_pandas()
+    keys = cust.loc[cust["c_custkey"] < 100, "c_custkey"].to_numpy()
+    return quality_audit(ds, [
+        ("not_null", "value"),
+        ("unique", "event_id"),
+        ("unique", "user_id"),
+        ("in_set", "event_type", ["click", "view", "signup", "purchase"]),
+        ("in_range", "value", 0.0, 250.0),
+        ("matches", "props", '"k": [0-9]+'),
+        ("ref_integrity", "user_id", keys),
+    ])
+
+
 def q_docs_weighted_sample(sf_dir: str):
     """Length-proportional Bernoulli sample (stages/sample.py:
     weighted_sample): keep each doc with probability
@@ -3275,6 +3300,7 @@ QUERIES = {
     "doc_dedup_canonical": q_doc_dedup_canonical,
     "incremental_dedup": q_incremental_dedup,
     "doc_train_split": q_doc_train_split,
+    "events_quality_audit": q_events_quality_audit,
 }
 
 ORACLE_SQL = {
@@ -3357,6 +3383,29 @@ ORACLE_SQL = {
         "WHERE doc_id % 10 < 7 AND doc_id % 3 = 0) "
         "SELECT n.doc_id FROM new n "
         "WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)"
+    ),
+    "events_quality_audit": (
+        "SELECT * FROM ("
+        "SELECT 'in_range' AS check_name, 'value' AS col, "
+        "count(*) FILTER (WHERE value IS NOT NULL AND (value < 0.0 OR value > 250.0)) AS violations, "
+        "count(value) AS total FROM events "
+        "UNION ALL SELECT 'in_set', 'event_type', "
+        "count(*) FILTER (WHERE event_type IS NOT NULL AND event_type NOT IN "
+        "('click','view','signup','purchase')), count(event_type) FROM events "
+        "UNION ALL SELECT 'matches', 'props', "
+        "count(*) FILTER (WHERE props IS NOT NULL AND NOT regexp_matches(props, '\"k\": [0-9]+')), "
+        "count(props) FROM events "
+        "UNION ALL SELECT 'not_null', 'value', "
+        "count(*) FILTER (WHERE value IS NULL), count(*) FROM events "
+        "UNION ALL SELECT 'ref_integrity', 'user_id', "
+        "count(*) FILTER (WHERE user_id IS NOT NULL AND user_id NOT IN "
+        "(SELECT c_custkey FROM customer WHERE c_custkey < 100)), "
+        "count(user_id) FROM events "
+        "UNION ALL SELECT 'unique', 'event_id', "
+        "count(event_id) - count(DISTINCT event_id), count(event_id) FROM events "
+        "UNION ALL SELECT 'unique', 'user_id', "
+        "count(user_id) - count(DISTINCT user_id), count(user_id) FROM events"
+        ") ORDER BY check_name, col"
     ),
     "doc_train_split": (
         # threshold literals = stages.sample.split_thresholds(

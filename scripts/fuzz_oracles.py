@@ -51,7 +51,7 @@ DOC_QUERIES = [
     "doc_token_stats", "doc_repetition_stats", "doc_quality_scores",
     "doc_langid", "doc_scrubbed", "doc_tfidf_top_terms",
     "token_doc_frequency", "docs_above_quality_cutoff", "doc_hash_sample",
-    "docs_weighted_sample", "corpus_snapshot_diff",
+    "docs_weighted_sample", "corpus_snapshot_diff", "doc_train_split",
     "doc_dedup_exact", "decontaminated_docs", "cross_corpus_contamination",
 ]
 EVENT_QUERIES = [
@@ -88,6 +88,7 @@ RELATIONAL_QUERIES = [
     "bucketed_priority_revenue", "lineitem_qty_price_corr",
     "event_users_customers_outer", "salted_event_spend_join",
     "bloom_click_users_semijoin", "cuckoo_signup_users_semijoin",
+    "events_quality_audit",
 ]
 
 
