@@ -1739,6 +1739,56 @@ def _events_cents(sf_dir: str):
     return ds.map_batches(_cents, batch_format="pyarrow")
 
 
+def q_daily_value_anomalies(sf_dir: str):
+    """Daily-metric anomaly detection — the data-health monitor a
+    production ingest runs next to quality_audit: exact daily cent
+    totals (small_group_agg partials; the exchange carries days x
+    blocks rows, never events), then a trailing 7-day z-score
+    (ROWS 6 PRECEDING) on the tiny day table in ONE task.  Sliding
+    sums are cumsum differences over EXACT integers — object-dtype
+    bignums for the squared sums (daily cents^2 overflows int64 on
+    heavy-tailed values; kernels/moments.py trap: build with int(x)) —
+    so only the final mean/variance divisions, sqrt and compare are
+    float64, expression-for-expression identical to the HUGEINT SQL
+    window twin (same IEEE ops on identical inputs, bit-exact)."""
+    from ..stages.reduce import small_group_agg
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def _day_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"day": pc.floor_temporal(batch["ts"], unit="day"),
+                         "cents": pa.array(cents)})
+
+    daily = small_group_agg(
+        ds.map_batches(_day_cents, batch_format="pyarrow"),
+        "day", {"total_cents": ("cents", "sum"),
+                "n_events": ("cents", "count")})
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day").reset_index(drop=True)
+        c = df["total_cents"].to_numpy()
+        n = len(c)
+        c_obj = np.array([int(x) for x in c], dtype=object)
+        cs = np.concatenate([[0], np.cumsum(c_obj)])
+        qs = np.concatenate([[0], np.cumsum(c_obj * c_obj)])
+        lo = np.maximum(np.arange(n) - 6, 0)
+        cnt = (np.arange(n) - lo + 1).astype(np.float64)
+        s7 = (cs[1:] - cs[lo]).astype(np.float64)   # float(bignum): rn-even
+        q7 = (qs[1:] - qs[lo]).astype(np.float64)
+        mean7 = s7 * 1.0 / cnt
+        var7 = np.maximum(q7 * 1.0 / cnt - mean7 * mean7, 0.0)
+        dev = np.abs(c.astype(np.float64) - mean7)
+        out = df[["day", "total_cents", "n_events"]].copy()
+        out["mean7"] = mean7
+        out["is_anomaly"] = (dev > 2.0 * np.sqrt(var7)).astype(np.int64)
+        return out
+
+    return daily.map_batches(_score, batch_format="pandas", batch_size=None)
+
+
 def q_user_hourly_range_value(sf_dir: str):
     """Value-range (time-based) trailing window (stages/window_fns.py
     range_k): per-user spend/count/avg/min over ``RANGE BETWEEN
@@ -3301,6 +3351,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "doc_train_split": q_doc_train_split,
     "events_quality_audit": q_events_quality_audit,
+    "daily_value_anomalies": q_daily_value_anomalies,
 }
 
 ORACLE_SQL = {
@@ -3383,6 +3434,22 @@ ORACLE_SQL = {
         "WHERE doc_id % 10 < 7 AND doc_id % 3 = 0) "
         "SELECT n.doc_id FROM new n "
         "WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)"
+    ),
+    "daily_value_anomalies": (
+        # HUGEINT squared sums (daily cents^2 can overflow BIGINT);
+        # float exprs mirror q_daily_value_anomalies op-for-op
+        "WITH d AS (SELECT date_trunc('day', ts) AS day, "
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1), "
+        "w AS (SELECT day, total_cents, n_events, "
+        "CAST(sum(total_cents) OVER win AS HUGEINT) AS s7, "
+        "sum(CAST(total_cents AS HUGEINT) * total_cents) OVER win AS q7, "
+        "CAST(count(*) OVER win AS DOUBLE) AS n7 FROM d "
+        "WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) "
+        "SELECT day, total_cents, n_events, s7 * 1.0 / n7 AS mean7, "
+        "CAST(CASE WHEN abs(total_cents - s7 * 1.0 / n7) > "
+        "2.0 * sqrt(greatest(q7 * 1.0 / n7 - (s7 * 1.0 / n7) * (s7 * 1.0 / n7), 0.0)) "
+        "THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly FROM w"
     ),
     "events_quality_audit": (
         "SELECT * FROM ("
