@@ -1789,6 +1789,21 @@ def q_daily_value_anomalies(sf_dir: str):
     return daily.map_batches(_score, batch_format="pandas", batch_size=None)
 
 
+def q_events_rolling_7d_users(sf_dir: str):
+    """Rolling 7-day distinct users per day (WAU) — EXACT, via
+    stages/rolling.py rolling_distinct: distinct is additive over
+    DISJOINT key sets, so one user-bucket shuffle of slim per-batch-
+    distinct (user, day) pairs lets each bucket emit O(days) coverage
+    deltas (merged per-user intervals -> difference array), summed per
+    day in one tiny final task.  Never quadratic in window width,
+    unlike the self-join SQL twin."""
+    from ..stages.rolling import rolling_distinct
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return rolling_distinct(ds, key_col="user_id", ts_col="ts",
+                            window_days=7, out_col="n_active")
+
+
 def q_user_hourly_range_value(sf_dir: str):
     """Value-range (time-based) trailing window (stages/window_fns.py
     range_k): per-user spend/count/avg/min over ``RANGE BETWEEN
@@ -3352,6 +3367,7 @@ QUERIES = {
     "doc_train_split": q_doc_train_split,
     "events_quality_audit": q_events_quality_audit,
     "daily_value_anomalies": q_daily_value_anomalies,
+    "events_rolling_7d_users": q_events_rolling_7d_users,
 }
 
 ORACLE_SQL = {
@@ -3434,6 +3450,12 @@ ORACLE_SQL = {
         "WHERE doc_id % 10 < 7 AND doc_id % 3 = 0) "
         "SELECT n.doc_id FROM new n "
         "WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)"
+    ),
+    "events_rolling_7d_users": (
+        "WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events) "
+        "SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active "
+        "FROM days d JOIN events e ON date_trunc('day', e.ts) "
+        "BETWEEN d.day - INTERVAL 6 DAY AND d.day GROUP BY d.day"
     ),
     "daily_value_anomalies": (
         # HUGEINT squared sums (daily cents^2 can overflow BIGINT);

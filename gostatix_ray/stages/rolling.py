@@ -1,0 +1,122 @@
+"""Rolling-window distinct counts — WAU/MAU-style "distinct keys in
+the trailing N days, per day", EXACT and distributed.
+
+``count(DISTINCT ...) OVER (RANGE ...)`` exists in no engine's window
+executor (DuckDB included) because distinct doesn't decompose along a
+sliding frame — the usual recourse is a per-day self-join (quadratic in
+window width) or an approximate per-day HLL merge.  Exact CAN scale,
+by partitioning on the KEY instead of time: distinct counts over
+DISJOINT key sets are additive, so each key-bucket independently
+computes its keys' contribution to every day and a tiny per-day sum
+finishes the job.
+
+In-bucket, a key contributes 1 to day d iff it was active in
+[d-N+1, d] — i.e. each active day opens a coverage interval
+[day, day+N-1], and the key's covered set is the UNION of its
+intervals.  Merging per-key overlapping intervals (one vectorized
+group-cummax, no per-key loop) makes them disjoint, so coverage counts
+become a difference array: +1 at each merged start, -1 after each end,
+prefix-summed once over the day axis in the final task.
+
+Scale shape: the input collapses map-side to per-batch-distinct
+(key, day) pairs; ONE key-bucket shuffle carries those slim pairs;
+each bucket emits O(days) delta rows regardless of its row count; the
+final task sees O(buckets × days) tiny rows.  Nothing is ever
+quadratic in window width (compare the self-join twin) and no stage
+holds more than a bucket's pairs.
+
+The reference engine has no windowed operators (SURVEY.md §2.6); this
+is a north-rule training-data/analytics extra.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_US_PER_DAY = 86_400_000_000
+
+
+def rolling_distinct(ds, *, key_col: str, ts_col: str, window_days: int,
+                     out_col: str = "n_active", num_buckets: int = 64):
+    """Per calendar day, the EXACT number of distinct ``key_col``
+    values active in the trailing ``window_days`` days (inclusive).
+    Returns one row per OBSERVED day (a day with at least one event):
+    ``(day: timestamp[us], out_col: int64)``.
+
+    SQL twin shape (quadratic, for checking only)::
+
+        SELECT d.day, count(DISTINCT e.key) FROM days d JOIN events e
+        ON date_trunc('day', e.ts) BETWEEN d.day - INTERVAL (N-1) DAY
+        AND d.day GROUP BY d.day
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    from .dedup import bucketed_groupby
+
+    def _pairs(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        ts = batch[ts_col]
+        if ts.null_count:
+            raise ValueError(f"rolling_distinct: {ts_col!r} has NULLs")
+        # normalize to µs first — a pandas-born column arrives as ns
+        ts_us = pc.cast(ts, pa.timestamp("us", getattr(ts.type, "tz", None)))
+        dayi = pc.cast(ts_us, pa.int64()).to_numpy() // _US_PER_DAY
+        key = batch[key_col]
+        t = pa.table({"k": key, "dayi": pa.array(dayi, pa.int64())})
+        if key.null_count:  # SQL count(DISTINCT) ignores NULL keys
+            t = t.filter(pc.is_valid(t["k"]))
+        if t.num_rows == 0:
+            return
+        # map-side dedup: a batch's repeats of (key, day) are one pair
+        yield t.group_by(["k", "dayi"]).aggregate([])
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop_duplicates(["k", "dayi"])
+              .sort_values(["k", "dayi"], kind="stable"))
+        d = df["dayi"].to_numpy(np.int64)
+        end = d + (window_days - 1)
+        gid = (df["k"] != df["k"].shift()).cumsum()
+        # merged-union intervals: next start clips past the running
+        # (per-key) max end so coverage days are counted exactly once
+        cm = end if window_days == 1 else (
+            pd.Series(end).groupby(gid.to_numpy()).cummax().to_numpy())
+        prev_end = np.empty_like(d)
+        prev_end[0] = np.iinfo(np.int64).min + 1
+        prev_end[1:] = cm[:-1]
+        newkey = np.concatenate([[True], gid.to_numpy()[1:] != gid.to_numpy()[:-1]])
+        prev_end[newkey] = np.iinfo(np.int64).min + 1
+        start = np.maximum(d, prev_end + 1)
+        ok = start <= end
+        days = np.concatenate([start[ok], end[ok] + 1])
+        deltas = np.concatenate([np.ones(ok.sum(), np.int64),
+                                 -np.ones(ok.sum(), np.int64)])
+        agg = pd.DataFrame({"dayi": days, "delta": deltas}).groupby(
+            "dayi", as_index=False)["delta"].sum()
+        obs = pd.DataFrame({"dayi": np.unique(d),
+                            "delta": np.int64(0), "obs": np.int64(1)})
+        agg["obs"] = np.int64(0)
+        return pd.concat([agg, obs], ignore_index=True)
+
+    deltas = bucketed_groupby(
+        ds.map_batches(_pairs, batch_format="pyarrow", batch_size=None),
+        ["k"], _bucket, num_buckets=num_buckets)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dayi", as_index=False)[["delta", "obs"]].sum()
+        g = g.sort_values("dayi")
+        cov = g["delta"].to_numpy(np.int64).cumsum()
+        obs_mask = g["obs"].to_numpy(np.int64) > 0
+        dayi = g["dayi"].to_numpy(np.int64)[obs_mask]
+        out = pd.DataFrame({
+            "day": pd.to_datetime(dayi * 86_400, unit="s"
+                                  ).astype("datetime64[us]"),
+            out_col: cov[obs_mask],
+        })
+        return out.reset_index(drop=True)
+
+    return deltas.repartition(1).map_batches(
+        _final, batch_format="pandas", batch_size=None)

@@ -68,7 +68,7 @@ EVENT_QUERIES = [
     "top_value_events", "user_top_event_type", "distinct_users_exact",
     "distinct_users_by_type_exact", "user_event_type_pairs_exact",
     "top_event_types_exact", "props_field_stats",
-    "daily_value_anomalies",
+    "daily_value_anomalies", "events_rolling_7d_users",
 ]
 EMBEDDING_QUERIES = [
     # oracle-exact

@@ -1,0 +1,81 @@
+"""Rolling-window exact distinct (stages/rolling.py) vs the quadratic
+DuckDB self-join, over adversarial day patterns."""
+
+import datetime as dt
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _events(seed=3, n=4000, n_users=60, span_days=45, null_frac=0.0):
+    rng = np.random.default_rng(seed)
+    base = dt.datetime(2024, 1, 1)
+    # bursty days: half the mass on 5 hot days, the rest anywhere
+    hot = rng.choice(span_days, 5, replace=False)
+    days = np.where(rng.random(n) < 0.5, rng.choice(hot, n),
+                    rng.integers(0, span_days, n))
+    ts = [base + dt.timedelta(days=int(d), minutes=int(m))
+          for d, m in zip(days, rng.integers(0, 1440, n))]
+    users = pd.array(rng.zipf(1.4, n).clip(1, n_users).astype("int64"),
+                     dtype="Int64")
+    if null_frac:
+        users[rng.random(n) < null_frac] = pd.NA
+    return pd.DataFrame({"user_id": users, "ts": ts})
+
+
+def _oracle(df, window_days):
+    con = duckdb.connect()
+    con.register("events", df)
+    return con.execute(f"""
+        WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+        SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        FROM days d JOIN events e ON date_trunc('day', e.ts)
+        BETWEEN d.day - INTERVAL {window_days - 1} DAY AND d.day
+        GROUP BY d.day ORDER BY d.day
+    """).df()
+
+
+@pytest.mark.parametrize("window_days", [1, 7, 30])
+def test_rolling_distinct_vs_duckdb(ray_session, window_days):
+    import ray.data as rd
+
+    from gostatix_ray.stages.rolling import rolling_distinct
+
+    df = _events()
+    out = rolling_distinct(
+        rd.from_pandas(df).repartition(7), key_col="user_id", ts_col="ts",
+        window_days=window_days,
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    expect = _oracle(df, window_days)
+    pd.testing.assert_frame_equal(out, expect)
+
+
+def test_rolling_distinct_null_keys_and_partitioning(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.rolling import rolling_distinct
+
+    df = _events(seed=11, null_frac=0.1)
+    outs = []
+    for parts in (1, 13):
+        ds = rd.from_pandas(df)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = rolling_distinct(ds, key_col="user_id", ts_col="ts",
+                               window_days=7)
+        outs.append(out.to_pandas().sort_values("day").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # NULL keys never counted (SQL count(DISTINCT) semantics)
+    pd.testing.assert_frame_equal(outs[0], _oracle(df, 7))
+
+
+def test_rolling_distinct_validates(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.rolling import rolling_distinct
+
+    ds = rd.from_pandas(_events(n=50))
+    with pytest.raises(ValueError):
+        rolling_distinct(ds, key_col="user_id", ts_col="ts", window_days=0)
