@@ -1804,6 +1804,18 @@ def q_events_rolling_7d_users(sf_dir: str):
                             window_days=7, out_col="n_active")
 
 
+def q_user_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (stages/rolling.py cohort_retention):
+    users cohorted by first active day; exact distinct actives per
+    (cohort_day, offset_days) cell + retention fraction vs the
+    offset-0 cohort size.  One user-bucket shuffle of slim (user, day)
+    pairs; each bucket emits O(cells) partial counts."""
+    from ..stages.rolling import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ds, key_col="user_id", ts_col="ts")
+
+
 def q_user_hourly_range_value(sf_dir: str):
     """Value-range (time-based) trailing window (stages/window_fns.py
     range_k): per-user spend/count/avg/min over ``RANGE BETWEEN
@@ -3368,6 +3380,7 @@ QUERIES = {
     "events_quality_audit": q_events_quality_audit,
     "daily_value_anomalies": q_daily_value_anomalies,
     "events_rolling_7d_users": q_events_rolling_7d_users,
+    "user_cohort_retention": q_user_cohort_retention,
 }
 
 ORACLE_SQL = {
@@ -3450,6 +3463,20 @@ ORACLE_SQL = {
         "WHERE doc_id % 10 < 7 AND doc_id % 3 = 0) "
         "SELECT n.doc_id FROM new n "
         "WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)"
+    ),
+    "user_cohort_retention": (
+        "WITH c AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id), "
+        "a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day "
+        "FROM events WHERE user_id IS NOT NULL), "
+        "cell AS (SELECT c.cohort_day, "
+        "CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS offset_days, "
+        "CAST(count(*) AS BIGINT) AS n_active "
+        "FROM a JOIN c USING (user_id) GROUP BY 1, 2) "
+        "SELECT cell.cohort_day, cell.offset_days, cell.n_active, "
+        "cell.n_active * 1.0 / sz.cohort_size AS retention FROM cell JOIN "
+        "(SELECT cohort_day, n_active AS cohort_size FROM cell "
+        "WHERE offset_days = 0) sz USING (cohort_day)"
     ),
     "events_rolling_7d_users": (
         "WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events) "

@@ -39,6 +39,40 @@ import pyarrow.compute as pc
 _US_PER_DAY = 86_400_000_000
 
 
+def distinct_key_day(ds, *, key_col: str, ts_col: str):
+    """ds -> slim per-batch-DISTINCT ``(k, dayi)`` pairs (int64 days
+    since epoch; NULL keys dropped per SQL count(DISTINCT) semantics).
+    The shared front end of every key-day analytics stage
+    (rolling_distinct, cohort_retention): values never ride a shuffle,
+    only the 16-byte pair."""
+
+    def _pairs(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        ts = batch[ts_col]
+        if ts.null_count:
+            raise ValueError(f"distinct_key_day: {ts_col!r} has NULLs")
+        # normalize to µs first — a pandas-born column arrives as ns
+        ts_us = pc.cast(ts, pa.timestamp("us", getattr(ts.type, "tz", None)))
+        dayi = pc.cast(ts_us, pa.int64()).to_numpy() // _US_PER_DAY
+        key = batch[key_col]
+        t = pa.table({"k": key, "dayi": pa.array(dayi, pa.int64())})
+        if key.null_count:  # SQL count(DISTINCT) ignores NULL keys
+            t = t.filter(pc.is_valid(t["k"]))
+        if t.num_rows == 0:
+            return
+        # map-side dedup: a batch's repeats of (key, day) are one pair
+        yield t.group_by(["k", "dayi"]).aggregate([])
+
+    return ds.map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+
+
+def day_index_to_ts(dayi: np.ndarray) -> pd.Series:
+    """int64 days-since-epoch -> datetime64[us] (the parquet-world unit)."""
+    return pd.Series(pd.to_datetime(np.asarray(dayi, np.int64) * 86_400,
+                                    unit="s")).astype("datetime64[us]")
+
+
 def rolling_distinct(ds, *, key_col: str, ts_col: str, window_days: int,
                      out_col: str = "n_active", num_buckets: int = 64):
     """Per calendar day, the EXACT number of distinct ``key_col``
@@ -55,24 +89,6 @@ def rolling_distinct(ds, *, key_col: str, ts_col: str, window_days: int,
     if window_days < 1:
         raise ValueError("window_days must be >= 1")
     from .dedup import bucketed_groupby
-
-    def _pairs(batch: pa.Table):
-        if batch.num_rows == 0:
-            return
-        ts = batch[ts_col]
-        if ts.null_count:
-            raise ValueError(f"rolling_distinct: {ts_col!r} has NULLs")
-        # normalize to µs first — a pandas-born column arrives as ns
-        ts_us = pc.cast(ts, pa.timestamp("us", getattr(ts.type, "tz", None)))
-        dayi = pc.cast(ts_us, pa.int64()).to_numpy() // _US_PER_DAY
-        key = batch[key_col]
-        t = pa.table({"k": key, "dayi": pa.array(dayi, pa.int64())})
-        if key.null_count:  # SQL count(DISTINCT) ignores NULL keys
-            t = t.filter(pc.is_valid(t["k"]))
-        if t.num_rows == 0:
-            return
-        # map-side dedup: a batch's repeats of (key, day) are one pair
-        yield t.group_by(["k", "dayi"]).aggregate([])
 
     def _bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = (df.drop_duplicates(["k", "dayi"])
@@ -102,7 +118,7 @@ def rolling_distinct(ds, *, key_col: str, ts_col: str, window_days: int,
         return pd.concat([agg, obs], ignore_index=True)
 
     deltas = bucketed_groupby(
-        ds.map_batches(_pairs, batch_format="pyarrow", batch_size=None),
+        distinct_key_day(ds, key_col=key_col, ts_col=ts_col),
         ["k"], _bucket, num_buckets=num_buckets)
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:
@@ -112,11 +128,64 @@ def rolling_distinct(ds, *, key_col: str, ts_col: str, window_days: int,
         obs_mask = g["obs"].to_numpy(np.int64) > 0
         dayi = g["dayi"].to_numpy(np.int64)[obs_mask]
         out = pd.DataFrame({
-            "day": pd.to_datetime(dayi * 86_400, unit="s"
-                                  ).astype("datetime64[us]"),
+            "day": day_index_to_ts(dayi),
             out_col: cov[obs_mask],
         })
         return out.reset_index(drop=True)
 
     return deltas.repartition(1).map_batches(
+        _final, batch_format="pandas", batch_size=None)
+
+
+def cohort_retention(ds, *, key_col: str, ts_col: str,
+                     num_buckets: int = 64):
+    """Cohort retention matrix — the product-analytics staple: keys
+    cohorted by their FIRST active day; for every (cohort_day,
+    offset_days) cell, the exact number of cohort keys active that
+    many days later, plus the retention fraction vs the cohort size.
+
+    Same additive-distinct trick as :func:`rolling_distinct`: all of a
+    key's (key, day) pairs land in one bucket, so the bucket knows the
+    key's cohort (its min day) and emits partial per-cell counts —
+    O(cells) rows per bucket, never the pairs.  The final task sums
+    cells (bounded by days^2/2 — 66k cells for a year) and divides by
+    the offset-0 count, which IS the cohort size (every key is active
+    on its own cohort day).  Retention is a float64 division of exact
+    ints — bit-stable vs the SQL twin.
+
+    Returns ``(cohort_day: timestamp[us], offset_days: int64,
+    n_active: int64, retention: float64)``.
+    """
+    from .dedup import bucketed_groupby
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["k", "dayi"])
+        cohort = df.groupby("k")["dayi"].transform("min")
+        out = (pd.DataFrame({"cohorti": cohort.to_numpy(),
+                             "offset_days": (df["dayi"] - cohort).to_numpy()})
+               .groupby(["cohorti", "offset_days"], as_index=False)
+               .size().rename(columns={"size": "n_active"}))
+        return out.astype({"cohorti": "int64", "offset_days": "int64",
+                           "n_active": "int64"})
+
+    cells = bucketed_groupby(
+        distinct_key_day(ds, key_col=key_col, ts_col=ts_col),
+        ["k"], _bucket, num_buckets=num_buckets)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["cohorti", "offset_days"], as_index=False)
+             ["n_active"].sum())
+        size0 = (g.loc[g["offset_days"] == 0, ["cohorti", "n_active"]]
+                 .rename(columns={"n_active": "cohort_size"}))
+        g = g.merge(size0, on="cohorti")
+        g = g.sort_values(["cohorti", "offset_days"]).reset_index(drop=True)
+        return pd.DataFrame({
+            "cohort_day": day_index_to_ts(g["cohorti"].to_numpy()),
+            "offset_days": g["offset_days"].astype(np.int64),
+            "n_active": g["n_active"].astype(np.int64),
+            "retention": g["n_active"].to_numpy(np.int64)
+                         * 1.0 / g["cohort_size"].to_numpy(np.int64),
+        })
+
+    return cells.repartition(1).map_batches(
         _final, batch_format="pandas", batch_size=None)

@@ -79,3 +79,43 @@ def test_rolling_distinct_validates(ray_session):
     ds = rd.from_pandas(_events(n=50))
     with pytest.raises(ValueError):
         rolling_distinct(ds, key_col="user_id", ts_col="ts", window_days=0)
+
+
+def _cohort_oracle(df):
+    con = duckdb.connect()
+    con.register("events", df)
+    return con.execute("""
+        WITH c AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+          FROM events WHERE user_id IS NOT NULL),
+        cell AS (SELECT c.cohort_day,
+          CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS offset_days,
+          CAST(count(*) AS BIGINT) AS n_active
+          FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+        SELECT cell.cohort_day, cell.offset_days, cell.n_active,
+          cell.n_active * 1.0 / sz.cohort_size AS retention FROM cell JOIN
+          (SELECT cohort_day, n_active AS cohort_size FROM cell
+           WHERE offset_days = 0) sz USING (cohort_day)
+        ORDER BY cohort_day, offset_days
+    """).df()
+
+
+def test_cohort_retention_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.rolling import cohort_retention
+
+    df = _events(seed=5, null_frac=0.08)
+    outs = []
+    for parts in (1, 9):
+        ds = rd.from_pandas(df)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = cohort_retention(ds, key_col="user_id", ts_col="ts")
+        outs.append(out.to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], _cohort_oracle(df))
+    # every cohort retains 100% of itself at offset 0
+    z = outs[0][outs[0]["offset_days"] == 0]
+    assert (z["retention"] == 1.0).all()
