@@ -1816,6 +1816,21 @@ def q_user_cohort_retention(sf_dir: str):
     return cohort_retention(ds, key_col="user_id", ts_col="ts")
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel conversion (stages/funnel.py funnel_counts):
+    distinct users reaching view -> click -> purchase via the
+    first-reach chain (step i's time is the min qualifying ts at or
+    after step i-1's).  Slim (user, step, ts) triples over funnel
+    types only ride ONE user-bucket shuffle; each bucket emits
+    n_steps partial counts (additive over disjoint key sets)."""
+    from ..stages.funnel import funnel_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_counts(ds, key_col="user_id", ts_col="ts",
+                         type_col="event_type",
+                         steps=["view", "click", "purchase"])
+
+
 def q_user_hourly_range_value(sf_dir: str):
     """Value-range (time-based) trailing window (stages/window_fns.py
     range_k): per-user spend/count/avg/min over ``RANGE BETWEEN
@@ -3381,6 +3396,7 @@ QUERIES = {
     "daily_value_anomalies": q_daily_value_anomalies,
     "events_rolling_7d_users": q_events_rolling_7d_users,
     "user_cohort_retention": q_user_cohort_retention,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLE_SQL = {
@@ -3477,6 +3493,23 @@ ORACLE_SQL = {
         "cell.n_active * 1.0 / sz.cohort_size AS retention FROM cell JOIN "
         "(SELECT cohort_day, n_active AS cohort_size FROM cell "
         "WHERE offset_days = 0) sz USING (cohort_day)"
+    ),
+    "events_funnel": (
+        "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        "WHERE user_id IS NOT NULL AND event_type = 'view' GROUP BY 1), "
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s1 USING (user_id) WHERE e.event_type = 'click' "
+        "AND e.ts >= s1.t GROUP BY 1), "
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' "
+        "AND e.ts >= s2.t GROUP BY 1), "
+        "c AS (SELECT 1 AS step, 'view' AS event_type, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_keys "
+        "UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2) "
+        "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)) "
+        "SELECT CAST(step AS BIGINT) AS step, event_type, n_keys, "
+        "n_keys * 1.0 / (SELECT n_keys FROM c WHERE step = 1) "
+        "AS conversion FROM c"
     ),
     "events_rolling_7d_users": (
         "WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events) "
