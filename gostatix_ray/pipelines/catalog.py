@@ -1804,6 +1804,18 @@ def q_events_rolling_7d_users(sf_dir: str):
                             window_days=7, out_col="n_active")
 
 
+def q_events_stickiness(sf_dir: str):
+    """DAU/MAU stickiness (stages/rolling.py stickiness): per observed
+    day, exact distinct users over the trailing 1-day and 30-day
+    windows plus their ratio — BOTH windows from the same slim-pair
+    shuffle in one bucket pass (tagged difference arrays)."""
+    from ..stages.rolling import stickiness
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return stickiness(ds, key_col="user_id", ts_col="ts",
+                      short_days=1, long_days=30)
+
+
 def q_user_cohort_retention(sf_dir: str):
     """Cohort retention matrix (stages/rolling.py cohort_retention):
     users cohorted by first active day; exact distinct actives per
@@ -3397,6 +3409,7 @@ QUERIES = {
     "events_rolling_7d_users": q_events_rolling_7d_users,
     "user_cohort_retention": q_user_cohort_retention,
     "events_funnel": q_events_funnel,
+    "events_stickiness": q_events_stickiness,
 }
 
 ORACLE_SQL = {
@@ -3493,6 +3506,20 @@ ORACLE_SQL = {
         "cell.n_active * 1.0 / sz.cohort_size AS retention FROM cell JOIN "
         "(SELECT cohort_day, n_active AS cohort_size FROM cell "
         "WHERE offset_days = 0) sz USING (cohort_day)"
+    ),
+    "events_stickiness": (
+        "WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day "
+        "FROM events), "
+        "dau AS (SELECT date_trunc('day', ts) AS day, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS dau "
+        "FROM events GROUP BY 1), "
+        "mau AS (SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) "
+        "AS mau FROM days d JOIN events e "
+        "ON date_trunc('day', e.ts) BETWEEN d.day - INTERVAL 29 DAY "
+        "AND d.day GROUP BY 1) "
+        "SELECT d.day, dau.dau, mau.mau, "
+        "dau.dau * 1.0 / mau.mau AS stickiness "
+        "FROM days d JOIN dau USING (day) JOIN mau USING (day)"
     ),
     "events_funnel": (
         "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "

@@ -73,6 +73,29 @@ def day_index_to_ts(dayi: np.ndarray) -> pd.Series:
                                     unit="s")).astype("datetime64[us]")
 
 
+def _merged_coverage_deltas(d: np.ndarray, gid: np.ndarray,
+                            window_days: int):
+    """(key-sorted active days d, per-key group ids gid) -> difference
+    array of the union of per-key coverage intervals [day, day+N-1]:
+    merged-union starts clip past the running per-key max end so each
+    covered day counts exactly once; returns (days, deltas) with +1 at
+    each merged start and -1 one past each merged end."""
+    end = d + (window_days - 1)
+    cm = end if window_days == 1 else (
+        pd.Series(end).groupby(gid).cummax().to_numpy())
+    prev_end = np.empty_like(d)
+    prev_end[0] = np.iinfo(np.int64).min + 1
+    prev_end[1:] = cm[:-1]
+    newkey = np.concatenate([[True], gid[1:] != gid[:-1]])
+    prev_end[newkey] = np.iinfo(np.int64).min + 1
+    start = np.maximum(d, prev_end + 1)
+    ok = start <= end
+    days = np.concatenate([start[ok], end[ok] + 1])
+    deltas = np.concatenate([np.ones(ok.sum(), np.int64),
+                             -np.ones(ok.sum(), np.int64)])
+    return days, deltas
+
+
 def rolling_distinct(ds, *, key_col: str, ts_col: str, window_days: int,
                      out_col: str = "n_active", num_buckets: int = 64):
     """Per calendar day, the EXACT number of distinct ``key_col``
@@ -94,22 +117,8 @@ def rolling_distinct(ds, *, key_col: str, ts_col: str, window_days: int,
         df = (df.drop_duplicates(["k", "dayi"])
               .sort_values(["k", "dayi"], kind="stable"))
         d = df["dayi"].to_numpy(np.int64)
-        end = d + (window_days - 1)
-        gid = (df["k"] != df["k"].shift()).cumsum()
-        # merged-union intervals: next start clips past the running
-        # (per-key) max end so coverage days are counted exactly once
-        cm = end if window_days == 1 else (
-            pd.Series(end).groupby(gid.to_numpy()).cummax().to_numpy())
-        prev_end = np.empty_like(d)
-        prev_end[0] = np.iinfo(np.int64).min + 1
-        prev_end[1:] = cm[:-1]
-        newkey = np.concatenate([[True], gid.to_numpy()[1:] != gid.to_numpy()[:-1]])
-        prev_end[newkey] = np.iinfo(np.int64).min + 1
-        start = np.maximum(d, prev_end + 1)
-        ok = start <= end
-        days = np.concatenate([start[ok], end[ok] + 1])
-        deltas = np.concatenate([np.ones(ok.sum(), np.int64),
-                                 -np.ones(ok.sum(), np.int64)])
+        gid = (df["k"] != df["k"].shift()).cumsum().to_numpy()
+        days, deltas = _merged_coverage_deltas(d, gid, window_days)
         agg = pd.DataFrame({"dayi": days, "delta": deltas}).groupby(
             "dayi", as_index=False)["delta"].sum()
         obs = pd.DataFrame({"dayi": np.unique(d),
@@ -188,4 +197,75 @@ def cohort_retention(ds, *, key_col: str, ts_col: str,
         })
 
     return cells.repartition(1).map_batches(
+        _final, batch_format="pandas", batch_size=None)
+
+
+def stickiness(ds, *, key_col: str, ts_col: str, short_days: int = 1,
+               long_days: int = 30, short_col: str = "dau",
+               long_col: str = "mau", ratio_col: str = "stickiness",
+               num_buckets: int = 64):
+    """DAU/MAU stickiness — per observed day, the EXACT distinct-key
+    counts over a short and a long trailing window plus their ratio
+    (the classic engagement metric).  BOTH windows are computed from
+    the SAME slim-pair shuffle in one bucket pass: each bucket emits
+    the two windows' merged-coverage difference arrays side by side
+    (tagged rows), so the long window costs no extra scan or exchange.
+
+    Returns ``(day: timestamp[us], short_col: int64, long_col: int64,
+    ratio_col: float64)`` — the ratio is the exact float64 division of
+    the two exact ints (short <= long always, and long >= 1 on an
+    observed day, so no division by zero).
+    """
+    if not (1 <= short_days < long_days):
+        raise ValueError("need 1 <= short_days < long_days")
+    from .dedup import bucketed_groupby
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop_duplicates(["k", "dayi"])
+              .sort_values(["k", "dayi"], kind="stable"))
+        d = df["dayi"].to_numpy(np.int64)
+        gid = (df["k"] != df["k"].shift()).cumsum().to_numpy()
+        frames = []
+        for win, w_days in ((0, short_days), (1, long_days)):
+            days, deltas = _merged_coverage_deltas(d, gid, w_days)
+            frames.append(pd.DataFrame(
+                {"dayi": days, "win": np.int64(win), "delta": deltas,
+                 "obs": np.int64(0)}))
+        frames.append(pd.DataFrame(
+            {"dayi": np.unique(d), "win": np.int64(0),
+             "delta": np.int64(0), "obs": np.int64(1)}))
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby(["dayi", "win"], as_index=False)[
+            ["delta", "obs"]].sum()
+
+    deltas = bucketed_groupby(
+        distinct_key_day(ds, key_col=key_col, ts_col=ts_col),
+        ["k"], _bucket, num_buckets=num_buckets)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["dayi", "win"], as_index=False)[
+            ["delta", "obs"]].sum()
+        days_all = np.sort(g["dayi"].unique())
+        pos = pd.Series(np.arange(len(days_all)), index=days_all)
+        cov = np.zeros((2, len(days_all)), np.int64)
+        obs = np.zeros(len(days_all), np.int64)
+        for win in (0, 1):
+            sub = g[g["win"] == win]
+            at = pos.loc[sub["dayi"]].to_numpy()
+            dd = np.zeros(len(days_all), np.int64)
+            np.add.at(dd, at, sub["delta"].to_numpy(np.int64))
+            cov[win] = dd.cumsum()
+            if win == 0:
+                np.add.at(obs, at, sub["obs"].to_numpy(np.int64))
+        m = obs > 0
+        short = cov[0][m]
+        long_ = cov[1][m]
+        return pd.DataFrame({
+            "day": day_index_to_ts(days_all[m]),
+            short_col: short,
+            long_col: long_,
+            ratio_col: short * 1.0 / long_,
+        })
+
+    return deltas.repartition(1).map_batches(
         _final, batch_format="pandas", batch_size=None)

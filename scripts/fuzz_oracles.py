@@ -69,7 +69,7 @@ EVENT_QUERIES = [
     "distinct_users_by_type_exact", "user_event_type_pairs_exact",
     "top_event_types_exact", "props_field_stats",
     "daily_value_anomalies", "events_rolling_7d_users",
-    "user_cohort_retention", "events_funnel",
+    "user_cohort_retention", "events_funnel", "events_stickiness",
 ]
 EMBEDDING_QUERIES = [
     # oracle-exact

@@ -119,3 +119,55 @@ def test_cohort_retention_vs_duckdb(ray_session):
     # every cohort retains 100% of itself at offset 0
     z = outs[0][outs[0]["offset_days"] == 0]
     assert (z["retention"] == 1.0).all()
+
+
+def _stickiness_oracle(df, long_days=30):
+    con = duckdb.connect()
+    con.register("events", df)
+    out = con.execute(f"""
+        WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+        dau AS (SELECT date_trunc('day', ts) AS day,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM events GROUP BY 1),
+        mau AS (SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS mau
+          FROM days d JOIN events e
+          ON date_trunc('day', e.ts)
+             BETWEEN d.day - INTERVAL {long_days - 1} DAY AND d.day GROUP BY 1)
+        SELECT d.day, dau.dau, mau.mau, dau.dau * 1.0 / mau.mau AS stickiness
+        FROM days d JOIN dau USING (day) JOIN mau USING (day) ORDER BY d.day
+    """).df()
+    out["day"] = out["day"].astype("datetime64[us]")
+    return out
+
+
+def test_stickiness_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.rolling import stickiness
+
+    df = _events(seed=9, null_frac=0.06)
+    # bursty: drop a mid stretch so some days are unobserved
+    df = df[~df["ts"].dt.floor("D").isin(
+        pd.to_datetime(["1970-02-05", "1970-02-06", "1970-02-07"]))]
+    df = df.reset_index(drop=True)
+    oracle = _stickiness_oracle(df)
+    for parts in (1, 6):
+        ds = rd.from_pandas(df)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = stickiness(ds, key_col="user_id", ts_col="ts",
+                         short_days=1, long_days=30
+                         ).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, oracle, check_dtype=False)
+        assert (out["stickiness"].to_numpy()
+                == oracle["stickiness"].to_numpy()).all()
+
+
+def test_stickiness_validates(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.rolling import stickiness
+
+    ds = rd.from_pandas(_events(n=50))
+    with pytest.raises(ValueError):
+        stickiness(ds, key_col="user_id", ts_col="ts",
+                   short_days=7, long_days=7)
