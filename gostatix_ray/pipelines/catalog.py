@@ -1804,6 +1804,23 @@ def q_events_rolling_7d_users(sf_dir: str):
                             window_days=7, out_col="n_active")
 
 
+def q_funnel_latency_quantiles(sf_dir: str):
+    """Funnel time-to-convert distribution: exact quantile_disc over
+    each converting user's first-to-last-step latency (µs).  The
+    latencies ride the funnel's slim-triple shuffle (one row per
+    converting key per bucket — stages/funnel.py funnel_latencies),
+    then the two-histogram-pass exact quantile selector finishes
+    without a global sort."""
+    from ..stages.funnel import funnel_latencies
+    from ..stages.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    lat = funnel_latencies(ds, key_col="user_id", ts_col="ts",
+                           type_col="event_type",
+                           steps=["view", "click", "purchase"])
+    return exact_quantiles(lat, "latency_us", _QS)
+
+
 def q_events_stickiness(sf_dir: str):
     """DAU/MAU stickiness (stages/rolling.py stickiness): per observed
     day, exact distinct users over the trailing 1-day and 30-day
@@ -3410,6 +3427,7 @@ QUERIES = {
     "user_cohort_retention": q_user_cohort_retention,
     "events_funnel": q_events_funnel,
     "events_stickiness": q_events_stickiness,
+    "funnel_latency_quantiles": q_funnel_latency_quantiles,
 }
 
 ORACLE_SQL = {
@@ -3506,6 +3524,23 @@ ORACLE_SQL = {
         "cell.n_active * 1.0 / sz.cohort_size AS retention FROM cell JOIN "
         "(SELECT cohort_day, n_active AS cohort_size FROM cell "
         "WHERE offset_days = 0) sz USING (cohort_day)"
+    ),
+    "funnel_latency_quantiles": (
+        "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        "WHERE user_id IS NOT NULL AND event_type = 'view' GROUP BY 1), "
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s1 USING (user_id) WHERE e.event_type = 'click' "
+        "AND e.ts >= s1.t GROUP BY 1), "
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' "
+        "AND e.ts >= s2.t GROUP BY 1), "
+        "lat AS (SELECT date_diff('microseconds', s1.t, s3.t) "
+        "AS latency_us FROM s3 JOIN s1 USING (user_id)) "
+        + " UNION ALL ".join(
+            f"SELECT {q} AS q, CAST(quantile_disc(latency_us, {q}) "
+            f"AS DOUBLE) AS value_exact FROM lat"
+            for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        )
     ),
     "events_stickiness": (
         "WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day "

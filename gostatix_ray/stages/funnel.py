@@ -20,8 +20,10 @@ each bucket runs the first-reach chain vectorized across its keys
 (n_steps small merges, no per-key loop) and emits exactly ``n_steps``
 partial count rows — counts over disjoint key sets are additive, so a
 tiny final task sums buckets and derives the conversion fractions.
-No stage ever holds more than one bucket's triples; nothing is
-quadratic in steps or days.
+:func:`funnel_latencies` rides the same shuffle and emits one row per
+CONVERTING key (its first-to-last-step latency) — still distributed,
+ready for the exact-quantile stages.  No stage ever holds more than
+one bucket's triples; nothing is quadratic in steps or days.
 
 The reference engine has no relational/windowed operators
 (SURVEY.md §2.6); this is a north-rule training-data/analytics extra.
@@ -33,6 +35,68 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def _validate_steps(steps):
+    if len(steps) < 2:
+        raise ValueError("funnel: need at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel: steps must be distinct")
+
+
+def _funnel_triples(ds, *, key_col: str, ts_col: str, type_col: str,
+                    steps: list[str]):
+    """ds -> slim per-batch-distinct ``(k, step, tsus)`` triples over
+    the funnel's event types only (NULL keys dropped)."""
+
+    def _triples(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        mask = pc.is_in(batch[type_col],
+                        value_set=pa.array(steps, pa.string()))
+        t = batch.filter(mask)
+        if t.num_rows == 0:
+            return
+        ts = t[ts_col]
+        if ts.null_count:
+            raise ValueError(f"funnel: {ts_col!r} has NULLs")
+        ts_us = pc.cast(pc.cast(ts, pa.timestamp(
+            "us", getattr(ts.type, "tz", None))), pa.int64())
+        # vectorized: each type's index in the (tiny) step list
+        codes = pc.index_in(t[type_col], value_set=pa.array(steps))
+        stepi = codes.to_numpy(zero_copy_only=False).astype(np.int64)
+        slim = pa.table({"k": t[key_col], "step": pa.array(stepi),
+                         "tsus": ts_us}).drop_null()
+        if slim.num_rows == 0:
+            return
+        # map-side dedup: repeats of (key, step, ts) are one triple
+        yield slim.group_by(["k", "step", "tsus"]).aggregate([])
+
+    return ds.map_batches(_triples, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def _chain(df: pd.DataFrame, n_steps: int, horizon_us):
+    """Vectorized first-reach chain over one bucket's triples.
+    Returns (per-step reach counts, the final step's reach frame with
+    columns (k, tprev, t0))."""
+    df = df.drop_duplicates(["k", "step", "tsus"])
+    first = (df.loc[df["step"] == 0].groupby("k", as_index=False)
+             ["tsus"].min().rename(columns={"tsus": "tprev"}))
+    first["t0"] = first["tprev"]
+    counts = [len(first)]
+    prev = first  # columns (k, tprev, t0)
+    for i in range(1, n_steps):
+        cur = (df.loc[df["step"] == i, ["k", "tsus"]]
+               .merge(prev, on="k"))
+        cur = cur[cur["tsus"] >= cur["tprev"]]
+        if horizon_us is not None:
+            cur = cur[cur["tsus"] <= cur["t0"] + horizon_us]
+        reach = (cur.groupby("k", as_index=False)
+                 .agg(tprev=("tsus", "min"), t0=("t0", "first")))
+        counts.append(len(reach))
+        prev = reach
+    return counts, prev
 
 
 def funnel_counts(ds, *, key_col: str, ts_col: str, type_col: str,
@@ -47,59 +111,17 @@ def funnel_counts(ds, *, key_col: str, ts_col: str, type_col: str,
     n_keys: int64, conversion: float64)`` — conversion is the exact
     float64 division ``n_keys / n_keys(step 1)``.
     """
-    if len(steps) < 2:
-        raise ValueError("funnel_counts: need at least 2 steps")
-    if len(set(steps)) != len(steps):
-        raise ValueError("funnel_counts: steps must be distinct")
+    _validate_steps(steps)
     from .dedup import bucketed_groupby
 
     horizon_us = (None if horizon is None
                   else int(pd.Timedelta(horizon).value // 1_000))
     n_steps = len(steps)
-
-    def _triples(batch: pa.Table):
-        if batch.num_rows == 0:
-            return
-        mask = pc.is_in(batch[type_col],
-                        value_set=pa.array(steps, pa.string()))
-        t = batch.filter(mask)
-        if t.num_rows == 0:
-            return
-        ts = t[ts_col]
-        if ts.null_count:
-            raise ValueError(f"funnel_counts: {ts_col!r} has NULLs")
-        ts_us = pc.cast(pc.cast(ts, pa.timestamp(
-            "us", getattr(ts.type, "tz", None))), pa.int64())
-        # vectorized: each type's index in the (tiny) step list
-        codes = pc.index_in(t[type_col], value_set=pa.array(steps))
-        stepi = codes.to_numpy(zero_copy_only=False).astype(np.int64)
-        slim = pa.table({"k": t[key_col], "step": pa.array(stepi),
-                         "tsus": ts_us}).drop_null()
-        if slim.num_rows == 0:
-            return
-        # map-side dedup: repeats of (key, step, ts) are one triple
-        yield slim.group_by(["k", "step", "tsus"]).aggregate([])
-
-    triples = ds.map_batches(_triples, batch_format="pyarrow",
-                             batch_size=None)
+    triples = _funnel_triples(ds, key_col=key_col, ts_col=ts_col,
+                              type_col=type_col, steps=steps)
 
     def _bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["k", "step", "tsus"])
-        first = (df.loc[df["step"] == 0].groupby("k", as_index=False)
-                 ["tsus"].min().rename(columns={"tsus": "tprev"}))
-        first["t0"] = first["tprev"]
-        counts = [len(first)]
-        prev = first  # columns (k, tprev, t0)
-        for i in range(1, n_steps):
-            cur = (df.loc[df["step"] == i, ["k", "tsus"]]
-                   .merge(prev, on="k"))
-            cur = cur[cur["tsus"] >= cur["tprev"]]
-            if horizon_us is not None:
-                cur = cur[cur["tsus"] <= cur["t0"] + horizon_us]
-            reach = (cur.groupby("k", as_index=False)
-                     .agg(tprev=("tsus", "min"), t0=("t0", "first")))
-            counts.append(len(reach))
-            prev = reach
+        counts, _ = _chain(df, n_steps, horizon_us)
         return pd.DataFrame({"step": np.arange(1, n_steps + 1),
                              "n_keys": np.asarray(counts, np.int64)})
 
@@ -130,3 +152,36 @@ def funnel_counts(ds, *, key_col: str, ts_col: str, type_col: str,
 
     return partials.repartition(1).map_batches(
         _final, batch_format="pandas", batch_size=None)
+
+
+def funnel_latencies(ds, *, key_col: str, ts_col: str, type_col: str,
+                     steps: list[str], horizon=None,
+                     num_buckets: int = 64):
+    """One row per key that CONVERTED through the whole funnel:
+    ``(k, latency_us: int64)`` — the first-reach chain's last-step time
+    minus its step-1 time, in exact integer microseconds.
+
+    Rides the same slim-triple shuffle as :func:`funnel_counts`; each
+    bucket emits its converting keys only (bounded by distinct keys,
+    not events), so the output is itself a distributed dataset ready
+    for the exact-quantile stages or a per-cohort join.
+    """
+    _validate_steps(steps)
+    from .dedup import bucketed_groupby
+
+    horizon_us = (None if horizon is None
+                  else int(pd.Timedelta(horizon).value // 1_000))
+    n_steps = len(steps)
+    triples = _funnel_triples(ds, key_col=key_col, ts_col=ts_col,
+                              type_col=type_col, steps=steps)
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        _, last = _chain(df, n_steps, horizon_us)
+        return pd.DataFrame({
+            "k": last["k"].to_numpy(),
+            "latency_us": (last["tprev"].to_numpy(np.int64)
+                           - last["t0"].to_numpy(np.int64)),
+        })
+
+    return bucketed_groupby(triples, ["k"], _bucket,
+                            num_buckets=num_buckets)

@@ -118,3 +118,36 @@ def test_funnel_empty_and_validation(ray_session):
     with pytest.raises(ValueError):
         funnel_counts(ds, key_col="user_id", ts_col="ts",
                       type_col="event_type", steps=["view", "view"])
+
+
+def test_funnel_latencies_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.funnel import funnel_latencies
+
+    df = _events(seed=21)
+    con = duckdb.connect()
+    con.register("events", df)
+    oracle = con.execute("""
+        WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+          WHERE user_id IS NOT NULL AND event_type='view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN s1 USING (user_id) WHERE e.event_type='click'
+          AND e.ts >= s1.t GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN s2 USING (user_id) WHERE e.event_type='purchase'
+          AND e.ts >= s2.t GROUP BY 1)
+        SELECT s3.user_id AS k,
+          date_diff('microseconds', s1.t, s3.t) AS latency_us
+        FROM s3 JOIN s1 USING (user_id) ORDER BY k
+    """).df().astype({"k": "int64", "latency_us": "int64"})
+    for parts in (1, 7):
+        ds = rd.from_pandas(df)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = (funnel_latencies(ds, key_col="user_id", ts_col="ts",
+                                type_col="event_type", steps=STEPS)
+               .to_pandas().sort_values("k").reset_index(drop=True)
+               .astype({"k": "int64", "latency_us": "int64"}))
+        pd.testing.assert_frame_equal(out, oracle)
+    assert (out["latency_us"] >= 0).all()
