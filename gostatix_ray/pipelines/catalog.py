@@ -1804,6 +1804,20 @@ def q_events_rolling_7d_users(sf_dir: str):
                             window_days=7, out_col="n_active")
 
 
+def q_event_type_transitions(sf_dir: str):
+    """Markov transition matrix (stages/transitions.py
+    transition_matrix): exact (src_type, dst_type) counts over
+    consecutive same-user events ordered by (ts, event_id), plus the
+    conditional probability P(dst | src).  Slim 4-column rows ride ONE
+    user-bucket shuffle; each bucket emits <= n_types^2 partials."""
+    from ..stages.transitions import transition_matrix
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    return transition_matrix(ds, key_col="user_id", ts_col="ts",
+                             type_col="event_type", order_col="event_id")
+
+
 def q_funnel_latency_quantiles(sf_dir: str):
     """Funnel time-to-convert distribution: exact quantile_disc over
     each converting user's first-to-last-step latency (µs).  The
@@ -3428,6 +3442,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_stickiness": q_events_stickiness,
     "funnel_latency_quantiles": q_funnel_latency_quantiles,
+    "event_type_transitions": q_event_type_transitions,
 }
 
 ORACLE_SQL = {
@@ -3524,6 +3539,17 @@ ORACLE_SQL = {
         "cell.n_active * 1.0 / sz.cohort_size AS retention FROM cell JOIN "
         "(SELECT cohort_day, n_active AS cohort_size FROM cell "
         "WHERE offset_days = 0) sz USING (cohort_day)"
+    ),
+    "event_type_transitions": (
+        "WITH seq AS (SELECT user_id, event_type, "
+        "lead(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS next_type FROM events "
+        "WHERE user_id IS NOT NULL AND event_type IS NOT NULL), "
+        "t AS (SELECT event_type AS src_type, next_type AS dst_type, "
+        "CAST(count(*) AS BIGINT) AS n FROM seq "
+        "WHERE next_type IS NOT NULL GROUP BY 1, 2) "
+        "SELECT src_type, dst_type, n, "
+        "n * 1.0 / sum(n) OVER (PARTITION BY src_type) AS p FROM t"
     ),
     "funnel_latency_quantiles": (
         "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "

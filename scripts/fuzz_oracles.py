@@ -70,7 +70,7 @@ EVENT_QUERIES = [
     "top_event_types_exact", "props_field_stats",
     "daily_value_anomalies", "events_rolling_7d_users",
     "user_cohort_retention", "events_funnel", "events_stickiness",
-    "funnel_latency_quantiles",
+    "funnel_latency_quantiles", "event_type_transitions",
 ]
 EMBEDDING_QUERIES = [
     # oracle-exact
