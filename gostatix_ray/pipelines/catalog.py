@@ -1804,6 +1804,19 @@ def q_events_rolling_7d_users(sf_dir: str):
                             window_days=7, out_col="n_active")
 
 
+def q_hll_rolling_7d_users(sf_dir: str):
+    """Approximate trailing-7-day active users (stages/rolling.py
+    hll_rolling_distinct): one grouped HLL build (one 4 KiB state per
+    day), driver-side sliding register-max = true merged-window HLL
+    union.  Estimate-valued (1.04/sqrt(m) bound asserted in
+    tests/test_rolling.py vs the exact twin events_rolling_7d_users)."""
+    from ..stages.rolling import hll_rolling_distinct
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return hll_rolling_distinct(ds, key_col="user_id", ts_col="ts",
+                                window_days=7)
+
+
 def q_event_type_transitions(sf_dir: str):
     """Markov transition matrix (stages/transitions.py
     transition_matrix): exact (src_type, dst_type) counts over
@@ -3443,6 +3456,7 @@ QUERIES = {
     "events_stickiness": q_events_stickiness,
     "funnel_latency_quantiles": q_funnel_latency_quantiles,
     "event_type_transitions": q_event_type_transitions,
+    "hll_rolling_7d_users": q_hll_rolling_7d_users,
 }
 
 ORACLE_SQL = {

@@ -269,3 +269,55 @@ def stickiness(ds, *, key_col: str, ts_col: str, short_days: int = 1,
 
     return deltas.repartition(1).map_batches(
         _final, batch_format="pandas", batch_size=None)
+
+
+def hll_rolling_distinct(ds, *, key_col: str, ts_col: str,
+                         window_days: int, m: int = 1 << 12,
+                         out_col: str = "n_active_est"):
+    """Approximate rolling-window distinct — the 100 TB scale path
+    beside :func:`rolling_distinct`: ONE grouped HLL build (one state
+    per day; the raw stream is scanned once) and a driver-side sliding
+    register-max over the tiny (days x m) state matrix.  Register max
+    IS HLL union, so each day's estimate is a true merged-window HLL
+    count with the standard 1.04/sqrt(m) relative error.
+
+    Exact variant shuffles slim (key, day) pairs; this one ships only
+    per-day m-byte states (bounded by days, independent of keys or
+    rows) — the right trade when keys are billions.  Returns
+    ``(day: timestamp[us], out_col: float64)`` over observed days.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    from ..kernels import hll
+    from .build import SketchRequest, build_partials
+    from .merge import collect_final, merge_partials_streaming
+
+    def _day(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        ts_us = pc.cast(ts, pa.timestamp("us", getattr(ts.type, "tz", None)))
+        dayi = pc.cast(ts_us, pa.int64()).to_numpy() // _US_PER_DAY
+        # group keys are strings at the build-stage boundary
+        return pa.table({"k": batch[key_col],
+                         "dayi": pc.cast(pa.array(dayi.astype(np.int64)),
+                                         pa.string())})
+
+    partials = build_partials(
+        ds.map_batches(_day, batch_format="pyarrow"),
+        [SketchRequest("rolling_hll", "hll", hll.HLLSpec(m=m),
+                       on=lambda b: pc.cast(b["k"], pa.string()),
+                       group_by="dayi")],
+    )
+    final = collect_final(merge_partials_streaming(partials))
+    days = np.array(sorted(int(gk) for (_, gk) in final), np.int64)
+    if len(days) == 0:
+        return pd.DataFrame({"day": day_index_to_ts(days),
+                             out_col: np.zeros(0, np.float64)})
+    regs = np.stack([hll.from_bytes(final[("rolling_hll", str(d))]).registers
+                     for d in days])
+    spec = hll.HLLSpec(m=m)
+    est = np.empty(len(days), np.float64)
+    for i, d in enumerate(days):
+        lo = int(np.searchsorted(days, d - (window_days - 1)))
+        merged = regs[lo:i + 1].max(axis=0)
+        est[i] = hll.count(hll.HLLState(spec, merged))
+    return pd.DataFrame({"day": day_index_to_ts(days), out_col: est})

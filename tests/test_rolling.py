@@ -171,3 +171,24 @@ def test_stickiness_validates(ray_session):
     with pytest.raises(ValueError):
         stickiness(ds, key_col="user_id", ts_col="ts",
                    short_days=7, long_days=7)
+
+
+def test_hll_rolling_within_bound(ray_session):
+    import ray.data as rd
+
+    from gostatix_ray.stages.rolling import (hll_rolling_distinct,
+                                             rolling_distinct)
+
+    df = _events(n=30_000, seed=17, null_frac=0.0)
+    ds = rd.from_pandas(df).repartition(6)
+    exact = rolling_distinct(ds, key_col="user_id", ts_col="ts",
+                             window_days=7).to_pandas()
+    est = hll_rolling_distinct(
+        rd.from_pandas(df).repartition(6), key_col="user_id",
+        ts_col="ts", window_days=7, m=1 << 12)
+    merged = exact.merge(est, on="day")
+    assert len(merged) == len(exact) == len(est)
+    rel = np.abs(merged["n_active_est"] - merged["n_active"]) \
+        / merged["n_active"]
+    # 1.04/sqrt(4096) ~ 1.6% std error; allow 5 sigma
+    assert rel.max() <= 5 * 1.04 / np.sqrt(4096), rel.max()
