@@ -1804,6 +1804,19 @@ def q_events_rolling_7d_users(sf_dir: str):
                             window_days=7, out_col="n_active")
 
 
+def q_keyword_search_topk(sf_dir: str):
+    """Multi-term keyword retrieval (stages/search.py keyword_search):
+    top-20 docs by the EXACT-RATIONAL tf/df score over
+    ('scan', 'slow', 'row') — ranking and scores are pure int64
+    cross-multiplication (no float sums, no ln), so the twin hashes
+    bit-exact.  One tokenization scan, slim materialized tf rows,
+    driver-reduced dfs, map-side-pruned global top-k."""
+    from ..stages.search import keyword_search
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return keyword_search(ds, query_terms=["scan", "slow", "row"], k=20)
+
+
 def q_hll_rolling_7d_users(sf_dir: str):
     """Approximate trailing-7-day active users (stages/rolling.py
     hll_rolling_distinct): one grouped HLL build (one 4 KiB state per
@@ -3457,6 +3470,7 @@ QUERIES = {
     "funnel_latency_quantiles": q_funnel_latency_quantiles,
     "event_type_transitions": q_event_type_transitions,
     "hll_rolling_7d_users": q_hll_rolling_7d_users,
+    "keyword_search_topk": q_keyword_search_topk,
 }
 
 ORACLE_SQL = {
@@ -3553,6 +3567,25 @@ ORACLE_SQL = {
         "cell.n_active * 1.0 / sz.cohort_size AS retention FROM cell JOIN "
         "(SELECT cohort_day, n_active AS cohort_size FROM cell "
         "WHERE offset_days = 0) sz USING (cohort_day)"
+    ),
+    "keyword_search_topk": (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS token FROM documents), "
+        "tf AS (SELECT doc_id, "
+        "CAST(count(*) FILTER (token = 'scan') AS BIGINT) AS tf0, "
+        "CAST(count(*) FILTER (token = 'slow') AS BIGINT) AS tf1, "
+        "CAST(count(*) FILTER (token = 'row') AS BIGINT) AS tf2 "
+        "FROM tok GROUP BY doc_id), "
+        "df AS (SELECT greatest(count(*) FILTER (tf0 > 0), 1) AS df0, "
+        "greatest(count(*) FILTER (tf1 > 0), 1) AS df1, "
+        "greatest(count(*) FILTER (tf2 > 0), 1) AS df2 FROM tf) "
+        "SELECT doc_id, CAST(tf0*df1*df2 + tf1*df0*df2 + tf2*df0*df1 "
+        "AS BIGINT) AS score_num, "
+        "CAST(row_number() OVER (ORDER BY "
+        "tf0*df1*df2 + tf1*df0*df2 + tf2*df0*df1 DESC, doc_id) "
+        "AS BIGINT) AS rank "
+        "FROM tf, df WHERE tf0 + tf1 + tf2 > 0 "
+        "ORDER BY score_num DESC, doc_id LIMIT 20"
     ),
     "event_type_transitions": (
         "WITH seq AS (SELECT user_id, event_type, "
