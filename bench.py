@@ -208,6 +208,11 @@ def run_bench() -> dict:
         def _consume(x):
             return x.materialize() if hasattr(x, "materialize") else x
 
+        # round-5 analytics/search family: one slim-pair shuffle each
+        timed("events_rolling_7d_users", lambda: _consume(catalog.q_events_rolling_7d_users(sf_dir)))
+        timed("events_funnel", lambda: _consume(catalog.q_events_funnel(sf_dir)))
+        timed("keyword_search_topk", lambda: _consume(catalog.q_keyword_search_topk(sf_dir)))
+
         # --- sf1 (10x) relational scale point (round-4 verdict #5): the
         # planner's broadcast-vs-shuffle decisions at 6M lineitem rows.
         # Input is the deterministic key-offset replication of sf0.1

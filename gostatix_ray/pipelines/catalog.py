@@ -1858,7 +1858,9 @@ def q_funnel_latency_quantiles(sf_dir: str):
     lat = funnel_latencies(ds, key_col="user_id", ts_col="ts",
                            type_col="event_type",
                            steps=["view", "click", "purchase"])
-    return exact_quantiles(lat, "latency_us", _QS)
+    # one slim row per converting key — materialize so the quantile
+    # selector's two histogram passes don't re-run the funnel shuffle
+    return exact_quantiles(lat.materialize(), "latency_us", _QS)
 
 
 def q_events_stickiness(sf_dir: str):
