@@ -1804,6 +1804,18 @@ def q_events_rolling_7d_users(sf_dir: str):
                             window_days=7, out_col="n_active")
 
 
+def q_events_value_quartile_bin(sf_dir: str):
+    """Equal-frequency feature bucketing (stages/quantiles.py
+    quantile_bin): every event assigned its exact value quartile
+    (1 + #cuts strictly below; cuts = exact quantile_disc(j/4)) —
+    two streaming histogram passes for the cuts, one vectorized
+    searchsorted assignment pass, nothing materialized."""
+    from ..stages.quantiles import quantile_bin
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return quantile_bin(ds, "value", nbins=4, id_col="event_id")
+
+
 def q_keyword_search_topk(sf_dir: str):
     """Multi-term keyword retrieval (stages/search.py keyword_search):
     top-20 docs by the EXACT-RATIONAL tf/df score over
@@ -3473,6 +3485,7 @@ QUERIES = {
     "event_type_transitions": q_event_type_transitions,
     "hll_rolling_7d_users": q_hll_rolling_7d_users,
     "keyword_search_topk": q_keyword_search_topk,
+    "events_value_quartile_bin": q_events_value_quartile_bin,
 }
 
 ORACLE_SQL = {
@@ -3569,6 +3582,14 @@ ORACLE_SQL = {
         "cell.n_active * 1.0 / sz.cohort_size AS retention FROM cell JOIN "
         "(SELECT cohort_day, n_active AS cohort_size FROM cell "
         "WHERE offset_days = 0) sz USING (cohort_day)"
+    ),
+    "events_value_quartile_bin": (
+        "WITH c AS (SELECT quantile_disc(value, 0.25) AS c1, "
+        "quantile_disc(value, 0.5) AS c2, "
+        "quantile_disc(value, 0.75) AS c3 FROM events) "
+        "SELECT e.event_id, CAST(1 + CAST(e.value > c.c1 AS INT) "
+        "+ CAST(e.value > c.c2 AS INT) + CAST(e.value > c.c3 AS INT) "
+        "AS BIGINT) AS bin FROM events e, c WHERE e.value IS NOT NULL"
     ),
     "keyword_search_topk": (
         "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "

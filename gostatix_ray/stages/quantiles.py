@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _hist_stage(col: str, lo: float, hi: float, bins: int):
@@ -301,3 +302,36 @@ def exact_quantiles_grouped(ds, col: str, group_col: str, qs, *, bins: int = 1 <
                 val = stat[f] if f == c else stat[f] * (c - h) + stat[c] * (h - f)
             rows.append({group_col: g, "q": q, out_name: val})
     return pd.DataFrame(rows)
+
+
+def quantile_bin(ds, col: str, *, nbins: int, id_col: str,
+                 bin_col: str = "bin", bins: int = 1 << 16):
+    """Equal-frequency binning (feature bucketing): assign every row
+    the 1-based index of its quantile bin — ``1 + #cuts strictly below
+    value`` where the cuts are the exact ``quantile_disc(j/nbins)``
+    values (j = 1..nbins-1).  Rows with NULL ``col`` are dropped.
+
+    Two histogram passes compute the cuts (see
+    :func:`exact_quantiles`), the nbins-1 cut values broadcast in the
+    task closure, and the assignment is one vectorized searchsorted
+    per batch — three streaming scans total, nothing materialized.
+    Ties equal to a cut stay in the lower bin, matching the SQL twin's
+    ``1 + Σ (value > cut_j)``.
+    """
+    if nbins < 2:
+        raise ValueError("quantile_bin: nbins must be >= 2")
+    qs = [j / nbins for j in range(1, nbins)]
+    cuts = np.asarray(exact_quantiles(ds, col, qs, bins=bins)
+                      ["value_exact"].to_numpy(), np.float64)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        t = batch
+        if t[col].null_count:
+            t = t.filter(pc.is_valid(t[col]))
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(cuts, v, side="left") + 1
+        return pa.table({id_col: t[id_col],
+                         bin_col: pa.array(b.astype(np.int64))})
+
+    return ds.map_batches(_assign, batch_format="pyarrow",
+                          batch_size=None)

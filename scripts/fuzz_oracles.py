@@ -72,6 +72,7 @@ EVENT_QUERIES = [
     "daily_value_anomalies", "events_rolling_7d_users",
     "user_cohort_retention", "events_funnel", "events_stickiness",
     "funnel_latency_quantiles", "event_type_transitions",
+    "events_value_quartile_bin",
 ]
 EMBEDDING_QUERIES = [
     # oracle-exact

@@ -1,6 +1,7 @@
 """t-digest + KLL: quantile-error bounds and merge behavior (north-rule extras)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from gostatix_ray.kernels import kll, tdigest
@@ -145,3 +146,45 @@ def test_kll_huge_count_no_materialization():
     assert sum(l.size for l in s.levels) < 1000  # logical weights, not copies
     assert float(kll.quantile(s, 0.5)[0]) == 42.0
     assert float(kll.rank(s, 42.0)[0]) > 0.99
+
+
+def test_quantile_bin_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from gostatix_ray.stages.quantiles import quantile_bin
+
+    rng = np.random.default_rng(31)
+    n = 8000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        # heavy ties: quantile cuts land ON repeated values
+        "value": rng.choice([0.0, 1.0, 1.0, 2.5, 7.75, 99.0], n)
+                 + rng.integers(0, 3, n) * 0.25,
+    })
+    df.loc[rng.random(n) < 0.03, "value"] = np.nan
+    con = duckdb.connect()
+    con.register("events", df)
+    oracle = con.execute("""
+        WITH c AS (SELECT quantile_disc(value, 0.2) AS c1,
+          quantile_disc(value, 0.4) AS c2, quantile_disc(value, 0.6) AS c3,
+          quantile_disc(value, 0.8) AS c4 FROM events)
+        SELECT e.event_id, CAST(1 + CAST(e.value > c.c1 AS INT)
+          + CAST(e.value > c.c2 AS INT) + CAST(e.value > c.c3 AS INT)
+          + CAST(e.value > c.c4 AS INT) AS BIGINT) AS bin
+        FROM events e, c WHERE e.value IS NOT NULL ORDER BY e.event_id
+    """).df()
+    for parts in (1, 6):
+        ds = rd.from_pandas(df)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = (quantile_bin(ds, "value", nbins=5, id_col="event_id")
+               .to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, oracle, check_dtype=False)
+    # bins are roughly equal-frequency (ties distort, but all present)
+    assert set(out["bin"].unique()) <= {1, 2, 3, 4, 5}
+
+    with pytest.raises(ValueError):
+        quantile_bin(rd.from_pandas(df), "value", nbins=1,
+                     id_col="event_id")
