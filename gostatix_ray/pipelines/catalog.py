@@ -3340,6 +3340,31 @@ def q_transcript_flagship(sf_dir: str):
     return flagship_transcripts(10_000, 42)
 
 
+def q_doc_lm_frequency_stats(sf_dir: str):
+    """Corpus LM frequency scoring (stages/lm.py lm_frequency_stats):
+    one factorized tokenization scan builds the corpus unigram+bigram
+    count table (bucketed-groupby reduce, vocabulary-bounded broadcast),
+    then a second projected scan scores every doc — EXACT int64 sums of
+    corpus-wide token/bigram frequencies plus one int/int float
+    division (mean_tok_count), so the DuckDB twin hashes bit-exact."""
+    from ..stages.lm import lm_frequency_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lm_frequency_stats(ds)
+
+
+def q_doc_lm_perplexity(sf_dir: str):
+    """Add-one-smoothed bigram perplexity of each doc against the
+    corpus' own bigram model (stages/lm.py lm_perplexity) — the CCNet/
+    Gopher 'cheap LM quality filter'.  Float-valued (ln): rows-only in
+    the gate; pytest verifies against a direct numpy reference and the
+    integer twin doc_lm_frequency_stats carries the exact oracle."""
+    from ..stages.lm import lm_perplexity
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lm_perplexity(ds)
+
+
 QUERIES = {
     # --- CORRECTNESS GATE WINDOW (first 50 — every row oracle-backed).
     # Round-5 rotation (r4 verdict #1): the 4 new r5 queries, then the 28
@@ -3486,6 +3511,8 @@ QUERIES = {
     "hll_rolling_7d_users": q_hll_rolling_7d_users,
     "keyword_search_topk": q_keyword_search_topk,
     "events_value_quartile_bin": q_events_value_quartile_bin,
+    "doc_lm_frequency_stats": q_doc_lm_frequency_stats,
+    "doc_lm_perplexity": q_doc_lm_perplexity,
 }
 
 ORACLE_SQL = {
@@ -4398,5 +4425,27 @@ ORACLE_SQL = {
         "AS revenue_cents "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment"
+    ),
+    "doc_lm_frequency_stats": (
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(string_split(coalesce(text, ''), ' ')) AS g FROM documents), "
+        "uc AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY g), "
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)), "
+        "i -> l[i] || chr(31) || l[i+1])) AS g "
+        "FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l "
+        "FROM documents)), "
+        "bc AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY g), "
+        "du AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(uc.n) AS BIGINT) AS sum_tok_count "
+        "FROM tok t JOIN uc USING (g) GROUP BY t.doc_id), "
+        "db AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        "CAST(sum(bc.n) AS BIGINT) AS sum_bigram_count "
+        "FROM bg b JOIN bc USING (g) GROUP BY b.doc_id) "
+        "SELECT du.doc_id, du.n_tokens, "
+        "CAST(COALESCE(db.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+        "du.sum_tok_count, "
+        "CAST(COALESCE(db.sum_bigram_count, 0) AS BIGINT) AS sum_bigram_count, "
+        "du.sum_tok_count * 1.0 / du.n_tokens AS mean_tok_count "
+        "FROM du LEFT JOIN db USING (doc_id)"
     ),
 }

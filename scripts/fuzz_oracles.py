@@ -53,7 +53,7 @@ DOC_QUERIES = [
     "token_doc_frequency", "docs_above_quality_cutoff", "doc_hash_sample",
     "docs_weighted_sample", "corpus_snapshot_diff", "doc_train_split",
     "doc_dedup_exact", "decontaminated_docs", "cross_corpus_contamination",
-    "keyword_search_topk",
+    "keyword_search_topk", "doc_lm_frequency_stats",
 ]
 EVENT_QUERIES = [
     "user_running_value", "user_running_value_scan", "user_trailing_value", "user_event_lead_ntile",

@@ -1,0 +1,128 @@
+"""Corpus LM scoring (stages/lm.py): exact integer frequency stats vs
+a DuckDB twin, add-one bigram perplexity vs a direct numpy reference,
+and partition invariance."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from gostatix_ray.stages.lm import lm_frequency_stats, lm_perplexity
+
+DOCS = pd.DataFrame({
+    "doc_id": np.arange(8, dtype=np.int64),
+    "text": [
+        "the cat sat on the mat",
+        "the cat sat",
+        "cat",                       # single token: zero bigrams
+        "",                          # empty text -> one '' token
+        "the the the the",           # heavy repetition
+        "on the mat the cat sat",    # same tokens, shuffled order
+        "completely novel words here",
+        "the  cat",                  # double space -> '' token in the middle
+    ],
+})
+
+
+def _twin_sql():
+    return """
+    WITH tok AS (SELECT doc_id,
+      unnest(string_split(coalesce(text, ''), ' ')) AS g FROM documents),
+    uc AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY g),
+    bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+      i -> l[i] || chr(31) || l[i+1])) AS g
+      FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+            FROM documents)),
+    bc AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY g),
+    du AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(sum(uc.n) AS BIGINT) AS sum_tok_count
+      FROM tok t JOIN uc USING (g) GROUP BY t.doc_id),
+    db AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      CAST(sum(bc.n) AS BIGINT) AS sum_bigram_count
+      FROM bg b JOIN bc USING (g) GROUP BY b.doc_id)
+    SELECT du.doc_id, du.n_tokens,
+      CAST(COALESCE(db.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      du.sum_tok_count,
+      CAST(COALESCE(db.sum_bigram_count, 0) AS BIGINT) AS sum_bigram_count,
+      du.sum_tok_count * 1.0 / du.n_tokens AS mean_tok_count
+    FROM du LEFT JOIN db USING (doc_id) ORDER BY doc_id
+    """
+
+
+def _run_freq(df, blocks=3):
+    ds = ray.data.from_pandas(df).repartition(blocks)
+    out = lm_frequency_stats(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_frequency_stats_match_duckdb_twin():
+    con = duckdb.connect()
+    con.register("documents", DOCS)
+    want = con.execute(_twin_sql()).df()
+    got = _run_freq(DOCS)
+    got = got[list(want.columns)]
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True)
+
+
+def test_frequency_stats_partition_invariant():
+    a = _run_freq(DOCS, blocks=1)
+    b = _run_freq(DOCS, blocks=7)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_frequency_stats_hand_values():
+    got = _run_freq(DOCS).set_index("doc_id")
+    # 'cat' appears 5x in the corpus ('the  cat' contributes one 'cat')
+    assert got.loc[2, "n_tokens"] == 1
+    assert got.loc[2, "n_bigrams"] == 0
+    assert got.loc[2, "sum_tok_count"] == 5
+    assert got.loc[2, "sum_bigram_count"] == 0
+    # empty doc: one '' token; '' occurs twice corpus-wide (doc 3 + doc 7)
+    assert got.loc[3, "n_tokens"] == 1
+    assert got.loc[3, "sum_tok_count"] == 2
+    # repetition doc: 4 tokens 'the' (corpus count 9 + 4 = 13 each)
+    the_count = sum(t.split(" ").count("the") for t in DOCS.text)
+    assert got.loc[4, "sum_tok_count"] == 4 * the_count
+    # 'the the' bigram occurs 3x corpus-wide, all inside doc 4
+    assert got.loc[4, "sum_bigram_count"] == 3 * 3
+
+
+def _ppl_reference(df):
+    """Direct numpy add-one bigram model over the same corpus."""
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    toks = {r.doc_id: r.text.split(" ") for r in df.itertuples()}
+    for t in toks.values():
+        uni.update(t)
+        bi.update(zip(t[:-1], t[1:]))
+    V = len(uni)
+    out = {}
+    for d, t in toks.items():
+        pairs = list(zip(t[:-1], t[1:]))
+        if not pairs:
+            out[d] = (0, 0.0, 1.0)
+            continue
+        ll = -sum(np.log((bi[p] + 1.0) / (uni[p[0]] + V)) for p in pairs)
+        out[d] = (len(pairs), ll / len(pairs), np.exp(ll / len(pairs)))
+    return out
+
+
+def test_perplexity_matches_reference():
+    ds = ray.data.from_pandas(DOCS).repartition(3)
+    got = lm_perplexity(ds).to_pandas().set_index("doc_id")
+    want = _ppl_reference(DOCS)
+    for d, (nb, ll, ppl) in want.items():
+        assert got.loc[d, "n_bigrams"] == nb
+        assert got.loc[d, "logloss_bi"] == pytest.approx(ll, rel=1e-12)
+        assert got.loc[d, "ppl_bi"] == pytest.approx(ppl, rel=1e-12)
+    # repetition doc is the most predictable; novel-words doc the least
+    assert got.loc[4, "ppl_bi"] < got.loc[6, "ppl_bi"]
+
+
+def test_broadcast_guard():
+    ds = ray.data.from_pandas(DOCS)
+    with pytest.raises(ValueError, match="broadcast budget"):
+        lm_frequency_stats(ds, max_broadcast_rows=3).to_pandas()
