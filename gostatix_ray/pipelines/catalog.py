@@ -3340,6 +3340,24 @@ def q_transcript_flagship(sf_dir: str):
     return flagship_transcripts(10_000, 42)
 
 
+def q_hybrid_search_rrf(sf_dir: str):
+    """Hybrid retrieval (stages/search.py hybrid_search_rrf): keyword
+    top-50 (exact-rational tf/df) + embedding top-50 (exact-integer
+    quantized dot vs the lowest-vec_id embedding) fused by reciprocal-
+    rank fusion 1/(60+r_kw) + 1/(60+r_emb).  Every rank is integer-
+    exact and the float score is two exact divisions + one two-term
+    IEEE add, so the twin hashes bit-exact.  Both candidate lists are
+    map-side-pruned top-N; fusion touches ≤ 2N driver rows."""
+    from ..stages.search import hybrid_search_rrf
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    embs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qvec = _queries_matrix(sf_dir, 1)[0]
+    return hybrid_search_rrf(docs, embs,
+                             query_terms=["scan", "slow", "row"],
+                             query_vec=qvec, k=10, n_candidates=50)
+
+
 def q_doc_lm_frequency_stats(sf_dir: str):
     """Corpus LM frequency scoring (stages/lm.py lm_frequency_stats):
     one factorized tokenization scan builds the corpus unigram+bigram
@@ -3513,6 +3531,7 @@ QUERIES = {
     "events_value_quartile_bin": q_events_value_quartile_bin,
     "doc_lm_frequency_stats": q_doc_lm_frequency_stats,
     "doc_lm_perplexity": q_doc_lm_perplexity,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
 }
 
 ORACLE_SQL = {
@@ -4447,5 +4466,40 @@ ORACLE_SQL = {
         "CAST(COALESCE(db.sum_bigram_count, 0) AS BIGINT) AS sum_bigram_count, "
         "du.sum_tok_count * 1.0 / du.n_tokens AS mean_tok_count "
         "FROM du LEFT JOIN db USING (doc_id)"
+    ),
+    "hybrid_search_rrf": (
+        "WITH q AS (SELECT embedding AS qe FROM embeddings "
+        "ORDER BY vec_id LIMIT 1), "
+        "ed AS (SELECT e.vec_id AS doc_id, "
+        "CAST(list_sum(list_transform(list_zip(e.embedding, q.qe), "
+        "p -> CAST(floor(p[1]*1048576.0+0.5) AS BIGINT) "
+        "* CAST(floor(p[2]*1048576.0+0.5) AS BIGINT))) AS BIGINT) AS qdot "
+        "FROM embeddings e CROSS JOIN q), "
+        "er AS (SELECT doc_id, CAST(row_number() OVER "
+        "(ORDER BY qdot DESC, doc_id) AS BIGINT) AS r "
+        "FROM ed ORDER BY qdot DESC, doc_id LIMIT 50), "
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS token FROM documents), "
+        "tf AS (SELECT doc_id, "
+        "CAST(count(*) FILTER (token = 'scan') AS BIGINT) AS tf0, "
+        "CAST(count(*) FILTER (token = 'slow') AS BIGINT) AS tf1, "
+        "CAST(count(*) FILTER (token = 'row') AS BIGINT) AS tf2 "
+        "FROM tok GROUP BY doc_id), "
+        "df AS (SELECT greatest(count(*) FILTER (tf0 > 0), 1) AS df0, "
+        "greatest(count(*) FILTER (tf1 > 0), 1) AS df1, "
+        "greatest(count(*) FILTER (tf2 > 0), 1) AS df2 FROM tf), "
+        "kw AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+        "tf0*df1*df2 + tf1*df0*df2 + tf2*df0*df1 DESC, doc_id) "
+        "AS BIGINT) AS r FROM tf, df WHERE tf0 + tf1 + tf2 > 0 "
+        "ORDER BY tf0*df1*df2 + tf1*df0*df2 + tf2*df0*df1 DESC, doc_id "
+        "LIMIT 50), "
+        "u AS (SELECT doc_id FROM kw UNION SELECT doc_id FROM er), "
+        "s AS (SELECT u.doc_id, "
+        "COALESCE(1.0/(60+kw.r), 0.0) + COALESCE(1.0/(60+er.r), 0.0) "
+        "AS rrf_score FROM u LEFT JOIN kw USING (doc_id) "
+        "LEFT JOIN er USING (doc_id)) "
+        "SELECT doc_id, rrf_score, CAST(row_number() OVER "
+        "(ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank "
+        "FROM s ORDER BY rrf_score DESC, doc_id LIMIT 10"
     ),
 }

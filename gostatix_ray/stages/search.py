@@ -1,6 +1,9 @@
-"""Multi-term keyword retrieval — ranked full-corpus search scored by
-tf/df (term frequency weighted by inverse document frequency), kept
-EXACT-RATIONAL so ranking and scores are pure integer arithmetic:
+"""Retrieval family: multi-term keyword search, exact-integer
+quantized-dot vector ranking, and hybrid reciprocal-rank fusion.
+
+Keyword retrieval is ranked full-corpus search scored by tf/df (term
+frequency weighted by inverse document frequency), kept EXACT-RATIONAL
+so ranking and scores are pure integer arithmetic:
 
     score = Σ_j tf_j / df_j
           = (Σ_j tf_j · Π_{i≠j} df_i) / Π_i df_i
@@ -112,3 +115,86 @@ def keyword_search(ds, *, query_terms: list[str], k: int = 20,
                               batch_size=None)
     return global_topn(scored, order_col="score_num", tiebreak=id_col,
                        n=k)
+
+
+def quantized_dot_topk(ds, query_vec, *, k: int = 20,
+                       id_col: str = "vec_id",
+                       emb_col: str = "embedding",
+                       scale_bits: int = 20):
+    """Top-``k`` vectors by EXACT-INTEGER quantized dot product against
+    one query vector: every component maps to
+    ``floor(x * 2^scale_bits + 0.5)`` (int64 — the int8/intN
+    quantization trick at oracle-provable precision; the float ops
+    involved are all exact, so both engines quantize bit-identically)
+    and the score is the int64 dot product — no float summation order
+    anywhere.  Returns (id, qdot: int64, rank) ordered
+    (qdot DESC, id ASC).
+
+    Headroom: |x| ≤ 2 components at scale_bits=20 give |q_i·e_i| ≤ 2^42;
+    safe up to dim 2^20.  Map-side pruned global_topn — at most
+    k × blocks rows meet (no global sort).
+    """
+    from .rank import global_topn
+
+    scale = float(1 << scale_bits)
+    qq = np.floor(np.asarray(query_vec, np.float64) * scale + 0.5) \
+        .astype(np.int64)
+
+    def _dot(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: batch[id_col],
+                             "qdot": pa.array([], pa.int64())})
+        emb = np.stack(batch[emb_col].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        qe = np.floor(emb * scale + 0.5).astype(np.int64)
+        return pa.table({id_col: batch[id_col],
+                         "qdot": pa.array(qe @ qq)})
+
+    scored = ds.map_batches(_dot, batch_format="pyarrow", batch_size=None)
+    return global_topn(scored, order_col="qdot", tiebreak=id_col, n=k)
+
+
+def hybrid_search_rrf(docs, embs, *, query_terms: list[str], query_vec,
+                      k: int = 10, n_candidates: int = 50,
+                      rrf_k: int = 60, doc_id_col: str = "doc_id",
+                      vec_id_col: str = "vec_id",
+                      text_col: str = "text",
+                      emb_col: str = "embedding"):
+    """Hybrid retrieval with reciprocal-rank fusion: the keyword top-N
+    (exact-rational tf/df ranks) and the embedding top-N (exact-integer
+    quantized-dot ranks) fuse as
+
+        rrf = 1/(rrf_k + rank_kw) + 1/(rrf_k + rank_emb)
+
+    with a missing list contributing 0.  Each addend is ONE float64
+    division of exact ints and the sum has exactly two terms — IEEE-
+    deterministic cross-engine, so even the float score oracle-hashes.
+
+    Scale shape: both rank lists are map-side-pruned global top-N
+    (≤ N × blocks rows ever meet); the fusion itself runs on the driver
+    over ≤ 2N rows — bounded by construction, never by input size.
+    Returns (doc_id, rrf_score, rank) ordered (rrf_score DESC, id ASC),
+    ≤ k rows.
+    """
+    kw = keyword_search(docs, query_terms=query_terms, k=n_candidates,
+                        text_col=text_col, id_col=doc_id_col)
+    ev = quantized_dot_topk(embs, query_vec, k=n_candidates,
+                            id_col=vec_id_col, emb_col=emb_col)
+    kw_df = kw if isinstance(kw, pd.DataFrame) else kw.to_pandas()
+    ev_df = ev.to_pandas()
+    r_kw = dict(zip(kw_df[doc_id_col].astype(np.int64),
+                    kw_df["rank"].astype(np.int64)))
+    r_ev = dict(zip(ev_df[vec_id_col].astype(np.int64),
+                    ev_df["rank"].astype(np.int64)))
+    ids = sorted(set(r_kw) | set(r_ev))
+    score = [
+        (1.0 / (rrf_k + r_kw[i]) if i in r_kw else 0.0)
+        + (1.0 / (rrf_k + r_ev[i]) if i in r_ev else 0.0)
+        for i in ids
+    ]
+    out = pd.DataFrame({doc_id_col: pd.array(ids, dtype="int64"),
+                        "rrf_score": np.asarray(score, np.float64)})
+    out = out.sort_values(["rrf_score", doc_id_col],
+                          ascending=[False, True], kind="stable").head(k)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out.reset_index(drop=True)
