@@ -3117,6 +3117,23 @@ def q_value_quantiles_kll(sf_dir: str):
     return pd.DataFrame({"q": _QS, "value_est": est})
 
 
+def q_value_quantiles_ddsketch(sf_dir: str):
+    """DDSketch relative-error quantiles (kernels/ddsketch.py — Masson
+    et al. VLDB'19) through the full build→merge engine path.  Unlike
+    tdigest/kll this sketch merges BYTE-STABLY (hi-anchored collapse),
+    so it rides the same partition-order-identical guarantees as the
+    five reference structures.  Estimate-valued (rows-only gate);
+    the α=0.01 relative bound is asserted vs the exact twin in
+    tests/test_ddsketch.py."""
+    from ..kernels import ddsketch
+
+    ds = _read(sf_dir, "events", ["value"])
+    state = _one_state(ds, SketchRequest(
+        "val_dd", "ddsketch", ddsketch.DDSpec(alpha=0.01), on="value"))
+    est = ddsketch.quantile(state, _QS)
+    return pd.DataFrame({"q": _QS, "value_est": est})
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -3532,6 +3549,7 @@ QUERIES = {
     "doc_lm_frequency_stats": q_doc_lm_frequency_stats,
     "doc_lm_perplexity": q_doc_lm_perplexity,
     "hybrid_search_rrf": q_hybrid_search_rrf,
+    "value_quantiles_ddsketch": q_value_quantiles_ddsketch,
 }
 
 ORACLE_SQL = {

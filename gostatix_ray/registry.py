@@ -6,7 +6,7 @@ merge(a, b), to_bytes(state), from_bytes(blob), equals(a, b).
 
 from __future__ import annotations
 
-from .kernels import bloom, cms, cuckoo, hll, kll, kmv, moments, tdigest, topk
+from .kernels import bloom, cms, cuckoo, ddsketch, hll, kll, kmv, moments, tdigest, topk
 
 KERNELS = {
     "bloom": bloom,
@@ -18,15 +18,17 @@ KERNELS = {
     "kll": kll,
     "moments": moments,
     "kmv": kmv,
+    "ddsketch": ddsketch,
 }
 
 #: kinds whose merge is associative AND byte-stable (bit-identical final
 #: state for any partition order).  tdigest / kll merges preserve error
 #: bounds but not bytes; cuckoo has no merge at all (partitioned filter).
 #: moments is byte-stable because its power sums are exact Python ints;
-#: kmv because bottom-k of a hash union is order-free.
-BYTE_STABLE = {"bloom", "hll", "cms", "topk", "moments", "kmv"}
-MERGEABLE = {"bloom", "hll", "cms", "topk", "tdigest", "kll", "moments", "kmv"}
+#: kmv because bottom-k of a hash union is order-free; ddsketch because
+#: its hi-anchored collapse floor is a pure function of the summed counts.
+BYTE_STABLE = {"bloom", "hll", "cms", "topk", "moments", "kmv", "ddsketch"}
+MERGEABLE = {"bloom", "hll", "cms", "topk", "tdigest", "kll", "moments", "kmv", "ddsketch"}
 
 
 def kernel_for(kind: str):

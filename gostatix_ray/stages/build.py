@@ -291,7 +291,7 @@ class SketchBuilder:
                     groups[label] = (vals, w)
             for gkey, (vals, w) in groups.items():
                 state = kernel.new(req.spec)
-                if req.kind in ("tdigest", "kll", "moments"):
+                if req.kind in ("tdigest", "kll", "moments", "ddsketch"):
                     nums = vals.to_numpy(zero_copy_only=False).astype(np.float64)
                     kernel.update(state, nums, w)
                 else:

@@ -172,6 +172,28 @@ def main() -> None:
                          observed=f"max rank error {err:.5f}",
                          bound=bound_txt, ok=bool(err <= rank_bound)))
 
+    # ---- DDSketch: relative-VALUE error (Masson et al. VLDB'19) -------------
+    from gostatix_ray.kernels import ddsketch
+
+    alpha = 0.01
+    st = one_state(read(ev, ["value"]),
+                   SketchRequest("q", "ddsketch", ddsketch.DDSpec(alpha=alpha),
+                                 on="value"))
+    qs = np.array([0.01, 0.1, 0.5, 0.9, 0.99])
+    est = np.asarray(ddsketch.quantile(st, qs), dtype=np.float64)
+    k = np.clip(np.ceil(qs * n).astype(np.int64), 1, n)
+    exact_q = vals[k - 1]
+    rel = np.abs(est - exact_q) / np.maximum(np.abs(exact_q), 1e-300)
+    ok = bool((np.abs(est - exact_q)
+               <= alpha * np.abs(exact_q) * (1 + 1e-9) + 1e-9).all()
+              and not st.collapsed)
+    rows.append(dict(sketch=f"ddsketch alpha={alpha}",
+                     metric="value quantiles q=1/10/50/90/99%",
+                     exact="-", estimate="-",
+                     observed=f"max rel value error {float(rel.max()):.5f}",
+                     bound=f"relative error <= alpha = {alpha} (uncollapsed)",
+                     ok=ok))
+
     # ---- render -------------------------------------------------------------
     df = pd.DataFrame(rows)
     all_ok = bool(df["ok"].all())
