@@ -10,4 +10,4 @@ value-equivalent-but-not-byte-identical merges (their own module
 docstrings).  Validated in ``tests/test_merge_laws.py``.
 """
 
-from . import bloom, cms, cuckoo, ddsketch, hll, kll, moments, tdigest, topk  # noqa: F401
+from . import bloom, cms, cuckoo, ddsketch, hll, kll, moments, spacesaving, tdigest, topk  # noqa: F401

@@ -3357,6 +3357,26 @@ def q_transcript_flagship(sf_dir: str):
     return flagship_transcripts(10_000, 42)
 
 
+def q_spacesaving_event_types(sf_dir: str):
+    """Misra-Gries/SpaceSaving heavy hitters (kernels/spacesaving.py,
+    Agarwal et al. PODS'12 mergeable form) through the full
+    build→merge engine path.  k=64 exceeds the event-type cardinality,
+    so the summary runs in its EXACT regime (zero deficit, plain-
+    addition merges — order-independent) and the top-3 oracle hashes
+    bit-exact; the deficit-bounded regime is asserted under
+    adversarial partitionings in tests/test_spacesaving.py."""
+    from ..kernels import spacesaving
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    state = _one_state(ds, SketchRequest(
+        "ss_et", "spacesaving", spacesaving.SSSpec(k=64), on="event_type"))
+    assert state.err == 0, "spacesaving left exact regime unexpectedly"
+    vals = spacesaving.values(state, 3)
+    return pd.DataFrame({"event_type": [e for e, _ in vals],
+                         "cnt": pd.array([c for _, c in vals],
+                                         dtype="int64")})
+
+
 def q_hybrid_search_rrf(sf_dir: str):
     """Hybrid retrieval (stages/search.py hybrid_search_rrf): keyword
     top-50 (exact-rational tf/df) + embedding top-50 (exact-integer
@@ -3550,6 +3570,7 @@ QUERIES = {
     "doc_lm_perplexity": q_doc_lm_perplexity,
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "value_quantiles_ddsketch": q_value_quantiles_ddsketch,
+    "spacesaving_event_types": q_spacesaving_event_types,
 }
 
 ORACLE_SQL = {
@@ -4519,5 +4540,9 @@ ORACLE_SQL = {
         "SELECT doc_id, rrf_score, CAST(row_number() OVER "
         "(ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank "
         "FROM s ORDER BY rrf_score DESC, doc_id LIMIT 10"
+    ),
+    "spacesaving_event_types": (
+        "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type "
+        "ORDER BY cnt DESC, event_type ASC LIMIT 3"
     ),
 }

@@ -6,7 +6,8 @@ merge(a, b), to_bytes(state), from_bytes(blob), equals(a, b).
 
 from __future__ import annotations
 
-from .kernels import bloom, cms, cuckoo, ddsketch, hll, kll, kmv, moments, tdigest, topk
+from .kernels import (bloom, cms, cuckoo, ddsketch, hll, kll, kmv,
+                      moments, spacesaving, tdigest, topk)
 
 KERNELS = {
     "bloom": bloom,
@@ -19,6 +20,7 @@ KERNELS = {
     "moments": moments,
     "kmv": kmv,
     "ddsketch": ddsketch,
+    "spacesaving": spacesaving,
 }
 
 #: kinds whose merge is associative AND byte-stable (bit-identical final
@@ -28,7 +30,8 @@ KERNELS = {
 #: kmv because bottom-k of a hash union is order-free; ddsketch because
 #: its hi-anchored collapse floor is a pure function of the summed counts.
 BYTE_STABLE = {"bloom", "hll", "cms", "topk", "moments", "kmv", "ddsketch"}
-MERGEABLE = {"bloom", "hll", "cms", "topk", "tdigest", "kll", "moments", "kmv", "ddsketch"}
+MERGEABLE = {"bloom", "hll", "cms", "topk", "tdigest", "kll",
+             "moments", "kmv", "ddsketch", "spacesaving"}
 
 
 def kernel_for(kind: str):
