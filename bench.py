@@ -212,6 +212,13 @@ def run_bench() -> dict:
         timed("events_rolling_7d_users", lambda: _consume(catalog.q_events_rolling_7d_users(sf_dir)))
         timed("events_funnel", lambda: _consume(catalog.q_events_funnel(sf_dir)))
         timed("keyword_search_topk", lambda: _consume(catalog.q_keyword_search_topk(sf_dir)))
+        # round-5-late additions: LM scoring (two text scans + one
+        # gram-count shuffle), hybrid RRF (two pruned top-N lists),
+        # DDSketch + SpaceSaving through the full build->merge path
+        timed("doc_lm_frequency_stats", lambda: _consume(catalog.q_doc_lm_frequency_stats(sf_dir)))
+        timed("hybrid_search_rrf", lambda: _consume(catalog.q_hybrid_search_rrf(sf_dir)))
+        timed("value_quantiles_ddsketch", lambda: _consume(catalog.q_value_quantiles_ddsketch(sf_dir)))
+        timed("spacesaving_event_types", lambda: _consume(catalog.q_spacesaving_event_types(sf_dir)))
 
         # --- sf1 (10x) relational scale point (round-4 verdict #5): the
         # planner's broadcast-vs-shuffle decisions at 6M lineitem rows.

@@ -249,18 +249,107 @@ def _score(ds, *, text_col: str, id_col: str, mode: str,
     return ds.map_batches(scorer, batch_format="pyarrow", batch_size=None)
 
 
+def _score_freq_shuffle(ds, *, text_col: str, id_col: str,
+                        num_buckets: int = 64):
+    """Broadcast-free scale path for :func:`lm_frequency_stats`: one
+    tokenization scan collapses each batch to SLIM
+    (order, gram, doc_id, occ) rows — one row per distinct gram per
+    doc — from which BOTH the corpus counts and the per-doc sums
+    derive, so no count table ever materializes anywhere.  Shuffle 1
+    buckets by gram (complete gram-groups per bucket: n(g) = Σ occ,
+    each doc's contribution occ·n(g) pre-aggregated per (doc, order));
+    shuffle 2 buckets by doc id (integer splitmix fast path) and sums
+    the ≤ 2·buckets partials per doc.  Exactly the result of the
+    broadcast path, byte-for-byte (asserted in tests/test_lm.py)."""
+    import pandas as _pd
+
+    from .dedup import bucketed_groupby
+
+    def _slim(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        flat, big, doc_idx, big_idx, _ = _batch_grams(batch, text_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        for order, arr, didx in ((1, flat, doc_idx), (2, big, big_idx)):
+            if len(arr) == 0:
+                continue
+            enc = arr.dictionary_encode()
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            nd = len(enc.dictionary)
+            comb = didx.astype(np.int64) * nd + codes
+            uniq, occ = np.unique(comb, return_counts=True)
+            d, c = uniq // nd, uniq % nd
+            yield pa.table({
+                "order": pa.array(np.full(len(uniq), order, np.int64)),
+                "gram": enc.dictionary.take(pa.array(c)),
+                id_col: pa.array(ids[d]),
+                "occ": pa.array(occ.astype(np.int64))})
+
+    slim = ds.map_batches(_slim, batch_format="pyarrow", batch_size=None)
+
+    def _per_gram(df: _pd.DataFrame) -> _pd.DataFrame:
+        n = df.groupby(["order", "gram"], sort=False)["occ"] \
+            .transform("sum")
+        df = df.assign(contrib=df["occ"] * n)
+        return df.groupby([id_col, "order"], sort=False,
+                          as_index=False)[["occ", "contrib"]].sum()
+
+    partials = bucketed_groupby(slim, ["order", "gram"], _per_gram,
+                                num_buckets=num_buckets)
+
+    def _per_doc(df: _pd.DataFrame) -> _pd.DataFrame:
+        p = df.pivot_table(index=id_col, columns="order",
+                           values=["occ", "contrib"], aggfunc="sum",
+                           fill_value=0)
+        out = _pd.DataFrame({id_col: p.index.to_numpy()})
+        get = (lambda f, o: p[(f, o)].to_numpy().astype(np.int64)
+               if (f, o) in p.columns else np.zeros(len(p), np.int64))
+        out["n_tokens"] = get("occ", 1)
+        out["n_bigrams"] = get("occ", 2)
+        out["sum_tok_count"] = get("contrib", 1)
+        out["sum_bigram_count"] = get("contrib", 2)
+        out["mean_tok_count"] = np.where(
+            out["n_tokens"] > 0,
+            out["sum_tok_count"] * 1.0 / np.maximum(out["n_tokens"], 1),
+            0.0)
+        return out
+
+    return bucketed_groupby(partials, [id_col], _per_doc,
+                            num_buckets=num_buckets)
+
+
 def lm_frequency_stats(ds, *, text_col: str = "text",
                        id_col: str = "doc_id",
-                       max_broadcast_rows: int = 50_000_000):
+                       max_broadcast_rows: int = 50_000_000,
+                       scoring: str = "auto"):
     """Per-doc EXACT corpus-frequency statistics (see module doc).
 
     Returns (id, n_tokens, n_bigrams, sum_tok_count, sum_bigram_count,
     mean_tok_count) where the sums are over every token/bigram
     OCCURRENCE in the doc of its corpus-wide count — all int64 except
     the final single int/int division (cross-engine bit-identical).
+
+    ``scoring``: "broadcast" (count table shipped once per worker;
+    raises beyond ``max_broadcast_rows`` distinct grams), "shuffle"
+    (the broadcast-free two-shuffle path — right when the gram
+    vocabulary itself is object-store-scale), or "auto" (broadcast,
+    falling back to shuffle past the budget).  Both paths return
+    identical rows (tested).
     """
-    return _score(ds, text_col=text_col, id_col=id_col, mode="freq",
-                  max_broadcast_rows=max_broadcast_rows)
+    if scoring not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown scoring mode {scoring!r}")
+    if scoring == "shuffle":
+        return _score_freq_shuffle(ds, text_col=text_col, id_col=id_col)
+    try:
+        return _score(ds, text_col=text_col, id_col=id_col, mode="freq",
+                      max_broadcast_rows=max_broadcast_rows)
+    except ValueError:
+        if scoring == "broadcast":
+            raise
+        return _score_freq_shuffle(ds, text_col=text_col, id_col=id_col)
 
 
 def lm_perplexity(ds, *, text_col: str = "text", id_col: str = "doc_id",

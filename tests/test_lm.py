@@ -122,7 +122,28 @@ def test_perplexity_matches_reference():
     assert got.loc[4, "ppl_bi"] < got.loc[6, "ppl_bi"]
 
 
-def test_broadcast_guard():
-    ds = ray.data.from_pandas(DOCS)
+def test_shuffle_scoring_path_identical():
+    """The broadcast-free two-shuffle path returns exactly the
+    broadcast path's rows (same ints, same float division)."""
+    a = _run_freq(DOCS, blocks=4)
+    ds = ray.data.from_pandas(DOCS).repartition(4)
+    from gostatix_ray.stages.lm import lm_frequency_stats as f
+
+    b = f(ds, scoring="shuffle").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[list(a.columns)], check_exact=True)
+
+
+def test_auto_falls_back_to_shuffle():
+    ds = ray.data.from_pandas(DOCS).repartition(2)
+    from gostatix_ray.stages.lm import lm_frequency_stats as f
+
+    got = f(ds, max_broadcast_rows=3, scoring="auto").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = _run_freq(DOCS)
+    pd.testing.assert_frame_equal(want, got[list(want.columns)],
+                                  check_exact=True)
     with pytest.raises(ValueError, match="broadcast budget"):
-        lm_frequency_stats(ds, max_broadcast_rows=3).to_pandas()
+        f(ds, max_broadcast_rows=3, scoring="broadcast").to_pandas()
+    with pytest.raises(ValueError, match="scoring"):
+        f(ds, scoring="bogus")
