@@ -26,7 +26,8 @@ def sketch_agg(kind: str, spec: Any, on: str, *, alias_name: str | None = None, 
     """Build an AggregateFn computing one sketch over column ``on``.
 
     ``kind`` must be mergeable (bloom/hll/cms/topk/tdigest/kll —
-    cuckoo is not; see stages.membership.PartitionedCuckoo).
+    cuckoo is not; see stages.membership.PartitionedCuckoo);
+    ddsketch/spacesaving included.
     """
     if kind not in MERGEABLE:
         raise ValueError(f"kind {kind!r} is not mergeable; cannot be an aggregation")
@@ -48,9 +49,9 @@ def sketch_agg(kind: str, spec: Any, on: str, *, alias_name: str | None = None, 
         else:  # pandas
             col = pa.array(block[on])
             w = block[weight].to_numpy() if weight else None
-        if kind in ("tdigest", "kll", "moments"):
+        if kind in ("tdigest", "kll", "moments", "ddsketch"):
             kernel.update(state, col.to_numpy(zero_copy_only=False).astype(np.float64), w)
-        elif w is not None and kind in ("cms", "topk"):
+        elif w is not None and kind in ("cms", "topk", "spacesaving"):
             kernel.update(state, col, w)
         else:
             kernel.update(state, col)

@@ -51,3 +51,35 @@ def test_agg_equals_pipeline(ray_session):
 def test_unmergeable_kind_rejected():
     with pytest.raises(ValueError):
         sketch_agg("cuckoo", None, "k")
+
+
+def test_ddsketch_and_spacesaving_aggs(ray_session):
+    """The two round-5 kernels ride the native AggregateFn path and
+    match a local kernel build byte-for-byte."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from gostatix_ray.kernels import ddsketch, spacesaving
+
+    rng = np.random.default_rng(23)
+    vals = rng.lognormal(1.0, 1.0, 8000)
+    keys = [f"k{v}" for v in rng.zipf(1.5, 8000).clip(1, 40)]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"v": vals, "k": keys})).repartition(5)
+
+    spec = ddsketch.DDSpec(alpha=0.02, max_bins=256)
+    out = ds.aggregate(sketch_agg("ddsketch", spec, "v", alias_name="s"))
+    got = ddsketch.from_bytes(out["s"])
+    want = ddsketch.new(spec)
+    ddsketch.update(want, vals)
+    assert ddsketch.to_bytes(got) == ddsketch.to_bytes(want)
+
+    ss_spec = spacesaving.SSSpec(k=64)
+    out2 = ds.aggregate(sketch_agg("spacesaving", ss_spec, "k",
+                                   alias_name="s"))
+    got2 = spacesaving.from_bytes(out2["s"])
+    from collections import Counter
+
+    assert dict(spacesaving.values(got2)) == dict(Counter(keys))
+    assert got2.err == 0  # 40 distinct < k=64: exact regime
