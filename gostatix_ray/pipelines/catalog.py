@@ -3408,6 +3408,27 @@ def q_doc_lm_frequency_stats(sf_dir: str):
     return lm_frequency_stats(ds)
 
 
+def q_doc_lm_crossref_stats(sf_dir: str):
+    """Cross-corpus LM scoring (the CCNet setup): every document scored
+    against the counts of the TRUSTED reference sub-corpus (lang='en'
+    docs) — grams unseen in the reference contribute 0, so non-English
+    docs surface with near-zero mean_tok_count.  Runs the broadcast-
+    free SHUFFLE path explicitly (reference rows ride the same single
+    gram shuffle as a tagged union; the broadcast path is oracled by
+    doc_lm_frequency_stats) — exact int64 sums, bit-exact twin."""
+    from ..stages.lm import lm_frequency_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _en(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["lang"], "en")) \
+            .select(["doc_id", "text"])
+
+    ref = _read(sf_dir, "documents", ["doc_id", "text", "lang"]) \
+        .map_batches(_en, batch_format="pyarrow", batch_size=None)
+    return lm_frequency_stats(docs, reference=ref, scoring="shuffle")
+
+
 def q_doc_lm_perplexity(sf_dir: str):
     """Add-one-smoothed bigram perplexity of each doc against the
     corpus' own bigram model (stages/lm.py lm_perplexity) — the CCNet/
@@ -3571,6 +3592,7 @@ QUERIES = {
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "value_quantiles_ddsketch": q_value_quantiles_ddsketch,
     "spacesaving_event_types": q_spacesaving_event_types,
+    "doc_lm_crossref_stats": q_doc_lm_crossref_stats,
 }
 
 ORACLE_SQL = {
@@ -4544,5 +4566,33 @@ ORACLE_SQL = {
     "spacesaving_event_types": (
         "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type "
         "ORDER BY cnt DESC, event_type ASC LIMIT 3"
+    ),
+    "doc_lm_crossref_stats": (
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(string_split(coalesce(text, ''), ' ')) AS g FROM documents), "
+        "rtok AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS g "
+        "FROM documents WHERE lang = 'en'), "
+        "uc AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM rtok GROUP BY g), "
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)), "
+        "i -> l[i] || chr(31) || l[i+1])) AS g "
+        "FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l "
+        "FROM documents)), "
+        "rbg AS (SELECT unnest(list_transform(range(1, len(l)), "
+        "i -> l[i] || chr(31) || l[i+1])) AS g "
+        "FROM (SELECT string_split(coalesce(text, ''), ' ') AS l "
+        "FROM documents WHERE lang = 'en')), "
+        "bc AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM rbg GROUP BY g), "
+        "du AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(COALESCE(uc.n, 0)) AS BIGINT) AS sum_tok_count "
+        "FROM tok t LEFT JOIN uc USING (g) GROUP BY t.doc_id), "
+        "db AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        "CAST(sum(COALESCE(bc.n, 0)) AS BIGINT) AS sum_bigram_count "
+        "FROM bg b LEFT JOIN bc USING (g) GROUP BY b.doc_id) "
+        "SELECT du.doc_id, du.n_tokens, "
+        "CAST(COALESCE(db.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+        "du.sum_tok_count, "
+        "CAST(COALESCE(db.sum_bigram_count, 0) AS BIGINT) AS sum_bigram_count, "
+        "du.sum_tok_count * 1.0 / du.n_tokens AS mean_tok_count "
+        "FROM du LEFT JOIN db USING (doc_id)"
     ),
 }

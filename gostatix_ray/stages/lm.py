@@ -235,8 +235,9 @@ def _empty_like(id_col: str, mode: str) -> pa.Table:
 
 
 def _score(ds, *, text_col: str, id_col: str, mode: str,
-           max_broadcast_rows: int):
-    uni, bi = corpus_gram_counts(ds, text_col=text_col,
+           max_broadcast_rows: int, reference=None):
+    uni, bi = corpus_gram_counts(reference if reference is not None else ds,
+                                 text_col=text_col,
                                  max_broadcast_rows=max_broadcast_rows)
     try:
         import ray
@@ -250,7 +251,7 @@ def _score(ds, *, text_col: str, id_col: str, mode: str,
 
 
 def _score_freq_shuffle(ds, *, text_col: str, id_col: str,
-                        num_buckets: int = 64):
+                        num_buckets: int = 64, reference=None):
     """Broadcast-free scale path for :func:`lm_frequency_stats`: one
     tokenization scan collapses each batch to SLIM
     (order, gram, doc_id, occ) rows — one row per distinct gram per
@@ -265,37 +266,55 @@ def _score_freq_shuffle(ds, *, text_col: str, id_col: str,
 
     from .dedup import bucketed_groupby
 
-    def _slim(batch: pa.Table):
-        if batch.num_rows == 0:
-            return
-        flat, big, doc_idx, big_idx, _ = _batch_grams(batch, text_col)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        for order, arr, didx in ((1, flat, doc_idx), (2, big, big_idx)):
-            if len(arr) == 0:
-                continue
-            enc = arr.dictionary_encode()
-            if isinstance(enc, pa.ChunkedArray):
-                enc = enc.combine_chunks()
-            codes = enc.indices.to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            nd = len(enc.dictionary)
-            comb = didx.astype(np.int64) * nd + codes
-            uniq, occ = np.unique(comb, return_counts=True)
-            d, c = uniq // nd, uniq % nd
-            yield pa.table({
-                "order": pa.array(np.full(len(uniq), order, np.int64)),
-                "gram": enc.dictionary.take(pa.array(c)),
-                id_col: pa.array(ids[d]),
-                "occ": pa.array(occ.astype(np.int64))})
+    def _make_slim(is_ref: int):
+        def _slim(batch: pa.Table):
+            if batch.num_rows == 0:
+                return
+            flat, big, doc_idx, big_idx, _ = _batch_grams(batch, text_col)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            for order, arr, didx in ((1, flat, doc_idx),
+                                     (2, big, big_idx)):
+                if len(arr) == 0:
+                    continue
+                enc = arr.dictionary_encode()
+                if isinstance(enc, pa.ChunkedArray):
+                    enc = enc.combine_chunks()
+                codes = enc.indices.to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                nd = len(enc.dictionary)
+                comb = didx.astype(np.int64) * nd + codes
+                uniq, occ = np.unique(comb, return_counts=True)
+                d, c = uniq // nd, uniq % nd
+                yield pa.table({
+                    "order": pa.array(np.full(len(uniq), order, np.int64)),
+                    "gram": enc.dictionary.take(pa.array(c)),
+                    id_col: pa.array(ids[d]),
+                    "occ": pa.array(occ.astype(np.int64)),
+                    "is_ref": pa.array(
+                        np.full(len(uniq), is_ref, np.int64))})
+        return _slim
 
-    slim = ds.map_batches(_slim, batch_format="pyarrow", batch_size=None)
+    slim = ds.map_batches(_make_slim(0), batch_format="pyarrow",
+                          batch_size=None)
+    # cross-corpus mode: reference rows carry the counts, main rows the
+    # docs — one tagged union, still a single gram shuffle
+    self_counts = reference is None
+    if not self_counts:
+        slim = slim.union(reference.map_batches(
+            _make_slim(1), batch_format="pyarrow", batch_size=None))
 
     def _per_gram(df: _pd.DataFrame) -> _pd.DataFrame:
-        n = df.groupby(["order", "gram"], sort=False)["occ"] \
-            .transform("sum")
-        df = df.assign(contrib=df["occ"] * n)
-        return df.groupby([id_col, "order"], sort=False,
-                          as_index=False)[["occ", "contrib"]].sum()
+        src = df if self_counts else df[df["is_ref"] == 1]
+        n = src.groupby(["order", "gram"], sort=False)["occ"].sum()
+        docs = df if self_counts else df[df["is_ref"] == 0]
+        nv = _pd.MultiIndex.from_frame(docs[["order", "gram"]]) \
+            .map(n).fillna(0).to_numpy().astype(np.int64) \
+            if not self_counts else \
+            docs.groupby(["order", "gram"], sort=False)["occ"] \
+            .transform("sum").to_numpy()
+        docs = docs.assign(contrib=docs["occ"].to_numpy() * nv)
+        return docs.groupby([id_col, "order"], sort=False,
+                            as_index=False)[["occ", "contrib"]].sum()
 
     partials = bucketed_groupby(slim, ["order", "gram"], _per_gram,
                                 num_buckets=num_buckets)
@@ -324,13 +343,19 @@ def _score_freq_shuffle(ds, *, text_col: str, id_col: str,
 def lm_frequency_stats(ds, *, text_col: str = "text",
                        id_col: str = "doc_id",
                        max_broadcast_rows: int = 50_000_000,
-                       scoring: str = "auto"):
+                       scoring: str = "auto", reference=None):
     """Per-doc EXACT corpus-frequency statistics (see module doc).
 
     Returns (id, n_tokens, n_bigrams, sum_tok_count, sum_bigram_count,
     mean_tok_count) where the sums are over every token/bigram
     OCCURRENCE in the doc of its corpus-wide count — all int64 except
     the final single int/int division (cross-engine bit-identical).
+
+    ``reference``: optional second Dataset whose text supplies the
+    count tables instead of ``ds`` itself — the CCNet cross-corpus
+    setup (score every doc against a TRUSTED reference corpus; grams
+    unseen in the reference contribute 0).  In the shuffle path the
+    reference rides the same single gram shuffle as a tagged union.
 
     ``scoring``: "broadcast" (count table shipped once per worker;
     raises beyond ``max_broadcast_rows`` distinct grams), "shuffle"
@@ -342,23 +367,28 @@ def lm_frequency_stats(ds, *, text_col: str = "text",
     if scoring not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown scoring mode {scoring!r}")
     if scoring == "shuffle":
-        return _score_freq_shuffle(ds, text_col=text_col, id_col=id_col)
+        return _score_freq_shuffle(ds, text_col=text_col, id_col=id_col,
+                                   reference=reference)
     try:
         return _score(ds, text_col=text_col, id_col=id_col, mode="freq",
-                      max_broadcast_rows=max_broadcast_rows)
+                      max_broadcast_rows=max_broadcast_rows,
+                      reference=reference)
     except ValueError:
         if scoring == "broadcast":
             raise
-        return _score_freq_shuffle(ds, text_col=text_col, id_col=id_col)
+        return _score_freq_shuffle(ds, text_col=text_col, id_col=id_col,
+                                   reference=reference)
 
 
 def lm_perplexity(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                  max_broadcast_rows: int = 50_000_000):
+                  max_broadcast_rows: int = 50_000_000, reference=None):
     """Per-doc add-one-smoothed bigram perplexity against the corpus'
-    own bigram model (float, estimate-valued — the standard
-     'train a cheap LM on the corpus, flag high-perplexity docs'
-    curation filter).  Verified in pytest against a direct numpy
-    reference; rows-only in the driver gate (exact twin: the
-    lm_frequency_stats integer surface)."""
+    own bigram model — or, with ``reference=``, against a trusted
+    reference corpus's model (float, estimate-valued — the standard
+    'train a cheap LM, flag high-perplexity docs' curation filter).
+    Verified in pytest against a direct numpy reference; rows-only in
+    the driver gate (exact twin: the lm_frequency_stats integer
+    surface)."""
     return _score(ds, text_col=text_col, id_col=id_col, mode="ppl",
-                  max_broadcast_rows=max_broadcast_rows)
+                  max_broadcast_rows=max_broadcast_rows,
+                  reference=reference)

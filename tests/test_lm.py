@@ -147,3 +147,43 @@ def test_auto_falls_back_to_shuffle():
         f(ds, max_broadcast_rows=3, scoring="broadcast").to_pandas()
     with pytest.raises(ValueError, match="scoring"):
         f(ds, scoring="bogus")
+
+
+def test_cross_corpus_reference_both_paths():
+    """reference= scores docs against a separate corpus's counts;
+    broadcast and shuffle paths agree byte-for-byte, and grams unseen
+    in the reference contribute 0."""
+    ref = pd.DataFrame({
+        "doc_id": np.arange(100, 103, dtype=np.int64),
+        "text": ["the cat sat", "the cat", "sat on the mat"]})
+    ref_ds = ray.data.from_pandas(ref).repartition(2)
+    ds = ray.data.from_pandas(DOCS).repartition(3)
+    a = lm_frequency_stats(ds, reference=ref_ds, scoring="broadcast") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ref_ds2 = ray.data.from_pandas(ref).repartition(2)
+    ds2 = ray.data.from_pandas(DOCS).repartition(3)
+    b = lm_frequency_stats(ds2, reference=ref_ds2, scoring="shuffle") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[list(a.columns)], check_exact=True)
+    got = a.set_index("doc_id")
+    # 'the' occurs 3x in ref; doc 4 = 'the the the the' -> 4*3
+    assert got.loc[4, "sum_tok_count"] == 12
+    # ref has no 'the the' bigram -> 0
+    assert got.loc[4, "sum_bigram_count"] == 0
+    # doc 6 shares no token with ref -> all-zero sums, full token count
+    assert got.loc[6, "sum_tok_count"] == 0
+    assert got.loc[6, "n_tokens"] == 4
+    # every input doc present even when nothing matches
+    assert set(got.index) == set(DOCS.doc_id)
+
+
+def test_cross_corpus_perplexity_runs():
+    ref = pd.DataFrame({
+        "doc_id": np.arange(100, 102, dtype=np.int64),
+        "text": ["the cat sat on the mat", "the cat sat"]})
+    ds = ray.data.from_pandas(DOCS).repartition(2)
+    out = lm_perplexity(ds, reference=ray.data.from_pandas(ref)) \
+        .to_pandas().set_index("doc_id")
+    # in-reference doc scores far more predictable than novel-words doc
+    assert out.loc[0, "ppl_bi"] < out.loc[6, "ppl_bi"]
+    assert (out["ppl_bi"] >= 1.0).all()
