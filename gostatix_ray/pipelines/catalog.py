@@ -487,6 +487,21 @@ def q_doc_dedup_exact(sf_dir: str):
     return exact_dedup(ds, text_col="text", id_col="doc_id")
 
 
+def q_doc_dedup_normalized(sf_dir: str):
+    """C4-style "fuzzy-exact" dedup (stages/text_stats.py
+    normalize_text + stages/dedup.py exact_dedup): lowercase, collapse
+    every non-alphanumeric run to one space, trim — THEN one survivor
+    (min doc_id) per distinct normalized text.  Catches the case /
+    punctuation / whitespace variants plain exact dedup misses.
+    Streaming normalize map (no shuffle) + the same slim hash-keyed
+    bucket shuffle as doc_dedup_exact."""
+    from ..stages.text_stats import normalize_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(normalize_text(ds), text_col="text",
+                       id_col="doc_id")
+
+
 def q_doc_dedup_canonical(sf_dir: str):
     """Canonical-copy dedup (stages/dedup.py exact_dedup_keep_best): one
     survivor per distinct text, preferring the LOWEST-numbered source
@@ -3441,6 +3456,16 @@ def q_doc_lm_perplexity(sf_dir: str):
     return lm_perplexity(ds)
 
 
+def q_top_collocations(sf_dir: str):
+    """PMI-lift collocation mining (stages/lm.py top_collocations):
+    bigrams with count >= 5 ranked by c12*N/(c1*c2) — ln-free so the
+    DuckDB twin hashes bit-exact (ln is monotone; same order)."""
+    from ..stages.lm import top_collocations
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return top_collocations(ds, min_count=5, k=100)
+
+
 QUERIES = {
     # --- CORRECTNESS GATE WINDOW (first 50 — every row oracle-backed).
     # Round-5 rotation (r4 verdict #1): the 4 new r5 queries, then the 28
@@ -3593,6 +3618,8 @@ QUERIES = {
     "value_quantiles_ddsketch": q_value_quantiles_ddsketch,
     "spacesaving_event_types": q_spacesaving_event_types,
     "doc_lm_crossref_stats": q_doc_lm_crossref_stats,
+    "doc_dedup_normalized": q_doc_dedup_normalized,
+    "top_collocations": q_top_collocations,
 }
 
 ORACLE_SQL = {
@@ -3663,6 +3690,26 @@ ORACLE_SQL = {
         "> INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS is_gap FROM events) GROUP BY user_id"
     ),
     "doc_dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "doc_dedup_normalized": (
+        "SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, "
+        "trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'), ' ') "
+        "AS t FROM documents) GROUP BY t"
+    ),
+    "top_collocations": (
+        "WITH l AS (SELECT string_split(coalesce(text, ''), ' ') AS l FROM documents), "
+        "tok AS (SELECT unnest(l) AS g FROM l), "
+        "uc AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY g), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok), "
+        "bg AS (SELECT unnest(list_transform(range(1, len(l)), "
+        "i -> l[i] || chr(31) || l[i+1])) AS g FROM l), "
+        "bc AS (SELECT g, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY g), "
+        "sp AS (SELECT split_part(g, chr(31), 1) AS w1, "
+        "split_part(g, chr(31), 2) AS w2, c12 FROM bc WHERE c12 >= 5) "
+        "SELECT sp.w1, sp.w2, sp.c12, u1.n AS c1, u2.n AS c2, "
+        "sp.c12 * 1.0 * nn.n / (u1.n * 1.0 * u2.n) AS lift "
+        "FROM sp JOIN uc u1 ON sp.w1 = u1.g JOIN uc u2 ON sp.w2 = u2.g, nn "
+        "ORDER BY lift DESC, sp.w1, sp.w2 LIMIT 100"
+    ),
     "doc_dedup_canonical": (
         "SELECT doc_id, source FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY text "

@@ -392,3 +392,68 @@ def lm_perplexity(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return _score(ds, text_col=text_col, id_col=id_col, mode="ppl",
                   max_broadcast_rows=max_broadcast_rows,
                   reference=reference)
+
+
+def top_collocations(ds, *, text_col: str = "text", min_count: int = 5,
+                     k: int = 100,
+                     max_broadcast_rows: int = 50_000_000) -> pa.Table:
+    """Top-k collocations: bigrams ranked by PMI lift
+    ``P(w1,w2-adjacent) / (P(w1)·P(w2))`` — the classic vocabulary
+    analytic for finding multi-word expressions worth treating as
+    single tokens when curating a training corpus.
+
+    Ranking uses the raw lift ratio ``c12·N / (c1·c2)`` rather than its
+    logarithm: ``ln`` is monotone, so the ORDER is identical, and the
+    ratio is one chain of int->double promotions and a single division
+    — cross-engine bit-identical, so the DuckDB twin hashes exactly
+    (``log`` would differ in the last ulp between libm builds).
+
+    ``min_count`` drops rare bigrams (raw PMI is dominated by
+    hapax pairs).  Ties: (lift desc, w1 asc, w2 asc) — a total order.
+
+    Scale shape: one tokenization scan + one gram-keyed bucketed
+    shuffle build the corpus count table (vocabulary-bounded, Heaps'
+    law); the lift join runs driver-side on that table, guarded by
+    ``max_broadcast_rows`` like the LM scorers (beyond it, bucket-join
+    the bigram table against the unigram table on each word key
+    instead).  Returns a (tiny) ``pa.Table``.
+    """
+    uni, bi = corpus_gram_counts(ds, text_col=text_col,
+                                 max_broadcast_rows=max_broadcast_rows)
+    empty = pa.table({
+        "w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+        "c12": pa.array([], pa.int64()), "c1": pa.array([], pa.int64()),
+        "c2": pa.array([], pa.int64()), "lift": pa.array([], pa.float64())})
+    N = int(pc.sum(uni["n"]).as_py() or 0)
+    if len(bi) == 0 or N == 0:
+        return empty
+    c12 = bi["n"].to_numpy(zero_copy_only=False)
+    keep = c12 >= min_count
+    if not keep.any():
+        return empty
+    grams = bi["gram"].combine_chunks().filter(pa.array(keep))
+    c12 = c12[keep]
+    parts = pc.split_pattern(grams, pattern=_SEP, max_splits=1)
+    w1, w2 = pc.list_element(parts, 0), pc.list_element(parts, 1)
+    ug = uni["gram"].combine_chunks()
+    un = uni["n"].to_numpy(zero_copy_only=False)
+
+    def _cnt(arr) -> np.ndarray:
+        # every bigram constituent is in the unigram vocab by
+        # construction; index_in never misses
+        pos = pc.index_in(arr, value_set=ug)
+        return un[pos.fill_null(0).to_numpy(zero_copy_only=False)]
+
+    c1, c2 = _cnt(w1), _cnt(w2)
+    # ((c12*1.0)*N) / ((c1*1.0)*c2) — the twin's exact promotion order
+    lift = (c12 * 1.0) * N / ((c1 * 1.0) * c2)
+    df = pd.DataFrame({
+        "w1": w1.to_pandas(), "w2": w2.to_pandas(),
+        "c12": c12.astype(np.int64), "c1": c1.astype(np.int64),
+        "c2": c2.astype(np.int64), "lift": lift})
+    df = df.sort_values(["lift", "w1", "w2"],
+                        ascending=[False, True, True],
+                        kind="mergesort").head(k)
+    t = pa.Table.from_pandas(df.reset_index(drop=True),
+                             preserve_index=False)
+    return t.replace_schema_metadata(None)

@@ -35,6 +35,10 @@ def _text(batch_text: pa.ChunkedArray | pa.Array) -> pa.Array:
     list_value_length is null -> NaN -> INT64_MIN under .astype(int64),
     crashing np.repeat/reduceat for the whole stage."""
     col = batch_text.combine_chunks() if isinstance(batch_text, pa.ChunkedArray) else batch_text
+    if pa.types.is_null(col.type):
+        # an all-null block materializes as type null; fill_null can't
+        # make a string scalar for it — cast first
+        col = col.cast(pa.string())
     return pc.fill_null(col, "")
 
 
@@ -535,3 +539,29 @@ class RegexScrub:
                 "n_masked": pc.count_substring_regex(txt, self.pattern).cast(pa.int64()),
             }
         )
+
+
+def normalize_text(ds, *, text_col: str = "text"):
+    """C4/RefinedWeb-style "fuzzy-exact" normalization: lowercase, then
+    collapse every run of non-alphanumerics (punctuation, newlines,
+    repeated spaces, any non-ASCII) to a single space, then trim.
+
+    The standard pre-pass before exact dedup so that documents differing
+    only in case / punctuation / whitespace collapse to one copy.  Pure
+    Arrow kernels (utf8proc lower + RE2 replace), so the DuckDB twin
+    ``trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')``
+    is bit-identical (both engines: utf8proc lowercasing, RE2 regex).
+
+    Replaces ``text_col`` in place; every other column passes through.
+    Streaming per-batch map — no shuffle, no state.
+    """
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        t = _text(batch[text_col])
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, "[^a-z0-9]+", " ")
+        t = pc.utf8_trim(t, " ")
+        i = batch.schema.get_field_index(text_col)
+        return batch.set_column(i, text_col, t)
+
+    return ds.map_batches(_norm, batch_format="pyarrow", batch_size=None)

@@ -54,7 +54,7 @@ DOC_QUERIES = [
     "docs_weighted_sample", "corpus_snapshot_diff", "doc_train_split",
     "doc_dedup_exact", "decontaminated_docs", "cross_corpus_contamination",
     "keyword_search_topk", "doc_lm_frequency_stats",
-    "doc_lm_crossref_stats",
+    "doc_lm_crossref_stats", "doc_dedup_normalized", "top_collocations",
 ]
 EVENT_QUERIES = [
     "user_running_value", "user_running_value_scan", "user_trailing_value", "user_event_lead_ntile",

@@ -187,3 +187,50 @@ def test_cross_corpus_perplexity_runs():
     # in-reference doc scores far more predictable than novel-words doc
     assert out.loc[0, "ppl_bi"] < out.loc[6, "ppl_bi"]
     assert (out["ppl_bi"] >= 1.0).all()
+
+
+def test_top_collocations_hand_values():
+    """min_count prunes, lift ranks, ties break on (w1, w2)."""
+    from gostatix_ray.stages.lm import top_collocations
+
+    # "a b" x3 (c(a)=3, c(b)=5), "c b" x2, "d d" never reaches min_count
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["a b", "a b", "a b", "c b", "c b", "b b d"],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    t = top_collocations(ds, min_count=2, k=10).to_pandas()
+    # corpus: tokens a=3 b=7 c=2 d=1, N=13
+    # bigrams: a b=3, c b=2, b b=1, b d=1 -> min_count=2 keeps a-b, c-b
+    # lift(a,b) = 3*13/(3*7) = lift(c,b) = 2*13/(2*7) = 13/7: an exact
+    # TIE -> broken by w1 asc, so 'a' ranks first
+    assert list(t["w1"]) == ["a", "c"]
+    assert list(t["c12"]) == [3, 2]
+    assert t["lift"].iloc[0] == 3 * 1.0 * 13 / (3 * 1.0 * 7)
+    assert t["lift"].iloc[1] == 2 * 1.0 * 13 / (2 * 1.0 * 7)
+
+
+def test_top_collocations_partition_invariant():
+    from gostatix_ray.stages.lm import top_collocations
+
+    rng = np.random.default_rng(7)
+    words = np.array(["red", "blue", "green", "hot", "dog", "ice", "cream"])
+    texts = [" ".join(rng.choice(words, size=rng.integers(1, 12)))
+             for _ in range(200)]
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "text": texts})
+    outs = []
+    for blocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        outs.append(top_collocations(ds, min_count=3, k=25).to_pandas())
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_top_collocations_empty_and_sparse():
+    from gostatix_ray.stages.lm import top_collocations
+
+    df = pd.DataFrame({"doc_id": np.array([0], dtype=np.int64),
+                       "text": ["every word only once"]})
+    t = top_collocations(ray.data.from_pandas(df), min_count=2, k=10)
+    assert t.num_rows == 0
+    assert t.column_names == ["w1", "w2", "c12", "c1", "c2", "lift"]

@@ -197,3 +197,30 @@ def test_regex_scrub_masks_pii_shapes(ray_session):
     assert out["text"][0].as_py() == "mail me at <PII> or call <PII> now"
     assert out["n_masked"].to_pylist() == [2, 0, 2]
     assert out["text"][1].as_py() == "no sensitive content here"
+
+
+def test_normalize_text_matches_duckdb_twin():
+    """lowercase + collapse non-alnum runs + trim, bit-equal to the
+    DuckDB twin (both utf8proc lower + RE2 replace)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from gostatix_ray.stages.text_stats import normalize_text
+
+    texts = ["Hello,  World!! 42", "", "  élan—café  ", "MiXeD\tCaSe\n",
+             "a-b_c.d", "ALL CAPS", "123", "...", None]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": pd.array(texts, dtype="string")})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = normalize_text(ds).to_pandas().sort_values("doc_id")
+    want = duckdb.sql(
+        "SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), "
+        "'[^a-z0-9]+', ' ', 'g'), ' ') AS text FROM df ORDER BY doc_id"
+    ).df()
+    assert list(got["text"]) == list(want["text"])
+    # idempotent: normalizing a normalized corpus is the identity
+    ds2 = ray.data.from_pandas(got.reset_index(drop=True))
+    again = normalize_text(ds2).to_pandas().sort_values("doc_id")
+    assert list(again["text"]) == list(got["text"])
