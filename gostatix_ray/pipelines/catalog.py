@@ -53,10 +53,11 @@ def _one_state(ds, req: SketchRequest, **kw):
 
     # streaming merge: build + bucket + merge overlap in ONE lazy execution
     partials = build_partials(full_throttle_dataset(ds), [req], concurrency=_CONC, **kw)
-    final = collect_final(merge_partials_streaming(partials))
-    from ..registry import kernel_for
+    from ..stages.merge import final_state
 
-    return kernel_for(req.kind).from_bytes(final[(req.name, "")])
+    final = collect_final(merge_partials_streaming(partials))
+    # empty input -> fresh state (zero-row corpora must not crash)
+    return final_state(final, req)
 
 
 # ---------------------------------------------------------------------------
@@ -318,15 +319,16 @@ def q_kmv_users_set_algebra(sf_dir: str):
         return _proj
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    from ..stages.merge import final_state
+
+    req_a = SketchRequest("click_kmv", "kmv", spec, on=_users_where("click"))
+    req_b = SketchRequest("signup_kmv", "kmv", spec, on=_users_where("signup"))
     partials = build_partials(
-        full_throttle_dataset(ds),
-        [SketchRequest("click_kmv", "kmv", spec, on=_users_where("click")),
-         SketchRequest("signup_kmv", "kmv", spec, on=_users_where("signup"))],
-        concurrency=_CONC,
+        full_throttle_dataset(ds), [req_a, req_b], concurrency=_CONC,
     )
     final = collect_final(merge_partials_streaming(partials))
-    a = kmv.from_bytes(final[("click_kmv", "")])
-    b = kmv.from_bytes(final[("signup_kmv", "")])
+    a = final_state(final, req_a)
+    b = final_state(final, req_b)
     return pd.DataFrame({
         "set_expr": ["click", "signup", "union", "intersection", "click_only"],
         "users_est": [kmv.estimate(a), kmv.estimate(b), kmv.union_count(a, b),
@@ -672,8 +674,10 @@ def q_semantic_dedup_exact(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = semantic_dedup_exact(ds, id_col="vec_id", emb_col="embedding",
                                threshold=0.42, concurrency=_CONC)
-    df = out.select_columns(["vec_id"]).to_pandas()
-    return df.sort_values("vec_id").reset_index(drop=True)
+    df = out.to_pandas()
+    if "vec_id" not in df.columns:  # empty corpus: no survivors
+        return pd.DataFrame({"vec_id": np.array([], np.int64)})
+    return df[["vec_id"]].sort_values("vec_id").reset_index(drop=True)
 
 
 def q_semantic_dedup_pruned(sf_dir: str):
@@ -684,7 +688,10 @@ def q_semantic_dedup_pruned(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = semantic_dedup(ds, id_col="vec_id", emb_col="embedding", dim=64,
                          n_clusters=16, threshold=0.42, concurrency=_CONC)
-    return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    df = out.to_pandas()
+    if "vec_id" not in df.columns:  # empty corpus: no survivors
+        return pd.DataFrame({"vec_id": np.array([], np.int64)})
+    return df.sort_values("vec_id").reset_index(drop=True)
 
 
 def q_curated_corpus(sf_dir: str):
@@ -1535,7 +1542,8 @@ def q_events_quality_audit(sf_dir: str):
                ["event_id", "user_id", "event_type", "value", "props"])
     # dimension side: one projected column, driver-collected (bounded)
     cust = _read(sf_dir, "customer", ["c_custkey"]).to_pandas()
-    keys = cust.loc[cust["c_custkey"] < 100, "c_custkey"].to_numpy()
+    keys = (cust.loc[cust["c_custkey"] < 100, "c_custkey"].to_numpy()
+            if "c_custkey" in cust.columns else np.array([], np.int64))
     return quality_audit(ds, [
         ("not_null", "value"),
         ("unique", "event_id"),
@@ -2040,7 +2048,11 @@ def q_corpus_snapshot_diff(sf_dir: str):
     new = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         _mutate, batch_format="pyarrow")
     out = corpus_diff(old, new, id_col="doc_id", text_col="text")
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df = out.to_pandas()
+    if "doc_id" not in df.columns:  # both snapshots empty -> no columns
+        df = pd.DataFrame({"doc_id": np.array([], np.int64),
+                           "status": pd.array([], dtype="string")})
+    return df.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_cross_corpus_contamination(sf_dir: str):
@@ -2410,8 +2422,11 @@ def q_cube_dau_range(sf_dir: str):
     from .cube import cube_range_distinct, cube_range_topk
 
     cube_dir = _events_day_cube(sf_dir)
-    est = cube_range_distinct(cube_dir, "users_hll", _CUBE_LO, _CUBE_HI)
-    top = cube_range_topk(cube_dir, "type_topk", _CUBE_LO, _CUBE_HI)
+    try:
+        est = cube_range_distinct(cube_dir, "users_hll", _CUBE_LO, _CUBE_HI)
+        top = cube_range_topk(cube_dir, "type_topk", _CUBE_LO, _CUBE_HI)
+    except KeyError:  # no cells in range (e.g. cube over zero rows)
+        est, top = 0.0, []
     return pd.DataFrame({
         "range_lo": [_CUBE_LO],
         "range_hi": [_CUBE_HI],
@@ -2457,9 +2472,12 @@ def q_cube_dau_by_type_range(sf_dir: str):
 
     cube_dir = _events_day_type_cube(sf_dir)
     r = CubeReader(cube_dir)
-    est_click = r.distinct("users_hll", _CUBE_LO, _CUBE_HI, dim="click")
-    est_all = r.distinct("users_hll", _CUBE_LO, _CUBE_HI)
-    top_click = r.topk("type_topk", _CUBE_LO, _CUBE_HI, dim="click")
+    try:
+        est_click = r.distinct("users_hll", _CUBE_LO, _CUBE_HI, dim="click")
+        est_all = r.distinct("users_hll", _CUBE_LO, _CUBE_HI)
+        top_click = r.topk("type_topk", _CUBE_LO, _CUBE_HI, dim="click")
+    except KeyError:  # no cells in range (e.g. cube over zero rows)
+        est_click, est_all, top_click = 0.0, 0.0, []
     return pd.DataFrame({
         "range_lo": [_CUBE_LO],
         "range_hi": [_CUBE_HI],
@@ -2653,7 +2671,7 @@ def q_lang_token_inner_product_exact(sf_dir: str):
         return pd.DataFrame({"partial": [int((g["c_en"] * g["c_de"]).sum())]})
 
     parts = bucketed_groupby(tagged, ["token"], _dot, num_buckets=16)
-    total = int(parts.sum("partial"))
+    total = int(parts.sum("partial") or 0)  # empty corpora -> 0
     return pd.DataFrame({"inner_product": np.array([total], dtype=np.int64)})
 
 
@@ -2883,7 +2901,10 @@ def q_value_rank_exact(sf_dir: str):
     from ray.data.aggregate import Sum
 
     row = parts.aggregate(Sum("n"), *[Sum(f"c{i}") for i in range(len(_RANK_XS))])
-    n = float(row["sum(n)"])
+    n = float(row["sum(n)"] or 0) if row is not None else 0.0
+    if n == 0:  # zero rows: every rank fraction is undefined (SQL NULL)
+        return pd.DataFrame({"x": list(_RANK_XS),
+                             "rank_frac": [float("nan")] * len(_RANK_XS)})
     return pd.DataFrame({
         "x": list(_RANK_XS),
         "rank_frac": [float(row[f"sum(c{i})"]) / n for i in range(len(_RANK_XS))],

@@ -296,6 +296,11 @@ def _range_indices(tbl: pa.Table, sketch: str, lo: str | None, hi: str | None,
     lexicographically so lo/hi stay plain time labels).  ``dim=None``
     merges across every dim — exact for mergeable sketches.
     """
+    if tbl.num_rows == 0 or "sketch" not in tbl.column_names:
+        # a cube built over zero input rows has no cells at all (and,
+        # written through the schema-less empty sink, no columns)
+        raise KeyError(
+            f"no cube cells for sketch={sketch!r}: the cube is empty")
     mask = pc.equal(tbl["sketch"], sketch)
     if lo is not None:
         mask = pc.and_(mask, pc.greater_equal(tbl["group_key"], lo))

@@ -356,6 +356,10 @@ def kmeans_fit(ds, *, emb_col: str = "embedding", k: int = 8, iters: int = 5,
     # — random init routinely lands two seeds in one tight cluster and
     # Lloyd cannot escape that local minimum
     boot = ds.limit(max(64 * k, 256)).to_pandas()
+    if emb_col not in boot.columns or len(boot) == 0:
+        raise ValueError(
+            f"kmeans_fit: input has zero rows (or no {emb_col!r} "
+            "column) — cannot seed k centroids from an empty corpus")
     sample = _normalize(np.stack(boot[emb_col].to_numpy()).astype(np.float64))
     mean_dir = _normalize(sample.mean(axis=0, keepdims=True))[0]
     seeds = [int(np.argmin(sample @ mean_dir))]

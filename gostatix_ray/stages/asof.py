@@ -200,6 +200,12 @@ def asof_join(
         return _fn
 
     lschema, rschema = left.schema(), right.schema()
+    if lschema is None or rschema is None:
+        raise ValueError(
+            "asof_join input has no schema: the dataset is empty and "
+            "Ray could not infer a map_batches output schema over zero "
+            "rows (see stages/joins.py _arrow_schema); check "
+            "ds.schema() is not None before joining")
     payload: dict = {}  # key/on always ride along — never nulled out
     for src in left_cols:
         if src not in (key, on):

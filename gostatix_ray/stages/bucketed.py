@@ -52,6 +52,25 @@ def write_bucketed(ds, out_dir: str, *, key: str, num_buckets: int = 64) -> str:
     ds.map_batches(_tag, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["bucket"]
     )
+    os.makedirs(out_dir, exist_ok=True)  # zero-row write creates nothing
+    if not any(e.startswith("bucket=") for e in os.listdir(out_dir)):
+        # empty layout: persist one 0-row bucket so colocated_join can
+        # resolve the schema and return a typed empty result
+        schema = ds.schema()
+        if schema is None:
+            raise ValueError(
+                "write_bucketed: input is empty and Ray could not infer "
+                "its map_batches schema over zero rows; an empty layout "
+                "needs a known schema (read/project so it survives, or "
+                "check ds.schema() is not None first)")
+        from .joins import _arrow_schema
+
+        import pyarrow.parquet as pq
+
+        bdir = os.path.join(out_dir, "bucket=0")
+        os.makedirs(bdir, exist_ok=True)
+        pq.write_table(_arrow_schema(ds).empty_table(),
+                       os.path.join(bdir, "empty.parquet"))
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump({"key": key, "num_buckets": num_buckets, "seed": _SEED,
                    "format": "gostatix_ray.bucketed.v1"}, f)

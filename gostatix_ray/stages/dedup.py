@@ -443,9 +443,12 @@ def incremental_dedup(ds_old, ds_new, *, text_col: str = "text",
         return pa.array(hex128(h1, h2))
 
     spec = bloomk.BloomSpec.from_params(bloom_items, bloom_fpp)
+    from .merge import final_blob
+
     req = SketchRequest("inc_dedup_old", "bloom", spec, on=_old_hex)
     partials = build_partials(ds_old, [req])
-    blob = collect_final(merge_partials_streaming(partials))[(req.name, "")]
+    # empty old corpus -> fresh (all-negative) bloom: every new doc is new
+    blob = final_blob(collect_final(merge_partials_streaming(partials)), req)
 
     flagged = ds_new.map_batches(_slim(1, True, with_hex=True),
                                  batch_format="pyarrow").materialize()
@@ -1639,6 +1642,11 @@ def semantic_dedup_exact(ds, *, id_col: str = "vec_id", emb_col: str = "embeddin
         })
 
     slim = ds.map_batches(_slim, batch_format="pyarrow").to_pandas()
+    if id_col not in slim.columns:
+        # zero-block empty input: Ray never ran _slim, so to_pandas has
+        # no columns at all — canonicalize to the empty slim frame
+        slim = pd.DataFrame({id_col: np.array([], np.int64),
+                             "nvec": np.array([], object)})
     ids = slim[id_col].to_numpy()
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
@@ -1681,8 +1689,16 @@ def semantic_dedup(ds, *, id_col: str = "vec_id", emb_col: str = "embedding",
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
     if codebook is None:
-        codebook, _ = kmeans_fit(ds, emb_col=emb_col, k=n_clusters, iters=iters,
-                                 concurrency=concurrency)
+        try:
+            codebook, _ = kmeans_fit(ds, emb_col=emb_col, k=n_clusters,
+                                     iters=iters, concurrency=concurrency)
+        except ValueError as e:
+            if "zero rows" not in str(e):
+                raise
+            # empty corpus: nothing to cluster, nothing to prune
+            import ray.data as _rd
+
+            return _rd.from_arrow(pa.table({id_col: pa.array([], pa.int64())}))
     if num_buckets is None:
         num_buckets = max(1, min(64, n_clusters))
     cref = ray.put(codebook.astype(np.float64))

@@ -177,7 +177,19 @@ def _arrow_schema(ds) -> pa.Schema:
     """ds.schema() as a pyarrow Schema.  Pandas-block datasets report a
     PandasBlockSchema; map its numpy dtypes across (object -> string —
     pass Arrow-backed data for binary payloads)."""
-    base = ds.schema().base_schema
+    schema = ds.schema()
+    if schema is None:
+        # Ray cannot infer a map_batches output schema over a zero-row
+        # dataset (it never runs the UDF; the blocks are 0-column
+        # placeholders), so the join's output schema is unknowable
+        raise ValueError(
+            "join input has no schema: the dataset is empty AND at "
+            "least one map_batches output schema could not be inferred "
+            "(Ray never runs UDFs over zero rows). If this side can "
+            "legitimately be empty, check ds.schema() is not None "
+            "before joining, or read/project so the schema survives "
+            "(a bare read_parquet keeps its schema even at zero rows)")
+    base = schema.base_schema
     if isinstance(base, pa.Schema):
         return base
     fields = []
@@ -304,8 +316,10 @@ def detect_hot_keys(ds, key: str, *, k: int = 32, min_frac: float = 0.01) -> lis
     )
     partials = build_partials(full_throttle_dataset(ds), [req], concurrency=None)
     merged = merge_partials_streaming(partials, final="single")
+    from .merge import final_state
+
     final = collect_final(merged)
-    state = topk_kernel.from_bytes(final[("hot", "")])
+    state = final_state(final, req)  # empty input -> fresh (no hot keys)
     total = max(int(state.cms.all_sum), 1)
     return [elem for elem, cnt in topk_kernel.values(state) if cnt / total >= min_frac]
 
@@ -508,18 +522,22 @@ def join_profile(ds, key: str, *, k: int = 32, m: int = 1 << 12,
     # dispatch (concurrency=None), ONE final combine task (no sort)
     partials = build_partials(full_throttle_dataset(ds), reqs, concurrency=concurrency)
     merged = merge_partials_streaming(partials, final="single")
+    from .merge import final_blob, final_state
+
     final = collect_final(merged)
-    tk = topk_kernel.from_bytes(final[("jp_hot", "")])
-    hstate = hll_kernel.from_bytes(final[("jp_distinct", "")])
+    # empty input -> fresh states (profile of a zero-row side: 0 rows,
+    # 0 distinct, no hot keys — a valid plan input, not a crash)
+    tk = final_state(final, reqs[0])
+    hstate = final_state(final, reqs[1])
     rows = int(tk.cms.all_sum)  # JOINABLE (non-null-key) rows
     total = max(rows, 1)
     hot = [(elem, cnt / total) for elem, cnt in topk_kernel.values(tk)]
     return {
         "rows": rows,
-        "rows_total": int(topk_kernel.from_bytes(final[("jp_total", "")]).cms.all_sum),
+        "rows_total": int(final_state(final, reqs[2]).cms.all_sum),
         "distinct": float(hll_kernel.count(hstate)),
         "hot": hot,
-        "cms": final[("jp_freq", "")] if freq_eps is not None else None,
+        "cms": final_blob(final, reqs[3]) if freq_eps is not None else None,
         # provenance, so auto_join can validate cached profiles
         "key": key,
         "cast_to": str(cast_to) if cast_to is not None else None,
@@ -556,9 +574,12 @@ def _build_key_bloom(ds, key: str, spec, cast_to: pa.DataType | None = None) -> 
         # NULL build keys never match — keep them out of the filter
         return pc.drop_null(pc.cast(col, pa.string()))
 
+    from .merge import final_blob
+
     req = SketchRequest("jp_bloom", "bloom", spec, on=_proj)
     partials = build_partials(full_throttle_dataset(ds), [req], concurrency=None)
-    return collect_final(merge_partials_streaming(partials, final="single"))[("jp_bloom", "")]
+    return final_blob(
+        collect_final(merge_partials_streaming(partials, final="single")), req)
 
 
 class _BroadcastMultiJoin:

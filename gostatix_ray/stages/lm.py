@@ -132,6 +132,12 @@ def corpus_gram_counts(ds, *, text_col: str = "text",
             "broadcasting (see stages/lm.py docstring)")
     t = pa.Table.from_pandas(counts.to_pandas(), preserve_index=False)
     t = t.replace_schema_metadata(None)
+    if "order" not in t.column_names:
+        # zero grams (empty corpus): the partial generator never yielded,
+        # so the reduce output has no columns — canonical empty table
+        t = pa.table({"order": pa.array([], pa.int64()),
+                      "gram": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
     uni = t.filter(pc.equal(t["order"], 1)).select(["gram", "n"])
     bi = t.filter(pc.equal(t["order"], 2)).select(["gram", "n"])
     return uni.combine_chunks(), bi.combine_chunks()

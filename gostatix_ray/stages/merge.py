@@ -262,3 +262,30 @@ def collect_final(merged) -> dict[tuple[str, str], bytes]:
         for row in batch.to_pylist():
             out[(row["sketch"], row["group_key"])] = decompress_state(row["state"])
     return out
+
+
+def final_state(final: dict, req, group_key: str = ""):
+    """Decoded kernel state for ``(req.name, group_key)`` from a
+    :func:`collect_final` dict — or the request's EMPTY state when the
+    key is absent.  An empty input stream emits no partials at all
+    (every build batch is skipped), so the merged dict has no entry;
+    the sketch of an empty stream is the freshly-constructed sketch
+    (HLL count 0, empty top-k, all-zero CMS/Bloom), not a crash."""
+    from ..registry import kernel_for
+
+    k = kernel_for(req.kind)
+    blob = final.get((req.name, group_key))
+    return k.from_bytes(blob) if blob is not None else k.new(req.spec)
+
+
+def final_blob(final: dict, req, group_key: str = "") -> bytes:
+    """Raw serialized state for ``(req.name, group_key)``; empty input
+    stream -> the request's fresh state, serialized (see
+    :func:`final_state`)."""
+    from ..registry import kernel_for
+
+    blob = final.get((req.name, group_key))
+    if blob is not None:
+        return blob
+    k = kernel_for(req.kind)
+    return k.to_bytes(k.new(req.spec))

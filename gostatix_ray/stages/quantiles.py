@@ -68,7 +68,13 @@ def _order_statistics(ds, col: str, ranks_from_n, *, bins: int):
     from ray.data.aggregate import Max, Min
 
     agg = ds.aggregate(Min(col), Max(col))
-    lo, hi = float(agg[f"min({col})"]), float(agg[f"max({col})"])
+    mn = None if agg is None else agg.get(f"min({col})")
+    if mn is None:
+        # zero rows / all-NULL column: Ray's Min/Max return None — same
+        # degenerate answer as all-NaN input (SQL: quantile of nothing
+        # is NULL), not a float(None) crash
+        return 0, float("nan"), None
+    lo, hi = float(mn), float(agg[f"max({col})"])
     if not np.isfinite(lo) or lo == hi:
         return 0, lo, None
 

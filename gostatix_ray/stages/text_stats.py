@@ -274,6 +274,11 @@ def benchmark_ngram_table(bench_ds, *, text_col: str, id_col: str, n: int) -> pa
     import pandas as pd
 
     parts = bench_ds.map_batches(_grams, batch_format="pyarrow").to_pandas()
+    if "gram" not in parts.columns:
+        # zero-block empty benchmark set: Ray never ran _grams
+        return pa.table({"gram": pa.array([], pa.string()),
+                         "min_id": pa.array([], pa.int64()),
+                         "max_id": pa.array([], pa.int64())})
     final = parts.groupby("gram", sort=False, as_index=False).agg(
         min_id=("min_id", "min"), max_id=("max_id", "max")
     )
