@@ -6,10 +6,10 @@ here (or in gostatix_ray) calls ray.init()/ray.shutdown().
 * ``entry()`` — flagship multi-sketch pipeline over /root/testdata/sf0.001
   (events + documents + the canonical transcript table).
 * ``queries()`` — one callable per implemented operator/pipeline
-  (SURVEY.md §2 + the training-data extras; 141 as of round 5); each
+  (SURVEY.md §2 + the training-data extras; 143 as of round 5); each
   takes ``sf_dir``.
 * ``oracle_sql()`` — DuckDB twins for the exactly-checkable queries
-  (112 of 141); the rest are estimate-valued sketch queries, rows-only
+  (114 of 143); the rest are estimate-valued sketch queries, rows-only
   by design (their error bounds are asserted in tests/).
 """
 
